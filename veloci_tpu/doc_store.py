@@ -1,0 +1,120 @@
+"""Compressed document store.
+
+Documents are concatenated into ~16 KB blocks, each block compressed
+independently, with a block index of ``(first_doc_id, block_start, block_end,
+num_docs)`` plus per-block doc offsets, enabling O(log blocks) random access.
+
+Reference: doc_store/src/lib.rs (`DocStoreWriter` 84-166 / `DocLoader` 11-62,
+FLUSH_THRESHOLD=16384 at :7). The reference compresses with LZ4; we use zlib
+level 1 (stdlib; similar block-decode latency class at this block size) — the
+format is ours, not byte compatible.
+"""
+
+from __future__ import annotations
+
+import io
+import zlib
+from typing import Iterable, List, Optional, Tuple
+
+import numpy as np
+
+__all__ = ["DocStoreWriter", "DocLoader", "FLUSH_THRESHOLD"]
+
+FLUSH_THRESHOLD = 16_384
+_MAGIC = b"VTDS"
+_LEVEL = 1
+
+
+class DocStoreWriter:
+    """Streaming writer; append docs, then `finish()` -> bytes."""
+
+    def __init__(self) -> None:
+        self.curr_id = 0
+        self.bytes_indexed = 0
+        self._out = io.BytesIO()
+        self._block: List[bytes] = []
+        self._block_bytes = 0
+        self._first_id_in_block = 0
+        # block index rows: (first_doc_id, start, end)
+        self._index: List[Tuple[int, int, int]] = []
+        self._block_doc_offsets: List[np.ndarray] = []
+
+    def add_doc(self, doc: str) -> None:
+        data = doc.encode("utf-8")
+        self.bytes_indexed += len(data)
+        if not self._block:
+            self._first_id_in_block = self.curr_id
+        self._block.append(data)
+        self._block_bytes += len(data)
+        if self._block_bytes > FLUSH_THRESHOLD:
+            self._flush_block()
+        self.curr_id += 1
+
+    def _flush_block(self) -> None:
+        raw = b"".join(self._block)
+        offsets = np.zeros(len(self._block) + 1, dtype=np.uint32)
+        np.cumsum([len(b) for b in self._block], out=offsets[1:])
+        start = self._out.tell()
+        payload = offsets.tobytes() + raw
+        comp = zlib.compress(payload, _LEVEL)
+        self._out.write(len(offsets).to_bytes(4, "little"))
+        self._out.write(comp)
+        end = self._out.tell()
+        self._index.append((self._first_id_in_block, start, end))
+        self._block = []
+        self._block_bytes = 0
+
+    def finish(self) -> bytes:
+        if self._block:
+            self._flush_block()
+        index = np.array(self._index, dtype=np.uint64).reshape(-1, 3)
+        body = self._out.getvalue()
+        tail = index.tobytes()
+        return (
+            body
+            + tail
+            + len(tail).to_bytes(8, "little")
+            + self.curr_id.to_bytes(8, "little")
+            + _MAGIC
+        )
+
+
+class DocLoader:
+    """Random access reader over the bytes produced by DocStoreWriter."""
+
+    def __init__(self, data: bytes) -> None:
+        assert data[-4:] == _MAGIC, "not a doc store blob"
+        self.num_docs = int.from_bytes(data[-12:-4], "little")
+        index_size = int.from_bytes(data[-20:-12], "little")
+        index_start = len(data) - 20 - index_size
+        self._index = np.frombuffer(
+            data[index_start : index_start + index_size], dtype=np.uint64
+        ).reshape(-1, 3)
+        self._data = data
+        self._first_ids = self._index[:, 0]
+        self._cache_block: Optional[int] = None
+        self._cache: Optional[Tuple[np.ndarray, bytes]] = None
+
+    def _load_block(self, block: int) -> Tuple[np.ndarray, bytes]:
+        if self._cache_block == block and self._cache is not None:
+            return self._cache
+        first_id, start, end = (int(x) for x in self._index[block])
+        noffsets = int.from_bytes(self._data[start : start + 4], "little")
+        payload = zlib.decompress(self._data[start + 4 : end])
+        offsets = np.frombuffer(payload[: noffsets * 4], dtype=np.uint32)
+        raw = payload[noffsets * 4 :]
+        self._cache_block = block
+        self._cache = (offsets, raw)
+        return self._cache
+
+    def get_doc(self, doc_id: int) -> str:
+        if doc_id < 0 or doc_id >= self.num_docs:
+            raise IndexError(f"doc id {doc_id} out of range ({self.num_docs} docs)")
+        block = int(np.searchsorted(self._first_ids, doc_id, side="right")) - 1
+        offsets, raw = self._load_block(block)
+        pos = doc_id - int(self._first_ids[block])
+        return raw[int(offsets[pos]) : int(offsets[pos + 1])].decode("utf-8")
+
+    def iter_docs(self) -> Iterable[str]:
+        for i in range(self.num_docs):
+            yield self.get_doc(i)

@@ -1,0 +1,355 @@
+"""The central runtime object: metadata + loaded columns + device upload.
+
+Mirrors the reference `Persistence` (src/persistence.rs:62-68, 205-452):
+
+* immutable columnar indices + a ``metaData.json`` manifest,
+* RAM-backed ("Transient") or disk-backed ("Persistent") storage — disk
+  persistence is a directory of mmap-loaded ``.npy`` files (the TPU-native
+  analogue of the reference's `MmapDirectory`),
+* lazily-built **device bundles** per searchable field: the padded char
+  matrix for the fuzzy sweep and the anchor-score CSR resident in HBM.
+
+The persistence format *is* the checkpoint (SURVEY.md §5): builds write the
+manifest last, loads are pure reads.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import urllib.parse
+from dataclasses import dataclass
+from pathlib import Path
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+from .create import (
+    ANCHOR_TO_TEXT_ID,
+    BOOST_VALID_TO_VALUE,
+    PARENT_TO_VALUE_ID,
+    PHRASE_PAIR_TO_ANCHOR,
+    TEXT_ID_TO_ANCHOR,
+    TEXT_ID_TO_TOKEN_IDS,
+    TEXTINDEX,
+    TO_ANCHOR_ID_SCORE,
+    TOKENS_TO_TEXT_ID,
+    VALUE_ID_TO_ANCHOR,
+    VALUE_ID_TO_PARENT,
+    BuiltIndex,
+    create_indices_from_str,
+)
+from .doc_store import DocLoader
+from .error import FstNotFoundError, VelociError
+from .indices import AnchorScoreCsr, Csr, Direct, PhraseCsr, TermDictionary
+
+__all__ = ["Persistence", "DeviceField"]
+
+_MANIFEST = "metaData.json"
+_DOCSTORE = "docs.bin"
+
+
+@dataclass
+class DeviceField:
+    """HBM-resident arrays for one searchable field (built lazily)."""
+
+    # fuzzy sweep inputs
+    chars: object  # jnp [N_pad, MAX_TERM_CHARS] uint16 (lowercased codepoints)
+    lengths: object  # jnp [N_pad] int32
+    num_terms: int
+    # anchor-score postings (token_id -> (anchor, score/100))
+    offsets: object  # jnp [num_keys_pad + 1] int32
+    anchors: object  # jnp [nnz_pad] int32
+    scores01: object  # jnp [nnz_pad] float32  (u16 score / 100)
+    host_offsets: np.ndarray  # for capacity computation on host
+    num_score_keys: int
+
+
+def _enc(name: str) -> str:
+    return urllib.parse.quote(name, safe="")
+
+
+def _dec(name: str) -> str:
+    return urllib.parse.unquote(name)
+
+
+def _round_up(n: int, m: int) -> int:
+    return max(m, ((n + m - 1) // m) * m)
+
+
+class Persistence:
+    """Index store runtime (create / save / load / query accessors)."""
+
+    def __init__(self) -> None:
+        self.num_docs: int = 0
+        self.bytes_indexed: int = 0
+        self.columns: Dict[str, dict] = {}
+        self.dictionaries: Dict[str, TermDictionary] = {}
+        self.key_value_stores: Dict[str, Csr | Direct] = {}
+        self.anchor_scores: Dict[str, AnchorScoreCsr] = {}
+        self.phrase_indices: Dict[str, PhraseCsr] = {}
+        self.boost_stores: Dict[str, Tuple[np.ndarray, np.ndarray]] = {}
+        self.doc_store_bytes: Optional[bytes] = None
+        self._doc_loader: Optional[DocLoader] = None
+        self._device_fields: Dict[str, DeviceField] = {}
+        self.path: Optional[str] = None
+        self.term_boost_cache: Dict = {}
+
+    # ------------------------------------------------------------------ build
+    @classmethod
+    def create_from_str(
+        cls, data_str: str, indices: str = "{}", *, line_delimited: bool = True
+    ) -> "Persistence":
+        built = create_indices_from_str(data_str, indices, line_delimited=line_delimited)
+        return cls.from_built(built)
+
+    @classmethod
+    def from_built(cls, built: BuiltIndex) -> "Persistence":
+        p = cls()
+        p.num_docs = built.num_docs
+        p.bytes_indexed = built.bytes_indexed
+        p.columns = built.columns
+        p.dictionaries = built.dictionaries
+        p.key_value_stores = built.key_value_stores
+        p.anchor_scores = built.anchor_scores
+        p.phrase_indices = built.phrase_indices
+        p.boost_stores = built.boost_stores
+        p.doc_store_bytes = built.doc_store
+        return p
+
+    # ------------------------------------------------------------- save/load
+    def save(self, directory: str) -> None:
+        """Write the index directory; manifest written last (atomic-ish)."""
+        d = Path(directory)
+        d.mkdir(parents=True, exist_ok=True)
+        if self.doc_store_bytes is not None:
+            (d / _DOCSTORE).write_bytes(self.doc_store_bytes)
+
+        def save_arr(name: str, arr: np.ndarray) -> None:
+            np.save(d / (_enc(name) + ".npy"), arr)
+
+        store_kinds: Dict[str, str] = {}
+        for path, store in self.key_value_stores.items():
+            if isinstance(store, Direct):
+                store_kinds[path] = "direct"
+                save_arr(path + "#direct", store.values)
+            else:
+                store_kinds[path] = "csr"
+                save_arr(path + "#offsets", store.offsets)
+                save_arr(path + "#values", store.values)
+        for path, store in self.anchor_scores.items():
+            store_kinds[path] = "anchor_score"
+            save_arr(path + "#offsets", store.offsets)
+            save_arr(path + "#anchors", store.anchors)
+            save_arr(path + "#scores", store.scores)
+        for path, store in self.phrase_indices.items():
+            store_kinds[path] = "phrase"
+            save_arr(path + "#keys", store.keys)
+            save_arr(path + "#offsets", store.offsets)
+            save_arr(path + "#values", store.values)
+        for path, (vals, present) in self.boost_stores.items():
+            store_kinds[path] = "boost"
+            save_arr(path + "#bvalues", vals)
+            save_arr(path + "#bpresent", present)
+        for field, dictionary in self.dictionaries.items():
+            save_arr(field + "#terms", dictionary.to_arrays()["term_bytes"])
+
+        manifest = {
+            "num_docs": self.num_docs,
+            "bytes_indexed": self.bytes_indexed,
+            "columns": self.columns,
+            "store_kinds": store_kinds,
+        }
+        tmp = d / (_MANIFEST + ".tmp")
+        tmp.write_text(json.dumps(manifest, ensure_ascii=False, indent=1))
+        os.replace(tmp, d / _MANIFEST)
+
+    @classmethod
+    def load(cls, directory: str) -> "Persistence":
+        d = Path(directory)
+        manifest = json.loads((d / _MANIFEST).read_text())
+        p = cls()
+        p.path = str(d)
+        p.num_docs = manifest["num_docs"]
+        p.bytes_indexed = manifest["bytes_indexed"]
+        p.columns = manifest["columns"]
+
+        def load_arr(name: str) -> np.ndarray:
+            return np.load(d / (_enc(name) + ".npy"), mmap_mode="r")
+
+        for path, kind in manifest["store_kinds"].items():
+            if kind == "direct":
+                p.key_value_stores[path] = Direct(values=load_arr(path + "#direct"))
+            elif kind == "csr":
+                p.key_value_stores[path] = Csr(
+                    offsets=load_arr(path + "#offsets"), values=load_arr(path + "#values")
+                )
+            elif kind == "anchor_score":
+                p.anchor_scores[path] = AnchorScoreCsr(
+                    offsets=load_arr(path + "#offsets"),
+                    anchors=load_arr(path + "#anchors"),
+                    scores=load_arr(path + "#scores"),
+                )
+            elif kind == "phrase":
+                p.phrase_indices[path] = PhraseCsr(
+                    keys=load_arr(path + "#keys"),
+                    offsets=load_arr(path + "#offsets"),
+                    values=load_arr(path + "#values"),
+                )
+            elif kind == "boost":
+                p.boost_stores[path] = (
+                    load_arr(path + "#bvalues"),
+                    load_arr(path + "#bpresent"),
+                )
+        for f in d.glob("*%23terms.npy"):
+            field = _dec(f.name[: -len(".npy")])[: -len("#terms")]
+            p.dictionaries[field] = TermDictionary.from_arrays(
+                {"term_bytes": np.load(f)}
+            )
+        docs = d / _DOCSTORE
+        if docs.exists():
+            p.doc_store_bytes = docs.read_bytes()
+        return p
+
+    # -------------------------------------------------------------- accessors
+    def get_all_fields(self) -> List[str]:
+        return list(self.columns.keys())
+
+    def has_index(self, path: str) -> bool:
+        return (
+            path in self.key_value_stores
+            or path in self.anchor_scores
+            or path in self.phrase_indices
+            or path in self.boost_stores
+        )
+
+    def has_token_to_anchor(self, path: str) -> bool:
+        return path in self.anchor_scores
+
+    def get_valueid_to_parent(self, path: str):
+        store = self.key_value_stores.get(path)
+        if store is None:
+            raise VelociError(f"index not found: {path!r}")
+        return store
+
+    def get_token_to_anchor(self, path: str) -> AnchorScoreCsr:
+        store = self.anchor_scores.get(path)
+        if store is None:
+            raise VelociError(f"anchor score index not found: {path!r}")
+        return store
+
+    def get_phrase_pair_to_anchor(self, path: str) -> PhraseCsr:
+        store = self.phrase_indices.get(path)
+        if store is None:
+            raise VelociError(f"phrase index not found: {path!r}")
+        return store
+
+    def get_boost(self, path: str) -> Tuple[np.ndarray, np.ndarray]:
+        store = self.boost_stores.get(path)
+        if store is None:
+            raise VelociError(f"boost index not found: {path!r}")
+        return store
+
+    def get_dictionary(self, field: str) -> TermDictionary:
+        field = field[: -len(TEXTINDEX)] if field.endswith(TEXTINDEX) else field
+        dictionary = self.dictionaries.get(field)
+        if dictionary is None:
+            raise FstNotFoundError(field)
+        return dictionary
+
+    @property
+    def doc_loader(self) -> DocLoader:
+        if self._doc_loader is None:
+            if self.doc_store_bytes is None:
+                raise VelociError("no document store")
+            self._doc_loader = DocLoader(self.doc_store_bytes)
+        return self._doc_loader
+
+    def is_anchor_identity_column(self, field: str) -> bool:
+        field = field[: -len(TEXTINDEX)] if field.endswith(TEXTINDEX) else field
+        col = self.columns.get(field)
+        return bool(col and col.get("is_anchor_identity_column"))
+
+    def tokenize_enabled(self, field: str) -> bool:
+        field = field[: -len(TEXTINDEX)] if field.endswith(TEXTINDEX) else field
+        col = self.columns.get(field)
+        if not col:
+            return False
+        return bool(col["textindex_metadata"]["options"].get("tokenize", False))
+
+    def num_text_ids(self, field: str) -> int:
+        field = field[: -len(TEXTINDEX)] if field.endswith(TEXTINDEX) else field
+        return int(self.columns[field]["textindex_metadata"]["num_text_ids"])
+
+    # --------------------------------------------------------------- device
+    def invalidate_device_cache(self) -> None:
+        self._device_fields.clear()
+
+    def device_field(self, field: str) -> DeviceField:
+        """Lazily upload one field's dictionary + postings to the device."""
+        field = field[: -len(TEXTINDEX)] if field.endswith(TEXTINDEX) else field
+        cached = self._device_fields.get(field)
+        if cached is not None:
+            return cached
+        import jax.numpy as jnp
+
+        dictionary = self.get_dictionary(field)
+        chars, lengths = dictionary.char_matrix()
+        n = len(dictionary)
+        n_pad = _round_up(max(n, 8), 128)
+        chars_p = np.zeros((n_pad, chars.shape[1]), dtype=np.uint16)
+        chars_p[: chars.shape[0]] = chars
+        lens_p = np.zeros(n_pad, dtype=np.int32)
+        lens_p[: len(lengths)] = lengths
+        score_path = field + TEXTINDEX + TO_ANCHOR_ID_SCORE
+        store = self.anchor_scores.get(score_path)
+        if store is not None:
+            host_offsets = np.asarray(store.offsets, dtype=np.int64)
+            nnz = len(store.anchors)
+            nnz_pad = _round_up(max(nnz, 8), 128)
+            anchors_p = np.full(nnz_pad, self.num_docs, dtype=np.int32)
+            anchors_p[:nnz] = store.anchors
+            scores_p = np.zeros(nnz_pad, dtype=np.float32)
+            scores_p[:nnz] = store.scores.astype(np.float32) / np.float32(100.0)
+            nk = store.num_keys
+            offsets_p = np.zeros(nk + 2, dtype=np.int32)
+            offsets_p[: nk + 1] = host_offsets
+            offsets_p[nk + 1 :] = host_offsets[-1]
+            dev = DeviceField(
+                chars=jnp.asarray(chars_p),
+                lengths=jnp.asarray(lens_p),
+                num_terms=n,
+                offsets=jnp.asarray(offsets_p),
+                anchors=jnp.asarray(anchors_p),
+                scores01=jnp.asarray(scores_p),
+                host_offsets=host_offsets,
+                num_score_keys=nk,
+            )
+        else:
+            dev = DeviceField(
+                chars=jnp.asarray(chars_p),
+                lengths=jnp.asarray(lens_p),
+                num_terms=n,
+                offsets=None,
+                anchors=None,
+                scores01=None,
+                host_offsets=np.zeros(1, dtype=np.int64),
+                num_score_keys=0,
+            )
+        self._device_fields[field] = dev
+        return dev
+
+    # ---------------------------------------------------------------- report
+    def heap_size_report(self) -> str:
+        """Index size table (reference persistence.rs:412-447)."""
+        lines = [f"{'index':70} {'bytes':>12}"]
+        everything = [
+            *self.key_value_stores.items(),
+            *self.anchor_scores.items(),
+            *self.phrase_indices.items(),
+        ]
+        for path, store in sorted(everything):
+            lines.append(f"{path:70} {store.memory_bytes():>12}")
+        for field, dictionary in sorted(self.dictionaries.items()):
+            lines.append(f"{field + '.terms':70} {dictionary.memory_bytes():>12}")
+        return "\n".join(lines)

@@ -1,0 +1,380 @@
+"""Boost mechanics: field-data boosts, 1:n anchor-boost chains, term boosts,
+phrase boosts, text-locality boosts — all as dense per-document vector ops.
+
+Reference: src/search/boost.rs and src/expression.rs. Where the reference
+walks sorted hit/boost iterators in lockstep (`apply_boost_from_iter`,
+`apply_boost_values_anchor`), the TPU-native form aggregates boost
+occurrences per anchor (product / sum / last, matching the sequential
+semantics) and applies them to the dense score vector elementwise.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+from ..create import (
+    BOOST_VALID_TO_VALUE,
+    TEXT_ID_TO_ANCHOR,
+    TEXTINDEX,
+    TOKENS_TO_TEXT_ID,
+    VALUE_ID_TO_ANCHOR,
+    VALUE_ID_TO_PARENT,
+)
+from ..error import VelociError
+from ..indices import Csr, Direct
+
+_F32 = np.float32
+
+__all__ = [
+    "ScoreExpression",
+    "apply_boost_scalar",
+    "apply_boost_dense",
+    "boost_to_anchor_values",
+    "apply_anchor_boost_values",
+    "term_boost_factor",
+    "phrase_boost_factor",
+    "text_locality_boost",
+    "resolve_ids_to_anchor",
+]
+
+
+class ScoreExpression:
+    """Tiny `x op y` interpreter with `$SCORE` (reference src/expression.rs)."""
+
+    def __init__(self, expression: str):
+        self.expression = expression
+        ops: List = []
+        current = ""
+        for ch in expression:
+            if ch == " ":
+                try:
+                    ops.append(float(current))
+                except ValueError:
+                    pass
+                current = ""
+                continue
+            current += ch
+            if current in ("+", "-", "/", "*", "$SCORE"):
+                ops.append(current)
+                current = ""
+        try:
+            ops.append(float(current))
+        except ValueError:
+            pass
+        self.ops = ops
+
+    def get_score(self, rank: float) -> float:
+        def val(op):
+            return rank if op == "$SCORE" else op
+
+        left = _F32(val(self.ops[0]))
+        right = _F32(val(self.ops[2]))
+        op = self.ops[1]
+        if op == "/":
+            return float(left / right)
+        if op == "*":
+            return float(left * right)
+        if op == "+":
+            return float(left + right)
+        if op == "-":
+            return float(left - right)
+        raise VelociError(f"invalid expression {self.expression!r}")
+
+
+def apply_boost_scalar(score: float, boost_value: float, boost_part) -> float:
+    """Single-hit boost application (reference boost.rs:283-379 `apply_boost`)."""
+    param = _F32(boost_part.param or 0.0)
+    bv = _F32(boost_value) + param
+    fun = boost_part.boost_fun
+    score = _F32(score)
+    if fun == "Log10":
+        score = score * _F32(np.log10(bv))
+    elif fun == "Log2":
+        score = score * _F32(np.log2(bv))
+    elif fun == "Multiply":
+        score = score * bv
+    elif fun == "Add":
+        score = score + bv
+    elif fun == "Replace":
+        score = bv
+    if boost_part.expression:
+        score = score + _F32(ScoreExpression(boost_part.expression).get_score(boost_value))
+    return float(score)
+
+
+def apply_boost_dense(
+    dense: np.ndarray,
+    boost_vals: np.ndarray,
+    present: np.ndarray,
+    boost_part,
+) -> np.ndarray:
+    """Apply a boost column to a dense score vector.
+
+    Reference `add_boost` (boost.rs:470+): only existing hits are boosted,
+    hits with no boost value are unchanged, `skip_when_score` exempts hits
+    whose score is within 1e-5 of a listed value.
+    """
+    dense = np.asarray(dense, dtype=_F32)
+    n = len(dense)
+    bv = np.zeros(n, dtype=_F32)
+    pres = np.zeros(n, dtype=bool)
+    m = min(n, len(boost_vals))
+    bv[:m] = boost_vals[:m]
+    pres[:m] = present[:m]
+
+    param = _F32(boost_part.param or 0.0)
+    b = bv + param
+    fun = boost_part.boost_fun
+    with np.errstate(divide="ignore", invalid="ignore"):
+        if fun == "Log10":
+            boosted = dense * np.log10(b, dtype=_F32)
+        elif fun == "Log2":
+            boosted = dense * np.log2(b, dtype=_F32)
+        elif fun == "Multiply":
+            boosted = dense * b
+        elif fun == "Add":
+            boosted = dense + b
+        elif fun == "Replace":
+            boosted = b.copy()
+        else:
+            boosted = dense.copy()
+    if boost_part.expression:
+        expr = ScoreExpression(boost_part.expression)
+        # vectorised: expr is "x op y" over ($SCORE -> boost value)
+        add = np.array([expr.get_score(float(v)) for v in bv], dtype=_F32) if n < 100000 else _expr_vec(expr, bv)
+        boosted = boosted + add
+
+    apply_mask = (dense > 0) & pres
+    if boost_part.skip_when_score:
+        for s in boost_part.skip_when_score:
+            apply_mask &= np.abs(dense - _F32(s)) >= 1e-5
+    return np.where(apply_mask, boosted, dense).astype(_F32)
+
+
+def _expr_vec(expr: ScoreExpression, ranks: np.ndarray) -> np.ndarray:
+    def val(op):
+        return ranks.astype(_F32) if op == "$SCORE" else _F32(op)
+
+    left, op, right = expr.ops[0], expr.ops[1], expr.ops[2]
+    a, b = val(left), val(right)
+    if op == "/":
+        return (a / b).astype(_F32)
+    if op == "*":
+        return (a * b).astype(_F32)
+    if op == "+":
+        return (a + b).astype(_F32)
+    return (a - b).astype(_F32)
+
+
+def resolve_ids_to_anchor(persistence, path: str, ids: np.ndarray) -> np.ndarray:
+    """Matched text ids -> anchor ids (ids-only path of
+    `resolve_token_to_anchor`, search_field.rs:467-495)."""
+    if len(ids) == 0:
+        return np.empty(0, dtype=np.int64)
+    if persistence.is_anchor_identity_column(path):
+        return np.asarray(ids, dtype=np.int64)
+    tia = persistence.key_value_stores.get(path + TEXT_ID_TO_ANCHOR)
+    if tia is None:
+        return np.empty(0, dtype=np.int64)
+    return tia.get_values_multi(np.asarray(ids)).astype(np.int64)
+
+
+def boost_to_anchor_values(
+    persistence, field_path: str, boost_part, matched_term_ids: np.ndarray
+) -> Tuple[np.ndarray, np.ndarray]:
+    """The 1:n boost chain (plan step `BoostToAnchor`, plan_steps.rs:207-233):
+
+    token ids -> text ids -> parent value ids -> boost values -> anchors.
+    Returns (anchors, boost_values) in parent-value-id order.
+    """
+    path = field_path if field_path.endswith(TEXTINDEX) else field_path + TEXTINDEX
+    field = path[: -len(TEXTINDEX)]
+
+    # resolve_token_hits_to_text_id_ids_only (search_field.rs:561-607)
+    ids = np.asarray(matched_term_ids, dtype=np.int64)
+    if persistence.tokenize_enabled(field):
+        tta = persistence.key_value_stores.get(path + TOKENS_TO_TEXT_ID)
+        if tta is not None:
+            parts = []
+            for tid in ids:
+                vals = tta.get_values(int(tid))
+                if len(vals):
+                    parts.append(vals.astype(np.int64))
+                else:
+                    parts.append(np.array([tid], dtype=np.int64))
+            ids = np.unique(np.concatenate(parts)) if parts else ids
+
+    # text ids -> parent value ids (join_to_parent_ids, search.rs:286-315)
+    v2p = persistence.key_value_stores.get(path + VALUE_ID_TO_PARENT)
+    if v2p is None:
+        return np.empty(0, np.int64), np.empty(0, _F32)
+    value_ids = np.unique(v2p.get_values_multi(ids).astype(np.int64))
+
+    # boost values (get_boost_ids_and_resolve_to_anchor, boost.rs:432-468)
+    boost_field = boost_part.path
+    for suffix in (BOOST_VALID_TO_VALUE,):
+        if boost_field.endswith(suffix):
+            boost_field = boost_field[: -len(suffix)]
+    vals, present = persistence.get_boost(boost_field + BOOST_VALID_TO_VALUE)
+    keep = value_ids[(value_ids < len(vals))]
+    keep = keep[present[keep]]
+    bvals = vals[keep].astype(_F32)
+
+    # value id -> anchor (first value of VALUE_ID_TO_ANCHOR)
+    v2a = persistence.key_value_stores.get(field + VALUE_ID_TO_ANCHOR)
+    if v2a is None:
+        return np.empty(0, np.int64), np.empty(0, _F32)
+    anchors = []
+    out_vals = []
+    for vid, bv in zip(keep, bvals):
+        if isinstance(v2a, Direct):
+            a = v2a.get_value(int(vid))
+        else:
+            vs = v2a.get_values(int(vid))
+            a = int(vs[0]) if len(vs) else None
+        if a is not None:
+            anchors.append(a)
+            out_vals.append(bv)
+    return np.asarray(anchors, dtype=np.int64), np.asarray(out_vals, dtype=_F32)
+
+
+def apply_anchor_boost_values(
+    dense: np.ndarray, anchors: np.ndarray, boost_vals: np.ndarray, boost_part
+) -> np.ndarray:
+    """Plan step `ApplyAnchorBoost` (apply_boost_values_anchor, boost.rs:255-281):
+    each (anchor, boost_value) occurrence applies the boost function once."""
+    dense = np.asarray(dense, dtype=_F32)
+    if len(anchors) == 0:
+        return dense
+    n = len(dense)
+    keep = anchors < n
+    anchors = anchors[keep]
+    boost_vals = boost_vals[keep]
+    param = _F32(boost_part.param or 0.0)
+    b = boost_vals.astype(_F32) + param
+    fun = boost_part.boost_fun
+    out = dense.copy()
+    hit_mask = dense > 0
+
+    if fun in ("Log10", "Log2", "Multiply"):
+        if fun == "Log10":
+            factors = np.log10(b, dtype=_F32)
+        elif fun == "Log2":
+            factors = np.log2(b, dtype=_F32)
+        else:
+            factors = b
+        acc = np.ones(n, dtype=_F32)
+        np.multiply.at(acc, anchors, factors)
+        out = np.where(hit_mask, out * acc, out)
+    elif fun == "Add":
+        acc = np.zeros(n, dtype=_F32)
+        np.add.at(acc, anchors, b)
+        out = np.where(hit_mask, out + acc, out)
+    elif fun == "Replace":
+        repl = np.full(n, np.nan, dtype=_F32)
+        repl[anchors] = b  # later occurrences overwrite = "last wins"
+        out = np.where(hit_mask & ~np.isnan(repl), repl, out)
+    if boost_part.expression:
+        expr = ScoreExpression(boost_part.expression)
+        adds = _expr_vec(expr, boost_vals.astype(_F32))
+        acc = np.zeros(n, dtype=_F32)
+        np.add.at(acc, anchors, adds)
+        out = np.where(hit_mask, out + acc, out)
+    return out.astype(_F32)
+
+
+def term_boost_factor(
+    persistence, boost_terms, num_docs: int, field_search_fn
+) -> np.ndarray:
+    """Multiplicative per-anchor factor for `boost_term`
+    (reference apply_boost_term, boost.rs:89-196): each term searched across
+    its field, resolved to anchors ids-only; every occurrence multiplies the
+    hit score by the part's boost (default 2.0)."""
+    factor = np.ones(num_docs, dtype=_F32)
+    for part in boost_terms:
+        res = field_search_fn(part, get_scores=False, get_ids=True)
+        anchors = resolve_ids_to_anchor(persistence, res.path, res.hits_ids)
+        anchors = anchors[anchors < num_docs]
+        if len(anchors) == 0:
+            continue
+        boost_val = _F32(part.boost if part.boost is not None else 2.0)
+        counts = np.bincount(anchors, minlength=num_docs)
+        factor *= np.power(boost_val, counts.astype(_F32), dtype=_F32)
+    return factor
+
+
+def phrase_boost_factor(
+    phrase_anchor_groups: List[np.ndarray], num_docs: int
+) -> np.ndarray:
+    """Per-anchor multiplicative factor from phrase-pair hits.
+
+    Reference `BoostAnchorFromPhraseResults` (plan_steps.rs:262-283): groups
+    (one per distinct phrase) each boost matching anchors by 5.0.
+    """
+    factor = np.ones(num_docs, dtype=_F32)
+    for anchors in phrase_anchor_groups:
+        anchors = np.unique(np.asarray(anchors, dtype=np.int64))
+        anchors = anchors[anchors < num_docs]
+        factor[anchors] *= _F32(5.0)
+    return factor
+
+
+def text_locality_boost(
+    persistence, term_id_hits_in_field: Dict[str, Dict[str, List[int]]], num_docs: int
+) -> np.ndarray:
+    """Text-locality boost factor per anchor.
+
+    Reference boost_text_locality / boost_text_locality_all (boost.rs:11-87):
+    texts hit by multiple distinct query terms get `2 * n^2` (n = number of
+    term hits landing in the same text); per anchor the reference's merge
+    keeps the entry selected by its reversed comparator — i.e. the MINIMUM
+    boost (boost.rs:25, faithfully reproduced).
+    """
+    all_anchors: List[np.ndarray] = []
+    all_boosts: List[np.ndarray] = []
+    for path, term_with_ids in term_id_hits_in_field.items():
+        if len(term_with_ids) <= 1:
+            continue
+        tta = persistence.key_value_stores.get(path + TOKENS_TO_TEXT_ID)
+        if tta is None:
+            continue
+        text_id_lists = []
+        for _term, ids in term_with_ids.items():
+            text_id_lists.append(tta.get_values_multi(np.asarray(ids, np.int64)))
+        concat = np.concatenate(text_id_lists) if text_id_lists else np.empty(0, np.uint32)
+        if len(concat) == 0:
+            continue
+        counts = np.bincount(concat.astype(np.int64))
+        text_ids = np.flatnonzero(counts > 1)
+        if len(text_ids) == 0:
+            continue
+        n_hits = counts[text_ids].astype(_F32)
+        boosts = _F32(2.0) * n_hits * n_hits
+        if persistence.is_anchor_identity_column(path):
+            all_anchors.append(text_ids.astype(np.int64))
+            all_boosts.append(boosts)
+        else:
+            tia = persistence.key_value_stores.get(path + TEXT_ID_TO_ANCHOR)
+            if tia is None:
+                continue
+            for tid, bv in zip(text_ids, boosts):
+                anchors = tia.get_values(int(tid))
+                if len(anchors):
+                    all_anchors.append(anchors.astype(np.int64))
+                    all_boosts.append(np.full(len(anchors), bv, dtype=_F32))
+
+    factor = np.ones(num_docs, dtype=_F32)
+    if not all_anchors:
+        return factor
+    anchors = np.concatenate(all_anchors)
+    boosts = np.concatenate(all_boosts)
+    keep = anchors < num_docs
+    anchors, boosts = anchors[keep], boosts[keep]
+    best = np.full(num_docs, np.inf, dtype=_F32)
+    np.minimum.at(best, anchors, boosts)
+    has = np.isfinite(best)
+    factor[has] = best[has]
+    return factor

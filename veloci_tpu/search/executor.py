@@ -1,0 +1,433 @@
+"""Top-level search execution: the query compiler + orchestrator.
+
+The reference compiles a `Request` into a DAG of plan steps that exchange
+`SearchFieldResult`s over crossbeam channels executed in rayon waves
+(src/plan_creator/*, src/search.rs:143-228). The TPU-native execution model
+replaces the channel dataflow with **dense per-document score vectors**:
+
+* each field search resolves its matched terms into a dense ``[num_docs]``
+  f32 vector on device (segment-max over the anchor-score postings),
+* Union = per-term elementwise max, summed over distinct terms with the
+  reference's ``distinct^2`` boost (set_op.rs:87-220),
+* Intersect = all-positive mask * sum of scores (set_op.rs:368-448),
+* filters = dense boolean masks (FilterResult / IntersectScoresWithIds),
+* every boost family = an elementwise multiply/add on the dense vector,
+* top-k = `lax.top_k` with exact (score desc, id desc) tie-break.
+
+Field-search dedup mirrors `FieldRequestCache`
+(plan_creator/execution_plan.rs:91-130).
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass
+from typing import Dict, List, Optional, Set, Tuple
+
+import numpy as np
+
+from ..create import TEXTINDEX
+from ..error import InvalidRequestError, VelociError
+from ..query.request import Request, RequestSearchPart, SearchRequest
+from ..ops.postings import resolve_to_anchor_dense
+from ..ops.topk import dense_to_hits
+from . import boost as boost_mod
+from .facet import get_facet
+from .field_search import get_term_ids_in_field
+from .highlight import highlight_on_original_document
+from .read_document import read_data
+from .result import DocWithHit, FieldSearchResult, Hit, SearchResult, SearchResultWithDoc
+from .why_found import get_why_found
+
+__all__ = ["search", "search_to_result_with_doc", "suggest", "explain_plan"]
+
+_F32 = np.float32
+
+
+@dataclass
+class _FieldSearchFlags:
+    get_scores: bool = False
+    get_ids: bool = False
+    store_term_id_hits: bool = False
+    store_term_texts: bool = False
+
+
+class _Ctx:
+    def __init__(self, persistence, request: Request):
+        self.persistence = persistence
+        self.request = request
+        self.num_docs = persistence.num_docs
+        self.cache: Dict[tuple, FieldSearchResult] = {}
+        self.flags: Dict[tuple, _FieldSearchFlags] = {}
+        self.parts: Dict[tuple, RequestSearchPart] = {}
+
+    def register(self, part: RequestSearchPart, **kw) -> None:
+        key = part.key()
+        fl = self.flags.setdefault(key, _FieldSearchFlags())
+        self.parts.setdefault(key, part)
+        for k, v in kw.items():
+            if v:
+                setattr(fl, k, True)
+
+    def run_field_searches(self) -> None:
+        for key, part in self.parts.items():
+            fl = self.flags[key]
+            self.cache[key] = get_term_ids_in_field(
+                self.persistence,
+                part,
+                get_scores=fl.get_scores,
+                get_ids=fl.get_ids,
+                store_term_id_hits=fl.store_term_id_hits,
+                store_term_texts=fl.store_term_texts,
+            )
+
+    def result_for(self, part: RequestSearchPart) -> FieldSearchResult:
+        return self.cache[part.key()]
+
+
+def _collect_parts(ctx: _Ctx, request: Request) -> None:
+    """Mirror collect_all_field_request_into_cache (execution_plan.rs:91-130)."""
+    store_hits = request.why_found or request.text_locality
+    if request.search_req is not None:
+        for part in request.search_req.walk_parts():
+            ctx.register(
+                part,
+                get_scores=True,
+                store_term_id_hits=store_hits,
+                store_term_texts=request.why_found,
+            )
+    if request.phrase_boosts:
+        for pb in request.phrase_boosts:
+            ctx.register(pb.search1, get_ids=True, get_scores=True)
+            ctx.register(pb.search2, get_ids=True, get_scores=True)
+    if request.filter is not None:
+        for part in request.filter.walk_parts():
+            ctx.register(part, get_ids=True)
+
+
+def _resolve_leaf_dense(ctx: _Ctx, part: RequestSearchPart) -> np.ndarray:
+    fsr = ctx.result_for(part)
+    field = fsr.path[: -len(TEXTINDEX)]
+    dev = ctx.persistence.device_field(field)
+    dense = resolve_to_anchor_dense(
+        dev, fsr.term_ids, fsr.term_scores, ctx.num_docs
+    )
+    return np.asarray(dense, dtype=_F32)
+
+
+def _matching_1n_boost(part: RequestSearchPart, boosts) -> Optional[object]:
+    """1:n boost attach check (plan_creator_search_part, execution_plan.rs:436-470)."""
+    pos = part.path.rfind("[]")
+    if pos < 0 or not boosts:
+        return None
+    end_obj = part.path[:pos]
+    matches = []
+    for b in boosts:
+        bpos = b.path.rfind("[]")
+        if bpos >= 0 and b.path[:bpos] == end_obj:
+            matches.append(b)
+    if not matches:
+        return None
+    if len(matches) > 1:
+        raise InvalidRequestError("multiple 1:n boosts match a single field")
+    return matches[0]
+
+
+def _eval_scores(
+    ctx: _Ctx, node: SearchRequest, boosts
+) -> Tuple[np.ndarray, str, str]:
+    """Evaluate the search tree -> (dense scores, repr term, repr path)."""
+    if node.kind == SearchRequest.SEARCH:
+        part = node.part
+        dense = _resolve_leaf_dense(ctx, part)
+        b1n = _matching_1n_boost(part, boosts)
+        if b1n is not None:
+            fsr = ctx.result_for(part)
+            anchors, bvals = boost_mod.boost_to_anchor_values(
+                ctx.persistence, fsr.path, b1n, fsr.term_ids
+            )
+            dense = boost_mod.apply_anchor_boost_values(dense, anchors, bvals, b1n)
+        return dense, part.terms[0], part.path
+
+    # merge node-level option boosts (merge_vec, execution_plan.rs:268-275)
+    sub_boosts = list(boosts)
+    if node.options and node.options.get("boost"):
+        from ..query.request import RequestBoostPart
+
+        sub_boosts += [RequestBoostPart.from_dict(b) for b in node.options["boost"]]
+
+    children = [_eval_scores(ctx, q, sub_boosts) for q in node.queries]
+    if not children:
+        return np.zeros(ctx.num_docs, dtype=_F32), "", ""
+    if len(children) == 1:
+        return children[0]
+
+    if node.kind == SearchRequest.OR:
+        # union_hits_score (set_op.rs:87-220): max per distinct term, sum in
+        # sorted-term order, * distinct^2
+        terms = sorted({t for _d, t, _p in children})
+        total = np.zeros(ctx.num_docs, dtype=_F32)
+        distinct = np.zeros(ctx.num_docs, dtype=np.int32)
+        for t in terms:
+            vecs = [d for d, tt, _p in children if tt == t]
+            mx = vecs[0]
+            for v in vecs[1:]:
+                mx = np.maximum(mx, v)
+            total = (total + mx).astype(_F32)
+            distinct += (mx >= _F32(1e-5)).astype(np.int32)
+        df = distinct.astype(_F32)
+        dense = (total * df * df).astype(_F32)
+        return dense, children[0][1], children[0][2]
+
+    if node.kind == SearchRequest.AND:
+        # intersect_hits_score (set_op.rs:368-448)
+        mask = np.ones(ctx.num_docs, dtype=bool)
+        for d, _t, _p in children:
+            mask &= d > 0
+        counts = [int(np.count_nonzero(d > 0)) for d, _t, _p in children]
+        shortest = int(np.argmin(counts))
+        total = np.zeros(ctx.num_docs, dtype=_F32)
+        for i, (d, _t, _p) in enumerate(children):
+            if i != shortest:
+                total = (total + d).astype(_F32)
+        total = (total + children[shortest][0]).astype(_F32)
+        dense = np.where(mask, total, _F32(0.0)).astype(_F32)
+        return dense, children[0][1], children[0][2]
+
+    raise InvalidRequestError(f"unknown node kind {node.kind}")
+
+
+def _eval_ids(ctx: _Ctx, node: SearchRequest) -> np.ndarray:
+    """ids-only evaluation for filters -> dense bool mask."""
+    if node.kind == SearchRequest.SEARCH:
+        fsr = ctx.result_for(node.part)
+        anchors = boost_mod.resolve_ids_to_anchor(
+            ctx.persistence, fsr.path, fsr.hits_ids
+        )
+        mask = np.zeros(ctx.num_docs, dtype=bool)
+        anchors = anchors[(anchors >= 0) & (anchors < ctx.num_docs)]
+        mask[anchors] = True
+        return mask
+    masks = [_eval_ids(ctx, q) for q in node.queries]
+    if not masks:
+        return np.zeros(ctx.num_docs, dtype=bool)
+    out = masks[0]
+    for m in masks[1:]:
+        out = (out | m) if node.kind == SearchRequest.OR else (out & m)
+    return out
+
+
+def search(request: Request, persistence) -> SearchResult:
+    """Reference search::search (src/search.rs:143-228)."""
+    start = time.time_ns()
+    if request.search_req is None:
+        raise InvalidRequestError("search_req is required in search")
+    top = request.top if request.top is not None else 10
+
+    ctx = _Ctx(persistence, request)
+    _collect_parts(ctx, request)
+    ctx.run_field_searches()
+
+    # filter subtree (computed once, broadcast — reference FilterChannel)
+    filter_mask: Optional[np.ndarray] = None
+    if request.filter is not None:
+        filter_mask = _eval_ids(ctx, request.filter)
+
+    boosts = list(request.boost or [])
+    dense, _t, _p = _eval_scores(ctx, request.search_req, boosts)
+
+    if filter_mask is not None:
+        dense = np.where(filter_mask, dense, _F32(0.0)).astype(_F32)
+
+    # anchor-level boosts (paths without []) — execution_plan.rs:168-183
+    for b in boosts:
+        if "[]" in b.path:
+            continue
+        from ..create import BOOST_VALID_TO_VALUE, TOKEN_VALUES
+
+        boost_path = b.path
+        if not boost_path.endswith(BOOST_VALID_TO_VALUE):
+            boost_path = boost_path + BOOST_VALID_TO_VALUE
+        vals, present = persistence.get_boost(boost_path)
+        dense = boost_mod.apply_boost_dense(dense, vals, present, b)
+
+    # phrase boosts (plan_steps.rs:237-283)
+    if request.phrase_boosts:
+        groups: Dict[Tuple[str, str], List[np.ndarray]] = {}
+        from ..create import PHRASE_PAIR_TO_ANCHOR
+
+        for pb in request.phrase_boosts:
+            if pb.search1.path != pb.search2.path:
+                raise InvalidRequestError("phrase boost paths must match")
+            r1 = ctx.result_for(pb.search1)
+            r2 = ctx.result_for(pb.search2)
+            path = r1.path + PHRASE_PAIR_TO_ANCHOR
+            store = persistence.phrase_indices.get(path)
+            if store is None:
+                continue
+            anchors = store.get_values_for_pairs(r1.hits_ids, r2.hits_ids)
+            key = (pb.search1.terms[0], pb.search2.terms[0])
+            groups.setdefault(key, []).append(anchors)
+        group_arrays = [
+            np.concatenate(v) if len(v) > 1 else v[0]
+            for v in groups.values()
+            if v
+        ]
+        if group_arrays:
+            dense = (
+                dense
+                * boost_mod.phrase_boost_factor(group_arrays, ctx.num_docs)
+            ).astype(_F32)
+            # boosts only apply to existing hits
+            dense = np.where(dense > 0, dense, _F32(0.0))
+
+    # merge per-field metadata from the main tree (merge_term_id_hits)
+    term_id_hits: Dict[str, Dict[str, List[int]]] = {}
+    term_texts: Dict[str, List[str]] = {}
+    for part in request.search_req.walk_parts():
+        fsr = ctx.result_for(part)
+        for path, m in fsr.term_id_hits_in_field.items():
+            term_id_hits.setdefault(path, {}).update(m)
+        for path, texts in fsr.term_text_in_field.items():
+            term_texts.setdefault(path, []).extend(texts)
+
+    result = SearchResult()
+
+    # boost_term (boost.rs:89-196)
+    if request.boost_term:
+        def run_part(part, **kw):
+            return get_term_ids_in_field(persistence, part, **kw)
+
+        factor = boost_mod.term_boost_factor(
+            persistence, request.boost_term, ctx.num_docs, run_part
+        )
+        dense = (dense * factor).astype(_F32)
+
+    # text locality (boost.rs:11-87)
+    if request.text_locality:
+        factor = boost_mod.text_locality_boost(
+            persistence, term_id_hits, ctx.num_docs
+        )
+        dense = (dense * factor).astype(_F32)
+
+    result.why_found_terms = term_texts
+
+    hit_mask = dense > 0
+    result.num_hits = int(np.count_nonzero(hit_mask))
+
+    if request.facets:
+        result.facets = {
+            f.field: get_facet(persistence, f, hit_mask) for f in request.facets
+        }
+
+    # top-n sort (sort.rs:5-34) + skip/top (search.rs:230-239)
+    skip = request.skip or 0
+    ids, scores = dense_to_hits(dense, k=(top + skip) if top is not None else None)
+    if skip:
+        ids, scores = ids[skip:], scores[skip:]
+    if top is not None:
+        ids, scores = ids[:top], scores[:top]
+    result.data = [Hit(int(i), float(s)) for i, s in zip(ids, scores)]
+
+    if request.why_found and request.select is not None:
+        anchor_ids = [h.id for h in result.data]
+        result.why_found_info = get_why_found(persistence, anchor_ids, term_id_hits)
+
+    result.execution_time_ns = time.time_ns() - start
+    return result
+
+
+def to_documents(persistence, hits: List[Hit], select, result: SearchResult):
+    """Reference src/search.rs:65-102."""
+    import json as _json
+
+    tokens_set = {
+        path: set(terms) for path, terms in result.why_found_terms.items()
+    }
+    docs = []
+    for hit in hits:
+        if select is not None:
+            doc = read_data(persistence, hit.id, select)
+            docs.append(
+                DocWithHit(
+                    doc=doc,
+                    hit=hit,
+                    explain=result.explain.get(hit.id),
+                    why_found=result.why_found_info.get(hit.id, {}),
+                )
+            )
+        else:
+            doc_str = persistence.doc_loader.get_doc(hit.id)
+            doc = _json.loads(doc_str)
+            why = highlight_on_original_document(persistence, doc, tokens_set)
+            docs.append(
+                DocWithHit(
+                    doc=doc, hit=hit, explain=result.explain.get(hit.id), why_found=why
+                )
+            )
+    return docs
+
+
+def search_to_result_with_doc(
+    persistence, result: SearchResult, select=None
+) -> SearchResultWithDoc:
+    """Reference search::to_search_result (src/search.rs:104-111)."""
+    return SearchResultWithDoc(
+        data=to_documents(persistence, result.data, select, result),
+        num_hits=result.num_hits,
+        facets=result.facets,
+        execution_time_ns=result.execution_time_ns,
+    )
+
+
+def suggest(persistence, request: Request):
+    """Reference search_field::suggest_multi (search_field.rs:194-219)."""
+    if not request.suggest:
+        raise VelociError("only suggest allowed in suggest function")
+    merged: Dict[str, Tuple[float, int]] = {}
+    for part in request.suggest:
+        fsr = get_term_ids_in_field(
+            persistence,
+            part,
+            get_scores=True,
+            return_term=True,
+            return_term_lowercase=True,
+        )
+        for tid, score in zip(fsr.term_ids, fsr.term_scores):
+            term = fsr.terms[int(tid)]
+            prev = merged.get(term)
+            if prev is None or score > prev[0]:
+                merged[term] = (float(score), int(tid))
+    out = [(term, score, tid) for term, (score, tid) in merged.items()]
+    out.sort(key=lambda el: -el[1])
+    skip = request.skip or 0
+    top = request.top
+    out = out[skip:]
+    if top is not None:
+        out = out[:top]
+    return out
+
+
+def explain_plan(request: Request, persistence) -> str:
+    """Textual plan rendering (reference renders graphviz, plan.rs:81-125)."""
+    lines = ["digraph plan {"]
+
+    def walk(node: SearchRequest, depth: int) -> str:
+        name = f"n{len(lines)}"
+        if node.kind == SearchRequest.SEARCH:
+            lines.append(
+                f'  {name} [label="search {node.part.path} {node.part.terms}"];'
+            )
+        else:
+            lines.append(f'  {name} [label="{node.kind}"];')
+            for q in node.queries:
+                child = walk(q, depth + 1)
+                lines.append(f"  {child} -> {name};")
+        return name
+
+    if request.search_req is not None:
+        final = walk(request.search_req, 0)
+        lines.append(f'  result [label="top_k + fetch"];')
+        lines.append(f"  {final} -> result;")
+    lines.append("}")
+    return "\n".join(lines)

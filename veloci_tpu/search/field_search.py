@@ -1,0 +1,248 @@
+"""Field-level term matching: exact / prefix / fuzzy / regex.
+
+TPU-native replacement for `get_term_ids_in_field`
+(reference src/search/search_field.rs:277-398):
+
+* exact & prefix (lev 0) — O(log N) binary search over the packed sorted
+  dictionary (case-insensitive via the lowercase permutation),
+* fuzzy (lev 1..4) — batched Levenshtein DP sweep on device
+  (:mod:`veloci_tpu.ops.levenshtein`), replacing the FST × DFA product walk,
+* regex — host regex over the term list (the reference intersects a dense
+  regex DFA with the FST, search_field.rs:72-83).
+
+Scoring: `get_default_score_for_distance` (search_field.rs:27-33) — the
+distance is the TRUE char-level Levenshtein distance between the lowercased
+candidate and query (the reference's `distance_dfa` resolves to it either via
+the DFA or the DP fallback, :692-732).
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Dict, List, Optional
+
+import numpy as np
+
+from ..create import TEXTINDEX, TOKEN_VALUES, BOOST_VALID_TO_VALUE
+from ..ops.levenshtein import (
+    MAX_QUERY_CHARS,
+    encode_query,
+    levenshtein_distance_host,
+    levenshtein_prefix_distance_host,
+    levenshtein_sweep,
+)
+from .result import FieldSearchResult
+
+__all__ = ["get_term_ids_in_field", "get_default_score_for_distance"]
+
+_F32 = np.float32
+
+
+def get_default_score_for_distance(distance, prefix_matches):
+    """Reference search_field.rs:27-33 (f32 arithmetic)."""
+    distance = np.asarray(distance, dtype=_F32)
+    with_prefix = _F32(2.0) / (np.log2(distance + _F32(1.0)) + _F32(0.2))
+    without = _F32(2.0) / (distance + _F32(0.2))
+    return np.where(prefix_matches, with_prefix, without).astype(_F32)
+
+
+def _match_fuzzy_device(persistence, field, lower_term, distance, starts_with):
+    """Run the device sweep; returns (ids, distances, is_prefix) numpy."""
+    dev = persistence.device_field(field)
+    dictionary = persistence.get_dictionary(field)
+    n = dev.num_terms
+    if n == 0:
+        e = np.empty(0, np.int64)
+        return e, np.empty(0, np.int64), np.empty(0, bool)
+    q, qlen = encode_query(lower_term)
+    import jax.numpy as jnp
+
+    dist, prefix_dist, is_prefix = levenshtein_sweep(
+        dev.chars, dev.lengths, jnp.asarray(q), jnp.int32(qlen)
+    )
+    dist = np.asarray(dist[:n])
+    prefix_dist = np.asarray(prefix_dist[:n])
+    is_prefix = np.asarray(is_prefix[:n])
+    crit = prefix_dist if starts_with else dist
+    matched = np.flatnonzero(crit <= distance)
+    # host fallback for terms longer than the sweep width
+    long_ids = dictionary.long_term_ids()
+    if long_ids:
+        extra = []
+        for tid in long_ids:
+            lo = dictionary.terms[tid].lower()
+            if starts_with:
+                d = levenshtein_prefix_distance_host(lower_term, lo)
+            else:
+                d = levenshtein_distance_host(lower_term, lo)
+            if d <= distance:
+                extra.append(tid)
+        if extra:
+            matched = np.union1d(matched, np.asarray(extra, dtype=np.int64))
+            dist = dist.copy()
+            is_prefix = is_prefix.copy()
+            for tid in extra:
+                lo = dictionary.terms[tid].lower()
+                dist[tid] = levenshtein_distance_host(lower_term, lo)
+                is_prefix[tid] = lo.startswith(lower_term)
+    return matched.astype(np.int64), dist, is_prefix
+
+
+def get_term_ids_in_field(
+    persistence,
+    request,
+    *,
+    get_scores: bool = True,
+    get_ids: bool = False,
+    store_term_id_hits: bool = False,
+    store_term_texts: bool = False,
+    return_term: bool = False,
+    return_term_lowercase: bool = False,
+) -> FieldSearchResult:
+    """Match the request's term against one field's dictionary."""
+    path = request.path
+    if not path.endswith(TEXTINDEX):
+        path = path + TEXTINDEX
+    field = path[: -len(TEXTINDEX)]
+    result = FieldSearchResult(path=path, request=request)
+    dictionary = persistence.get_dictionary(field)
+
+    term = request.terms[0]
+    lower_term = term.lower()
+    ignore_case = request.ignore_case if request.ignore_case is not None else True
+    distance = request.levenshtein_distance
+    if distance is not None:
+        # clamp to term length - 1 (search_field.rs:285-287)
+        distance = min(distance, max(len(lower_term) - 1, 0))
+    distance = distance or 0
+
+    matched: np.ndarray
+    dist_arr: Optional[np.ndarray] = None
+    prefix_arr: Optional[np.ndarray] = None
+
+    if request.is_regex:
+        flags = re.IGNORECASE if ignore_case else 0
+        try:
+            pattern = re.compile(term, flags)
+        except re.error:
+            pattern = re.compile(re.escape(term), flags)
+        if request.starts_with:
+            matched = np.array(
+                [i for i, t in enumerate(dictionary.terms) if pattern.match(t)],
+                dtype=np.int64,
+            )
+        else:
+            matched = np.array(
+                [i for i, t in enumerate(dictionary.terms) if pattern.fullmatch(t)],
+                dtype=np.int64,
+            )
+    elif distance == 0 and not request.starts_with:
+        if ignore_case:
+            ids = dictionary.get_ignore_case(term)
+        else:
+            tid = dictionary.get(term)
+            ids = [tid] if tid is not None else []
+        matched = np.array(sorted(ids), dtype=np.int64)
+    elif distance == 0 and request.starts_with:
+        ids = dictionary.prefix_range(term, ignore_case=ignore_case)
+        matched = np.array(sorted(ids), dtype=np.int64)
+    else:
+        if len(lower_term) > MAX_QUERY_CHARS - 1:
+            # very long query: host loop
+            crit_ids = []
+            dist_arr = np.full(len(dictionary), 1 << 20, dtype=np.int64)
+            prefix_arr = np.zeros(len(dictionary), dtype=bool)
+            for i, t in enumerate(dictionary.terms):
+                lo = t.lower()
+                d = levenshtein_distance_host(lower_term, lo)
+                dist_arr[i] = d
+                prefix_arr[i] = lo.startswith(lower_term)
+                ok = d <= distance or (
+                    request.starts_with and lo.startswith(lower_term)
+                )
+                if ok:
+                    crit_ids.append(i)
+            matched = np.array(crit_ids, dtype=np.int64)
+        else:
+            matched, dist_arr, prefix_arr = _match_fuzzy_device(
+                persistence, field, lower_term, distance, request.starts_with
+            )
+        if not ignore_case:
+            # case-sensitive verification on the candidate set
+            keep = []
+            for tid in matched:
+                if levenshtein_distance_host(term, dictionary.terms[int(tid)]) <= distance:
+                    keep.append(int(tid))
+            matched = np.array(keep, dtype=np.int64)
+
+    if get_ids:
+        result.hits_ids = matched.copy()
+
+    if get_scores and len(matched):
+        should_check_prefix = request.starts_with or distance != 0
+        if dist_arr is not None:
+            distances = dist_arr[matched]
+            prefix_matches = prefix_arr[matched] & should_check_prefix
+        else:
+            # exact / prefix-range path: distance = |candidate| - |query| when
+            # the candidate starts with the query, else true distance
+            distances = np.empty(len(matched), dtype=np.int64)
+            prefix_matches = np.zeros(len(matched), dtype=bool)
+            for i, tid in enumerate(matched):
+                lo = dictionary.terms[int(tid)].lower()
+                if lo.startswith(lower_term):
+                    distances[i] = len(lo) - len(lower_term)
+                    prefix_matches[i] = should_check_prefix
+                else:
+                    distances[i] = levenshtein_distance_host(lower_term, lo)
+        scores = get_default_score_for_distance(distances, prefix_matches)
+        if request.boost is not None:
+            scores = (scores * _F32(request.boost)).astype(_F32)
+        result.term_ids = matched
+        result.term_scores = scores
+
+        # top-n pruning happens when the request itself has `top`
+        # (search_field.rs:379-383) — sort by score desc, truncate
+        if request.top is not None:
+            top_n = request.top + (request.skip or 0)
+            order = np.argsort(-scores.astype(np.float64), kind="stable")[:top_n]
+            order = np.sort(order)
+            result.term_ids = matched[order]
+            result.term_scores = scores[order]
+
+    if return_term or store_term_texts:
+        for tid in matched:
+            t = dictionary.terms[int(tid)]
+            result.terms[int(tid)] = t.lower() if return_term_lowercase else t
+
+    if store_term_id_hits and len(result.term_ids):
+        result.term_id_hits_in_field[path] = {
+            request.terms[0]: [int(t) for t in result.term_ids]
+        }
+    if store_term_texts and result.terms:
+        result.term_text_in_field[path] = list(result.terms.values())
+
+    # token_value boost (search_field.rs:391-395): per-token boost column
+    if request.token_value is not None and len(result.term_ids):
+        tv = request.token_value
+        boost_path = tv.path
+        if not boost_path.endswith(TOKEN_VALUES):
+            boost_path = boost_path + TEXTINDEX + TOKEN_VALUES
+        boost_path = boost_path + BOOST_VALID_TO_VALUE
+        try:
+            vals, present = persistence.get_boost(boost_path)
+        except Exception:
+            vals, present = None, None
+        if vals is not None:
+            from .boost import apply_boost_scalar
+
+            scores = result.term_scores.copy()
+            for i, tid in enumerate(result.term_ids):
+                t = int(tid)
+                if t < len(vals) and present[t]:
+                    scores[i] = apply_boost_scalar(
+                        scores[i], float(vals[t]), tv
+                    )
+            result.term_scores = scores
+
+    return result

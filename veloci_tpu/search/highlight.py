@@ -1,0 +1,183 @@
+"""Snippet generation and document highlighting.
+
+Reference: src/highlight_field.rs — token positions of hits are grouped into
+windows of +-num_words_around_snippet tokens, wrapped in start/end tags and
+joined with the connector; `highlight_on_original_document` re-tokenizes the
+original doc against the why-found term set (the fast path).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Iterable, List, Optional, Set
+
+import numpy as np
+
+from ..create import TEXT_ID_TO_TOKEN_IDS, TEXTINDEX
+from ..json_flatten import IDProvider, for_each_element
+from ..query.request import DEFAULT_SNIPPET_INFO, SnippetInfo
+
+__all__ = [
+    "highlight_text",
+    "highlight_document",
+    "highlight_on_original_document",
+    "build_snippet",
+]
+
+
+def group_hit_positions_for_snippet(
+    hit_positions: List[int], opt: SnippetInfo
+) -> List[List[int]]:
+    """Reference highlight_field.rs:19-37."""
+    around = opt.num_words_around_snippet * 2
+    grouped: List[List[int]] = []
+    prev = -around
+    for pos in hit_positions:
+        if pos - prev >= around:
+            grouped.append([])
+        prev = pos
+        grouped[-1].append(pos)
+    return grouped
+
+
+def _windows(grouped: List[List[int]], token_len: int, around: int):
+    for vec in grouped:
+        start = max(vec[0] - around, 0)
+        end = min(vec[-1] + around + 1, token_len)
+        yield (start, end)
+
+
+def build_snippet(windows, is_hit, get_text, opt: SnippetInfo) -> str:
+    """Reference highlight_field.rs:45-69."""
+    parts = []
+    for wi, (start, end) in enumerate(windows):
+        if wi >= opt.max_snippets:
+            break
+        chunk = []
+        for i in range(start, end):
+            if is_hit(i):
+                chunk.append(opt.snippet_start_tag + get_text(i) + opt.snippet_end_tag)
+            else:
+                chunk.append(get_text(i))
+        parts.append("".join(chunk))
+    return opt.snippet_connector.join(parts)
+
+
+def ellipsis_snippet(
+    snippet: str, hit_positions: List[int], token_len: int, opt: SnippetInfo
+) -> str:
+    """Reference highlight_field.rs:73-88."""
+    around = opt.num_words_around_snippet * 2
+    if hit_positions:
+        if hit_positions[0] > around:
+            snippet = opt.snippet_connector + snippet
+        if hit_positions[-1] < token_len - around:
+            snippet = snippet + opt.snippet_connector
+    return snippet
+
+
+def highlight_text(
+    text: str,
+    token_set: Set[str],
+    opt: SnippetInfo = DEFAULT_SNIPPET_INFO,
+    tokenizer=None,
+) -> Optional[str]:
+    """Reference highlight_field.rs:96-142."""
+    if len(token_set) == 1 and text in token_set:
+        return opt.snippet_start_tag + text + opt.snippet_end_tag
+    if tokenizer is None:
+        return None
+
+    tokens = [tok for tok, _sep in tokenizer.iter(text)]
+    hit_positions = [i for i, tok in enumerate(tokens) if tok in token_set]
+
+    around = opt.num_words_around_snippet * 2
+    grouped = group_hit_positions_for_snippet(hit_positions, opt)
+
+    contains_any = bool(hit_positions)
+    snippet = build_snippet(
+        _windows(grouped, len(tokens), around),
+        lambda i: tokens[i] in token_set,
+        lambda i: tokens[i],
+        opt,
+    )
+    snippet = ellipsis_snippet(snippet, hit_positions, len(tokens), opt)
+    return snippet if contains_any else None
+
+
+def highlight_document(
+    persistence,
+    path: str,
+    value_id: int,
+    token_ids: Iterable[int],
+    opt: SnippetInfo = DEFAULT_SNIPPET_INFO,
+) -> Optional[str]:
+    """Reconstruct + highlight one stored text from its token ids.
+
+    Reference highlight_field.rs:187-280 (`highlight_document`).
+    """
+    dictionary = persistence.get_dictionary(path)
+    t2t = persistence.key_value_stores.get(path + TEXT_ID_TO_TOKEN_IDS)
+    token_id_set = set(int(t) for t in token_ids)
+    doc_token_ids: Optional[np.ndarray] = None
+    if t2t is not None and t2t.has_values(int(value_id)):
+        doc_token_ids = t2t.get_values(int(value_id))
+    if doc_token_ids is None:
+        if int(value_id) in token_id_set:
+            return (
+                opt.snippet_start_tag
+                + dictionary.ord_to_term(int(value_id))
+                + opt.snippet_end_tag
+            )
+        return None
+
+    hit_positions = [
+        i for i, tid in enumerate(doc_token_ids) if int(tid) in token_id_set
+    ]
+    if not hit_positions:
+        return None
+
+    around = opt.num_words_around_snippet * 2
+    grouped = group_hit_positions_for_snippet(hit_positions, opt)
+    snippet = build_snippet(
+        _windows(grouped, len(doc_token_ids), around),
+        lambda i: int(doc_token_ids[i]) in token_id_set,
+        lambda i: dictionary.ord_to_term(int(doc_token_ids[i])),
+        opt,
+    )
+    snippet = ellipsis_snippet(snippet, hit_positions, len(doc_token_ids), opt)
+    return snippet
+
+
+def highlight_on_original_document(
+    persistence, doc: dict, why_found_terms: Dict[str, Set[str]]
+) -> Dict[str, List[str]]:
+    """Fast why-found highlighting by re-tokenizing the original document.
+
+    Reference highlight_field.rs:147-185.
+    """
+    highlighted: Dict[str, List[str]] = {}
+    idp = IDProvider()
+
+    def cb_text(_anchor: int, value: str, field_name: str, _parent: int) -> None:
+        path_text = field_name + TEXTINDEX
+        terms = why_found_terms.get(path_text)
+        if not terms:
+            return
+        col = persistence.columns.get(field_name)
+        tokenizer = None
+        if col:
+            from ..config import FulltextIndexOptions
+
+            opts = FulltextIndexOptions.from_dict(
+                col["textindex_metadata"]["options"]
+            )
+            tokenizer = opts.tokenizer
+        res = highlight_text(value, terms, DEFAULT_SNIPPET_INFO, tokenizer)
+        if res is not None:
+            highlighted.setdefault(field_name, []).append(res)
+
+    def cb_ids(*_args) -> None:
+        pass
+
+    for_each_element([doc], idp, cb_text, cb_ids)
+    return highlighted
