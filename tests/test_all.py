@@ -1,0 +1,683 @@
+"""Main integration tests — port of reference tests/all/tests.rs."""
+
+import json
+
+import pytest
+
+from corpus import TEST_CONFIG, TOKEN_VALUES, data_ndjson
+from veloci_tpu import (
+    Persistence,
+    Request,
+    add_token_values_to_tokens,
+    search,
+    search_to_result_with_doc,
+)
+from veloci_tpu.search.executor import suggest
+from veloci_tpu.search.read_document import read_data
+
+
+@pytest.fixture(scope="module")
+def pers():
+    p = Persistence.create_from_str(data_ndjson(), TEST_CONFIG)
+    add_token_values_to_tokens(p, TOKEN_VALUES[0], TOKEN_VALUES[1])
+    return p
+
+
+def run(pers, req_json):
+    req = Request.from_dict(req_json)
+    res = search(req, pers)
+    return search_to_result_with_doc(pers, res, req.select)
+
+
+def search_req(pers, inner):
+    return run(pers, {"search_req": inner})
+
+
+# ---------------------------------------------------------------- basics
+
+
+def test_simple_search(pers):
+    hits = search_req(pers, {"search": {"terms": ["urge"], "path": "meanings.eng[]"}}).data
+    assert len(hits) == 1
+    assert hits[0].doc["ent_seq"] == "1587690"
+    assert hits[0].doc["commonness"] == 20
+    assert hits[0].doc["tags"] == ["nice"]
+
+
+def test_return_execution_time(pers):
+    res = search_req(pers, {"search": {"terms": ["urge"], "path": "meanings.eng[]"}})
+    assert res.execution_time_ns > 1
+
+
+def test_simple_search_skip_far(pers):
+    res = run(
+        pers,
+        {
+            "search_req": {"search": {"terms": ["urge"], "path": "meanings.eng[]"}},
+            "skip": 1000,
+        },
+    )
+    assert len(res.data) == 0
+
+
+def test_simple_search_case_sensitive(pers):
+    hits = search_req(
+        pers,
+        {"search": {"ignore_case": True, "terms": ["Urge"], "path": "meanings.eng[]"}},
+    ).data
+    assert len(hits) == 1
+    hits = search_req(
+        pers,
+        {"search": {"ignore_case": False, "terms": ["Urge"], "path": "meanings.eng[]"}},
+    ).data
+    assert len(hits) == 0
+
+
+def test_float(pers):
+    hits = search_req(pers, {"search": {"terms": ["5.123"], "path": "float_value"}}).data
+    assert len(hits) == 1
+    assert hits[0].doc["float_value"] == 5.123
+
+
+def test_bool(pers):
+    hits = search_req(pers, {"search": {"terms": ["true"], "path": "my_bool"}}).data
+    assert len(hits) == 1
+    assert hits[0].doc["my_bool"] is True
+
+
+def test_invalid_field_error(pers):
+    from veloci_tpu.error import FstNotFoundError
+
+    with pytest.raises(FstNotFoundError):
+        search(
+            Request.from_dict(
+                {"search_req": {"search": {"terms": ["test"], "path": "notexisting"}}}
+            ),
+            pers,
+        )
+
+
+# ---------------------------------------------------------------- select
+
+
+def test_select_fields(pers):
+    res = run(
+        pers,
+        {
+            "search_req": {"search": {"terms": ["urge"], "path": "meanings.eng[]"}},
+            "select": ["ent_seq", "tags[]"],
+        },
+    )
+    hits = res.data
+    assert len(hits) == 1
+    assert hits[0].doc["ent_seq"] == "1587690"
+    assert "commonness" not in hits[0].doc
+    assert hits[0].doc["tags"] == ["nice"]
+
+
+# ---------------------------------------------------------------- fuzzy
+
+
+def test_two_tokens_hit_the_same_anchor(pers):
+    hits = search_req(
+        pers,
+        {
+            "search": {
+                "terms": ["majestätischer"],
+                "path": "meanings.ger[]",
+                "levenshtein_distance": 1,
+            }
+        },
+    ).data
+    assert len(hits) == 1
+    assert hits[0].doc["ent_seq"] == "1587680"
+
+
+def test_deep_structured_objects(pers):
+    hits = search_req(
+        pers,
+        {
+            "search": {
+                "terms": ["brook"],
+                "path": "address[].line[]",
+                "levenshtein_distance": 1,
+            }
+        },
+    ).data
+    assert len(hits) == 1
+    assert hits[0].doc["id"] == 123456
+
+
+def test_search_without_first_char_exact_match(pers):
+    hits = search_req(
+        pers,
+        {
+            "search": {
+                "terms": ["najestätischer"],
+                "path": "meanings.ger[]",
+                "levenshtein_distance": 1,
+            }
+        },
+    ).data
+    assert len(hits) == 1
+    assert hits[0].doc["ent_seq"] == "1587680"
+
+
+def test_should_prefer_exact_matches_to_tokenmatches(pers):
+    hits = search_req(
+        pers,
+        {
+            "search": {
+                "terms": ["will"],
+                "path": "meanings.eng[]",
+                "levenshtein_distance": 1,
+            }
+        },
+    ).data
+    assert hits[0].doc["meanings"]["eng"][0] == "will"
+
+
+def test_should_prefer_exact_tokenmatches_to_fuzzy_text_hits(pers):
+    hits = search_req(
+        pers,
+        {
+            "search": {
+                "terms": ["karl"],
+                "path": "meanings.eng[]",
+                "levenshtein_distance": 1,
+            }
+        },
+    ).data
+    assert hits[0].doc["meanings"]["eng"][0] == "karl der große"
+
+
+# ---------------------------------------------------------------- tokenize config
+
+
+def test_search_word_non_tokenized(pers):
+    hits = search_req(pers, {"search": {"terms": ["偉容"], "path": "kanji[].text"}}).data
+    assert len(hits) == 1
+    assert hits[0].doc["ent_seq"] == "1587680"
+
+
+def test_disabled_tokenization(pers):
+    hits = search_req(pers, {"search": {"terms": ["tokens"], "path": "nofulltext"}}).data
+    assert len(hits) == 0
+
+
+def test_search_on_non_subobject(pers):
+    hits = search_req(pers, {"search": {"terms": ["1587690"], "path": "ent_seq"}}).data
+    assert len(hits) == 1
+
+
+# ---------------------------------------------------------------- and / or
+
+
+def test_and_connect_hits_same_field(pers):
+    hits = search_req(
+        pers,
+        {
+            "and": {
+                "queries": [
+                    {"search": {"terms": ["aussehen"], "path": "meanings.ger[]"}},
+                    {"search": {"terms": ["majestätisches"], "path": "meanings.ger[]"}},
+                ]
+            }
+        },
+    ).data
+    assert len(hits) == 1
+    assert hits[0].doc["ent_seq"] == "1587680"
+
+
+def test_and_connect_hits_different_fields(pers):
+    hits = search_req(
+        pers,
+        {
+            "and": {
+                "queries": [
+                    {"search": {"terms": ["majestät"], "path": "meanings.ger[]"}},
+                    {"search": {"terms": ["majestic"], "path": "meanings.eng[]"}},
+                ]
+            }
+        },
+    ).data
+    assert len(hits) == 1
+    assert hits[0].doc["ent_seq"] == "1587680"
+
+
+def test_and_no_hit(pers):
+    hits = search_req(
+        pers,
+        {
+            "and": {
+                "queries": [
+                    {"search": {"terms": ["majestät"], "path": "meanings.ger[]"}},
+                    {"search": {"terms": ["urge"], "path": "meanings.eng[]"}},
+                ]
+            }
+        },
+    ).data
+    assert len(hits) == 0
+
+
+def test_and_same_text_in_different_docs(pers):
+    hits = search_req(
+        pers,
+        {
+            "and": {
+                "queries": [
+                    {"search": {"terms": ["words"], "path": "meanings.ger[]"}},
+                    {"search": {"terms": ["1000"], "path": "ent_seq"}},
+                ]
+            }
+        },
+    ).data
+    assert len(hits) == 1
+    assert hits[0].doc["ent_seq"] == "1000"
+
+
+def test_or_connect_hits_with_top(pers):
+    res = run(
+        pers,
+        {
+            "search_req": {
+                "or": {
+                    "queries": [
+                        {"search": {"terms": ["majestät"], "path": "meanings.ger[]"}},
+                        {"search": {"terms": ["urge"], "path": "meanings.eng[]"}},
+                    ]
+                }
+            },
+            "top": 1,
+        },
+    )
+    assert len(res.data) == 1
+    assert res.data[0].doc["ent_seq"] == "1587690"
+
+
+def test_or_connect_hits(pers):
+    hits = search_req(
+        pers,
+        {
+            "or": {
+                "queries": [
+                    {"search": {"terms": ["majestät"], "path": "meanings.ger[]"}},
+                    {"search": {"terms": ["urge"], "path": "meanings.eng[]"}},
+                ]
+            }
+        },
+    ).data
+    assert len(hits) == 2
+    assert hits[0].doc["ent_seq"] == "1587690"
+
+
+def test_or_connect_same_search(pers):
+    hits = search_req(
+        pers,
+        {
+            "or": {
+                "queries": [
+                    {"search": {"terms": ["awesome"], "path": "field1[].text"}},
+                    {"search": {"terms": ["awesome"], "path": "field1[].text"}},
+                ]
+            }
+        },
+    ).data
+    assert len(hits) == 2
+    assert hits[0].doc["commonness"] == 551
+
+
+def test_or_connect_but_boost_one_term(pers):
+    hits = search_req(
+        pers,
+        {
+            "or": {
+                "queries": [
+                    {
+                        "search": {
+                            "terms": ["majestät (f)"],
+                            "path": "meanings.ger[]",
+                            "boost": 2,
+                        }
+                    },
+                    {"search": {"terms": ["urge"], "path": "meanings.eng[]"}},
+                ]
+            }
+        },
+    ).data
+    assert len(hits) == 2
+    assert hits[0].doc["meanings"]["ger"][0] == "majestätischer Anblick (m)"
+
+
+# ---------------------------------------------------------------- filters
+
+
+def test_search_with_filter(pers):
+    res = run(
+        pers,
+        {
+            "search_req": {"search": {"terms": ["urge"], "path": "meanings.eng[]"}},
+            "filter": {"search": {"terms": ["1587690"], "path": "ent_seq"}},
+        },
+    )
+    assert len(res.data) == 1
+
+
+def test_or_with_filter(pers):
+    res = run(
+        pers,
+        {
+            "search_req": {
+                "or": {
+                    "queries": [
+                        {"search": {"terms": ["majestät"], "path": "meanings.ger[]"}},
+                        {"search": {"terms": ["urge"], "path": "meanings.eng[]"}},
+                    ]
+                }
+            },
+            "filter": {"search": {"terms": ["1587690"], "path": "ent_seq"}},
+        },
+    )
+    assert len(res.data) == 1
+
+
+def test_or_with_filter_reuse_query(pers):
+    res = run(
+        pers,
+        {
+            "search_req": {
+                "or": {
+                    "queries": [
+                        {"search": {"terms": ["majestät"], "path": "meanings.ger[]"}},
+                        {"search": {"terms": ["urge"], "path": "meanings.eng[]"}},
+                    ]
+                }
+            },
+            "filter": {"search": {"terms": ["urge"], "path": "meanings.eng[]"}},
+        },
+    )
+    assert len(res.data) == 1
+
+
+# ---------------------------------------------------------------- boosts
+
+
+def test_should_find_2_values_from_token(pers):
+    res = search_req(pers, {"search": {"terms": ["意慾"], "path": "kanji[].text"}})
+    assert len(res.data) == 2
+
+
+def test_search_and_boosto(pers):
+    res = run(
+        pers,
+        {
+            "search_req": {"search": {"terms": ["意慾"], "path": "kanji[].text"}},
+            "boost": [
+                {"path": "kanji[].commonness", "boost_fun": "Log10", "param": 1}
+            ],
+        },
+    )
+    assert len(res.data) == 2
+
+
+def test_search_and_double_boost(pers):
+    res = run(
+        pers,
+        {
+            "search_req": {"search": {"terms": ["awesome"], "path": "field1[].text"}},
+            "boost": [
+                {"path": "commonness", "boost_fun": "Log10", "param": 1},
+                {
+                    "path": "field1[].rank",
+                    "expression": "10 / $SCORE",
+                    "skip_when_score": [0],
+                },
+            ],
+        },
+    )
+    assert len(res.data) == 2
+
+
+def test_search_and_boost_anchor(pers):
+    res = run(
+        pers,
+        {
+            "search_req": {"search": {"terms": ["意慾"], "path": "kanji[].text"}},
+            "boost": [{"path": "commonness", "boost_fun": "Log10", "param": 1}],
+        },
+    )
+    assert res.data[0].doc["commonness"] == 500
+
+
+def test_rank_boost_on_anchor_higher_search_on_anchor(pers):
+    boosted = run(
+        pers,
+        {
+            "search_req": {"search": {"terms": ["COllectif"], "path": "title"}},
+            "boost": [{"path": "commonness", "boost_fun": "Log2", "param": 2}],
+        },
+    ).data
+    unboosted = search_req(
+        pers, {"search": {"terms": ["COllectif"], "path": "title"}}
+    ).data
+    assert boosted[0].hit.score > unboosted[0].hit.score
+
+
+def test_rank_boost_on_anchor_higher_search_on_1_n(pers):
+    boosted = run(
+        pers,
+        {
+            "search_req": {"search": {"terms": ["boostemich"], "path": "meanings.ger[]"}},
+            "boost": [{"path": "commonness", "boost_fun": "Log2", "param": 2}],
+        },
+    ).data
+    unboosted = search_req(
+        pers, {"search": {"terms": ["boostemich"], "path": "meanings.ger[]"}}
+    ).data
+    assert boosted[0].hit.score > unboosted[0].hit.score
+
+
+def test_boost_terms(pers):
+    res = run(
+        pers,
+        {
+            "search_req": {
+                "search": {
+                    "terms": ["weich"],
+                    "path": "meanings.ger[]",
+                    "levenshtein_distance": 1,
+                }
+            },
+            "boost_term": [{"terms": ["9555"], "path": "ent_seq", "boost": 5.0}],
+        },
+    )
+    assert res.data[0].doc["meanings"]["ger"][0] == "(1) 2 3 super nice weich"
+
+
+def test_boost_text_locality(pers):
+    res = run(
+        pers,
+        {
+            "search_req": {
+                "or": {
+                    "queries": [
+                        {"search": {"terms": ["text"], "path": "meanings.ger[]"}},
+                        {"search": {"terms": ["localität"], "path": "meanings.ger[]"}},
+                    ]
+                }
+            },
+            "text_locality": True,
+        },
+    )
+    assert res.data[0].doc["meanings"]["ger"][0] == "text localität"
+
+
+# ---------------------------------------------------------------- why found
+
+
+def test_should_add_why_found_terms(pers):
+    res = run(
+        pers,
+        {
+            "search_req": {
+                "search": {
+                    "terms": ["weich"],
+                    "path": "meanings.ger[]",
+                    "levenshtein_distance": 1,
+                }
+            },
+            "why_found": True,
+        },
+    )
+    assert res.data[0].doc["meanings"]["ger"][0] == "(1) weich"
+
+
+# ---------------------------------------------------------------- suggest
+
+
+def test_real_suggest_with_score(pers):
+    req = Request.from_dict(
+        {
+            "suggest": [
+                {
+                    "terms": ["majes"],
+                    "path": "meanings.ger[]",
+                    "levenshtein_distance": 0,
+                    "starts_with": True,
+                }
+            ],
+            "top": 10,
+            "skip": 0,
+        }
+    )
+    results = suggest(pers, req)
+    assert [el[0] for el in results] == [
+        "majestät",
+        "majestät (f)",
+        "majestätisches",
+        "majestätischer",
+        "majestätischer anblick (m)",
+        "majestätisches aussehen (n)",
+    ]
+
+
+def test_multi_real_suggest_with_score(pers):
+    req = Request.from_dict(
+        {
+            "suggest": [
+                {
+                    "terms": ["will"],
+                    "path": "meanings.ger[]",
+                    "levenshtein_distance": 0,
+                    "starts_with": True,
+                },
+                {
+                    "terms": ["will"],
+                    "path": "meanings.eng[]",
+                    "levenshtein_distance": 0,
+                    "starts_with": True,
+                },
+            ],
+            "top": 10,
+            "skip": 0,
+        }
+    )
+    results = suggest(pers, req)
+    assert [el[0] for el in results] == ["will", "wille", "wille (m)", "will testo"]
+
+
+def test_suggest_with_token_value_boost(pers):
+    req = Request.from_dict(
+        {
+            "suggest": [
+                {
+                    "terms": ["begeist"],
+                    "path": "meanings.ger[]",
+                    "levenshtein_distance": 0,
+                    "starts_with": True,
+                    "token_value": {
+                        "path": "meanings.ger[]",
+                        "boost_fun": "Log10",
+                        "param": 1,
+                    },
+                }
+            ],
+            "top": 10,
+            "skip": 0,
+        }
+    )
+    results = suggest(pers, req)
+    assert [el[0] for el in results] == [
+        "begeisterung",
+        "begeistern",
+        "begeisterung (f)",
+    ]
+
+
+# ---------------------------------------------------------------- select / read
+
+
+def test_should_select_on_long_text(pers):
+    res = run(
+        pers,
+        {
+            "search_req": {"search": {"terms": ["story"], "path": "mylongtext"}},
+            "select": ["mylongtext"],
+        },
+    )
+    assert len(res.data) == 1
+    assert (
+        res.data[0].doc["mylongtext"]
+        == "Prolog:\nthis is a story of a guy who went out to rule the world, but then died. the end"
+    )
+
+
+def test_read_object_only_partly(pers):
+    yay = read_data(
+        pers,
+        4,
+        [
+            "commonness",
+            "ent_seq",
+            "meanings.ger[]",
+            "kana[].text",
+            "kana[].commonness",
+            "kana[].romaji",
+            "address[].line[]",
+        ],
+    )
+    assert yay == {
+        "address": [{"line": ["nuts strees"]}, {"line": ["asdf"]}],
+        "commonness": "500",
+        "ent_seq": "1587700",
+        "meanings": {"ger": ["der test", "das ist ein guter Treffer"]},
+        "kana": [{"text": "いよく"}],
+    }
+
+
+def test_read_skip_missing_fields(pers):
+    yay = read_data(pers, 3, ["mylongtext"])
+    assert yay == {}
+
+
+def test_read_recreate_complete_object(pers):
+    all_props = pers.get_all_fields()
+    yay = read_data(pers, 4, all_props)
+    assert yay == {
+        "id": "1234566",
+        "gender": "male",
+        "tags": ["awesome", "cool"],
+        "sinlge_value_multi": ["wert"],
+        "birthDate": "1960-08-19",
+        "address": [{"line": ["nuts strees"]}, {"line": ["asdf"]}],
+        "commonness": "500",
+        "kanji": [{"text": "意慾", "commonness": "20"}],
+        "field1": [{"text": "awesome", "rank": "1"}],
+        "kana": [{"text": "いよく"}],
+        "meanings": {"eng": ["test1"], "ger": ["der test", "das ist ein guter Treffer"]},
+        "ent_seq": "1587700",
+    }
+
+
+def test_get_bytes_indexed(pers):
+    assert pers.bytes_indexed > 2685

@@ -73,9 +73,9 @@ class Csr:
         """Gather and concatenate values for many keys (vectorised)."""
         keys = np.asarray(keys, dtype=np.int64)
         keys = keys[(keys >= 0) & (keys < self.num_keys)]
-        starts = self.offsets[keys]
-        ends = self.offsets[keys + 1]
-        counts = (ends - starts).astype(np.int64)
+        starts = self.offsets[keys].astype(np.int64)
+        ends = self.offsets[keys + 1].astype(np.int64)
+        counts = ends - starts
         total = int(counts.sum())
         if total == 0:
             return np.empty(0, dtype=np.uint32)

@@ -399,6 +399,10 @@ def suggest(persistence, request: Request):
             if prev is None or score > prev[0]:
                 merged[term] = (float(score), int(tid))
     out = [(term, score, tid) for term, (score, tid) in merged.items()]
+    # the reference sorts by text DESC for the dedup pass, then (stable in
+    # effect) by score desc — ties therefore order text-descending
+    # (get_text_score_id_from_result, search_field.rs:160-192)
+    out.sort(key=lambda el: el[0], reverse=True)
     out.sort(key=lambda el: -el[1])
     skip = request.skip or 0
     top = request.top
