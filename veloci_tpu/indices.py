@@ -177,9 +177,9 @@ class PhraseCsr:
         hit_pos = pos[hit]
         if len(hit_pos) == 0:
             return np.empty(0, dtype=np.uint32)
-        starts = self.offsets[hit_pos]
-        ends = self.offsets[hit_pos + 1]
-        counts = (ends - starts).astype(np.int64)
+        starts = self.offsets[hit_pos].astype(np.int64)
+        ends = self.offsets[hit_pos + 1].astype(np.int64)
+        counts = ends - starts
         out_starts = np.zeros(len(hit_pos) + 1, dtype=np.int64)
         np.cumsum(counts, out=out_starts[1:])
         total = int(counts.sum())

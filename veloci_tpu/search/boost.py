@@ -28,6 +28,12 @@ from ..indices import Csr, Direct
 
 _F32 = np.float32
 
+# Dense score vectors encode "no hit" as 0.0; boosts that produce a 0 or
+# negative score (e.g. Log10(0 + 1)) must keep the hit alive, so boosted
+# scores are floored to this epsilon (reference keeps explicit hit lists and
+# so supports 0-scored hits; ranking among <=0 scores is not preserved).
+HIT_EPS = _F32(1e-30)
+
 __all__ = [
     "ScoreExpression",
     "apply_boost_scalar",
@@ -149,8 +155,9 @@ def apply_boost_dense(
 
     apply_mask = (dense > 0) & pres
     if boost_part.skip_when_score:
-        for s in boost_part.skip_when_score:
-            apply_mask &= np.abs(dense - _F32(s)) >= 1e-5
+        for sv in boost_part.skip_when_score:
+            apply_mask &= np.abs(dense - _F32(sv)) >= 1e-5
+    boosted = np.maximum(boosted, HIT_EPS)
     return np.where(apply_mask, boosted, dense).astype(_F32)
 
 
@@ -223,8 +230,9 @@ def boost_to_anchor_values(
     keep = keep[present[keep]]
     bvals = vals[keep].astype(_F32)
 
-    # value id -> anchor (first value of VALUE_ID_TO_ANCHOR)
-    v2a = persistence.key_value_stores.get(field + VALUE_ID_TO_ANCHOR)
+    # value id -> anchor via the BOOST field's .value_id_to_anchor
+    # (get_boost_ids_and_resolve_to_anchor, boost.rs:455-468)
+    v2a = persistence.key_value_stores.get(boost_field + VALUE_ID_TO_ANCHOR)
     if v2a is None:
         return np.empty(0, np.int64), np.empty(0, _F32)
     anchors = []
@@ -283,6 +291,7 @@ def apply_anchor_boost_values(
         acc = np.zeros(n, dtype=_F32)
         np.add.at(acc, anchors, adds)
         out = np.where(hit_mask, out + acc, out)
+    out = np.where(hit_mask, np.maximum(out, HIT_EPS), out)
     return out.astype(_F32)
 
 
