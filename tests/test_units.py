@@ -1,0 +1,263 @@
+"""Unit tests for core components (mirroring the reference's inline tests:
+tokenizer src/tokenizer/mod.rs:32-77, doc store doc_store/src/lib.rs:64-185,
+json flattener json_converter/src/lib.rs:168-224, path algebra
+src/steps.rs:152-173, config parsing src/create/fields_config.rs:112-174,
+expression src/expression.rs tests, levenshtein search_field.rs:734-744)."""
+
+import json
+
+import numpy as np
+import pytest
+
+from veloci_tpu.config import IndexCreationType, config_from_string
+from veloci_tpu.doc_store import DocLoader, DocStoreWriter
+from veloci_tpu.indices import Csr, TermDictionary, csr_from_pairs
+from veloci_tpu.json_flatten import IDProvider, for_each_element, to_line_delimited
+from veloci_tpu.ops.levenshtein import (
+    levenshtein_distance_host,
+    levenshtein_prefix_distance_host,
+)
+from veloci_tpu.search.boost import ScoreExpression
+from veloci_tpu.tokenizer import GroupTokenizer, SimpleTokenizer
+from veloci_tpu.utils import get_steps_to_anchor, normalize_text
+
+
+def toks(tokenizer, text):
+    return [t for t, _sep in tokenizer.iter(text)]
+
+
+def test_tokenizer_grouped():
+    t = GroupTokenizer()
+    assert toks(t, "das \n ist ein txt, test") == [
+        "das",
+        " \n ",
+        "ist",
+        " ",
+        "ein",
+        " ",
+        "txt",
+        ", ",
+        "test",
+    ]
+
+
+def test_tokenizer_simple():
+    t = SimpleTokenizer()
+    assert t.has_tokens("das \n ist ein txt, test")
+    assert toks(t, "das \n ist ein txt, test") == [
+        "das",
+        " ",
+        "\n",
+        " ",
+        "ist",
+        " ",
+        "ein",
+        " ",
+        "txt",
+        ",",
+        " ",
+        "test",
+    ]
+
+
+def test_tokenizer_start_with_separator():
+    t = GroupTokenizer()
+    assert toks(t, " Taschenbuch (kartoniert)") == [
+        " ",
+        "Taschenbuch",
+        " (",
+        "kartoniert",
+        ")",
+    ]
+
+
+def test_tokenizer_single_char_token():
+    t = GroupTokenizer()
+    assert toks(t, "T oll") == ["T", " ", "oll"]
+
+
+def test_doc_store_roundtrip():
+    w = DocStoreWriter()
+    docs = ['{"test":"ok"}', '{"test2":"ok"}', '{"test3":"ok"}']
+    for d in docs:
+        w.add_doc(d)
+    blob = w.finish()
+    loader = DocLoader(blob)
+    for i, d in enumerate(docs):
+        assert loader.get_doc(i) == d
+
+
+def test_doc_store_multi_block():
+    w = DocStoreWriter()
+    doc = '{"category": "superb", "tags": ["nice", "cool"] }'
+    for _ in range(2640):
+        w.add_doc(doc)
+    blob = w.finish()
+    loader = DocLoader(blob)
+    for i in range(2640):
+        assert loader.get_doc(i) == doc
+
+
+def test_json_flattener_paths():
+    seen = []
+    ids_seen = []
+    idp = IDProvider()
+    for_each_element(
+        [{"meanings": {"ger": ["karlo"]}}, {"a": "1"}],
+        idp,
+        lambda anchor, text, path, parent: seen.append((anchor, text, path, parent)),
+        lambda anchor, path, vid, parent: ids_seen.append((anchor, path, vid, parent)),
+    )
+    assert seen == [(0, "karlo", "meanings.ger[]", 0), (1, "1", "a", 1)]
+    assert ids_seen == [(0, "meanings.ger[]", 0, 0)]
+
+
+def test_to_line_delimited():
+    assert to_line_delimited('[{"a": "b"},{"c": "d"}]') == '{"a":"b"}\n{"c":"d"}\n'
+    assert to_line_delimited('{  "a": "b"}{"c": "d"}') == '{"a":"b"}\n{"c":"d"}\n'
+
+
+def test_steps_to_anchor():
+    assert get_steps_to_anchor("meanings.ger[]") == [
+        "meanings.ger[]",
+        "meanings.ger[].textindex",
+    ]
+    assert get_steps_to_anchor("kanji[].text") == [
+        "kanji[]",
+        "kanji[].text.textindex",
+    ]
+    assert get_steps_to_anchor("commonness") == ["commonness.textindex"]
+
+
+def test_config_from_json():
+    cfg = config_from_string(
+        json.dumps(
+            {
+                "MATNR": {
+                    "facet": True,
+                    "fulltext": {"tokenize": True},
+                    "disabled_indices": [
+                        "TokensToTextID",
+                        "TokenToAnchorIDScore",
+                        "PhrasePairToAnchor",
+                        "TextIDToTokenIds",
+                        "TextIDToParent",
+                        "ParentToTextID",
+                        "TextIDToAnchor",
+                    ],
+                },
+                "ISMTITLE": {"fulltext": {"tokenize": True}, "features": ["Search"]},
+                "ISMORIGTITLE": {
+                    "fulltext": {"tokenize": True},
+                    "disabled_features": ["Search"],
+                },
+                "ISMORIDCODE": {"fulltext": {"tokenize": False}},
+            }
+        )
+    )
+    cfg.features_to_indices()
+    assert cfg.get("MATNR").facet
+    assert not cfg.get("MATNR").is_index_enabled(IndexCreationType.TokensToTextID)
+    assert cfg.get("ISMTITLE").is_index_enabled(IndexCreationType.TokenToAnchorIDScore)
+    assert not cfg.get("ISMTITLE").is_index_enabled(IndexCreationType.TokensToTextID)
+    assert not cfg.get("ISMORIDCODE").fulltext.tokenize
+
+
+def test_config_from_toml():
+    cfg = config_from_string(
+        """
+["*GLOBAL*"]
+    features = ["All"]
+["commonness"]
+    facet = true
+["commonness".boost]
+    boost_type = "f32"
+["meanings.ger[]"]
+    stopwords = ["stopword"]
+    ["meanings.ger[]".fulltext]
+        tokenize = true
+"""
+    )
+    cfg.features_to_indices()
+    assert cfg.get("commonness").facet
+    assert cfg.get("commonness").boost is not None
+
+
+def test_expression():
+    assert ScoreExpression("$SCORE + 2.0").get_score(10.0) == 12.0
+    assert ScoreExpression("10.0 / $SCORE").get_score(10.0) == 1.0
+    assert ScoreExpression("$SCORE * $SCORE").get_score(10.0) == 100.0
+
+
+def test_levenshtein_host():
+    assert levenshtein_distance_host("a", "a") == 0
+    assert levenshtein_distance_host("a", "b") == 1
+    assert levenshtein_distance_host("", "a") == 1
+    assert levenshtein_distance_host("aa", "a") == 1
+    assert levenshtein_distance_host("a", "bbb") == 3
+    assert levenshtein_prefix_distance_host("awe", "awesome") == 0
+    assert levenshtein_prefix_distance_host("axe", "awesome") == 1
+
+
+def test_levenshtein_sweep_matches_host():
+    import jax.numpy as jnp
+
+    from veloci_tpu.ops.levenshtein import encode_query, levenshtein_sweep
+
+    terms = ["awesome", "awesam", "nice", "", "majestät", "a", "zz", "awe"]
+    dictionary = TermDictionary(sorted(terms))
+    chars, lengths = dictionary.char_matrix()
+    for query in ["awesome", "awe", "majestat", "nize", "a"]:
+        q, qlen = encode_query(query)
+        dist, prefix_dist, is_prefix = levenshtein_sweep(
+            jnp.asarray(chars), jnp.asarray(lengths), jnp.asarray(q), jnp.int32(qlen)
+        )
+        dist = np.asarray(dist)
+        prefix_dist = np.asarray(prefix_dist)
+        is_prefix = np.asarray(is_prefix)
+        for i, t in enumerate(dictionary.terms):
+            if not t:
+                continue
+            assert dist[i] == levenshtein_distance_host(query, t.lower()), (query, t)
+            assert prefix_dist[i] == levenshtein_prefix_distance_host(
+                query, t.lower()
+            ), (query, t)
+            assert bool(is_prefix[i]) == t.lower().startswith(query)
+
+
+def test_csr_roundtrip():
+    csr = csr_from_pairs([0, 0, 2, 2, 2], [5, 3, 1, 1, 2], 3, sort_and_dedup=True)
+    assert list(csr.get_values(0)) == [3, 5]
+    assert list(csr.get_values(1)) == []
+    assert list(csr.get_values(2)) == [1, 2]
+    assert list(csr.get_values_multi(np.array([0, 2]))) == [3, 5, 1, 2]
+
+
+def test_normalize_text():
+    assert normalize_text("Hello  (m) World") == "hello world"
+
+
+def test_persistence_save_load(tmp_path):
+    from veloci_tpu import Persistence, Request, search
+
+    data = "\n".join(
+        json.dumps(d)
+        for d in [
+            {"title": "die erbin", "commonness": 5},
+            {"title": "der graf", "commonness": 10},
+        ]
+    )
+    p = Persistence.create_from_str(data, "{}")
+    p.save(str(tmp_path / "db"))
+    p2 = Persistence.load(str(tmp_path / "db"))
+    assert p2.num_docs == 2
+    res = search(
+        Request.from_dict(
+            {"search_req": {"search": {"terms": ["erbin"], "path": "title"}}}
+        ),
+        p2,
+    )
+    assert len(res.data) == 1
+    assert p2.doc_loader.get_doc(res.data[0].id) == json.dumps(
+        {"title": "die erbin", "commonness": 5}
+    )
