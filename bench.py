@@ -1,0 +1,220 @@
+"""Benchmark harness — jmdict-class workload on the TPU.
+
+Measures the BASELINE.md headline metric: exact-term (lev=0) top-10 search
+QPS + p50/p99 latency, plus fuzzy d=2, on a synthetic jmdict-scale corpus
+(the real jmdict file is an LFS stub in the reference checkout; the corpus
+here reproduces its shape: ~100k docs, zipfian vocabulary, multi-token
+titles).
+
+The reference publishes no numbers (BASELINE.md) and its Rust toolchain is
+not present in this image, so ``vs_baseline`` is reported against a measured
+single-CPU-core proxy: the SAME search step executed on one host CPU device
+— i.e. "TPU speedup over a single-core vectorised CPU implementation of this
+engine". BASELINE.json's acceptance is >=10x single-core veloci QPS; the CPU
+proxy stands in for that single-core baseline until the reference can be run.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "...", "vs_baseline": N}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+N_DOCS = int(os.environ.get("BENCH_DOCS", "100000"))
+N_EXACT_QUERIES = int(os.environ.get("BENCH_EXACT_QUERIES", "200"))
+N_FUZZY_QUERIES = int(os.environ.get("BENCH_FUZZY_QUERIES", "50"))
+TOP_K = 10
+
+
+def log(*args):
+    print(*args, file=sys.stderr, flush=True)
+
+
+def build_corpus(n_docs: int):
+    """Deterministic jmdict-shaped corpus: zipfian vocab, 3-9 token titles."""
+    rng = np.random.default_rng(1234)
+    vocab_size = 40_000
+    # word list with varied lengths (latin stand-ins for jmdict terms)
+    vocab = np.array(
+        [f"w{i:x}{'abcdefgh'[i % 8] * (1 + i % 7)}" for i in range(vocab_size)]
+    )
+    # zipf-ish distribution over the vocabulary
+    ranks = np.arange(1, vocab_size + 1, dtype=np.float64)
+    probs = 1.0 / ranks
+    probs /= probs.sum()
+    lengths = rng.integers(3, 10, size=n_docs)
+    total_words = int(lengths.sum())
+    words = rng.choice(vocab, size=total_words, p=probs)
+    out = []
+    pos = 0
+    for i in range(n_docs):
+        ln = lengths[i]
+        title = " ".join(words[pos : pos + ln])
+        pos += ln
+        out.append('{"title": "%s", "ent_seq": "%d"}' % (title, i))
+    return "\n".join(out), vocab
+
+
+def percentile(values, p):
+    return float(np.percentile(np.asarray(values), p))
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    from veloci_tpu import Persistence
+    from veloci_tpu.create import TEXTINDEX, TO_ANCHOR_ID_SCORE
+    from veloci_tpu.ops.fuzzy_step import fuzzy_search_topk
+    from veloci_tpu.ops.levenshtein import encode_query
+    from veloci_tpu.ops.search_step import exact_search_topk
+
+    backend = jax.default_backend()
+    log(f"backend: {backend}, devices: {jax.devices()}")
+
+    t0 = time.time()
+    corpus, vocab = build_corpus(N_DOCS)
+    log(f"corpus generated in {time.time() - t0:.1f}s ({N_DOCS} docs)")
+
+    t0 = time.time()
+    pers = Persistence.create_from_str(corpus, "{}")
+    build_s = time.time() - t0
+    log(
+        f"index built in {build_s:.1f}s "
+        f"({pers.bytes_indexed / build_s / 1e6:.1f} MB/s indexed)"
+    )
+
+    dictionary = pers.get_dictionary("title")
+    dev = pers.device_field("title")
+    num_docs = pers.num_docs
+    store = pers.anchor_scores["title" + TEXTINDEX + TO_ANCHOR_ID_SCORE]
+    host_offsets = dev.host_offsets
+
+    # ---- query sets ------------------------------------------------------
+    rng = np.random.default_rng(99)
+    exact_terms = [str(t) for t in rng.choice(vocab[:5000], size=N_EXACT_QUERIES)]
+    fuzzy_terms = []
+    for t in rng.choice(vocab[:2000], size=N_FUZZY_QUERIES):
+        t = str(t)
+        # perturb to force edit distance work
+        if len(t) > 4:
+            t = t[:2] + "x" + t[3:]
+        fuzzy_terms.append(t)
+
+    # shared static capacity: max postings among bench terms, power-of-2
+    def postings_total(term: str) -> int:
+        ids = dictionary.get_ignore_case(term)
+        return int(
+            sum(host_offsets[i + 1] - host_offsets[i] for i in ids if i < dev.num_score_keys)
+        )
+
+    max_total = max(postings_total(t) for t in exact_terms)
+    capacity = 1 << max(10, (max_total - 1).bit_length())
+    log(f"exact capacity bucket: {capacity} (max postings {max_total})")
+
+    t_pad = 8
+
+    def prep_exact(term: str):
+        ids = dictionary.get_ignore_case(term)
+        term_ids = np.full(t_pad, -1, dtype=np.int32)
+        term_scores = np.zeros(t_pad, dtype=np.float32)
+        for j, tid in enumerate(ids[:t_pad]):
+            term_ids[j] = tid
+            term_scores[j] = 10.0  # exact-match term score (2/0.2)
+        return jnp.asarray(term_ids), jnp.asarray(term_scores)
+
+    def run_exact_bench(offsets, anchors, scores01, label: str):
+        # warmup / compile
+        tid, tsc = prep_exact(exact_terms[0])
+        exact_search_topk(
+            offsets, anchors, scores01, tid, tsc,
+            capacity=capacity, num_docs=num_docs, k=TOP_K,
+        )[0].block_until_ready()
+        lat = []
+        t_start = time.time()
+        for term in exact_terms:
+            q0 = time.perf_counter()
+            tid, tsc = prep_exact(term)
+            ids, scores = exact_search_topk(
+                offsets, anchors, scores01, tid, tsc,
+                capacity=capacity, num_docs=num_docs, k=TOP_K,
+            )
+            ids.block_until_ready()
+            lat.append(time.perf_counter() - q0)
+        wall = time.time() - t_start
+        qps = len(exact_terms) / wall
+        log(
+            f"[{label}] exact: {qps:.1f} QPS, p50 {percentile(lat,50)*1e3:.2f} ms, "
+            f"p99 {percentile(lat,99)*1e3:.2f} ms"
+        )
+        return qps, lat
+
+    qps_tpu, lat_tpu = run_exact_bench(dev.offsets, dev.anchors, dev.scores01, backend)
+
+    # ---- fuzzy d=2 -------------------------------------------------------
+    fuzz_capacity = 1 << 17
+    chars, lengths = dev.chars, dev.lengths
+    q0, qlen0 = encode_query(fuzzy_terms[0])
+    fuzzy_search_topk(
+        chars, lengths, jnp.asarray(q0), jnp.int32(qlen0), jnp.int32(2),
+        dev.offsets, dev.anchors, dev.scores01,
+        max_terms=128, capacity=fuzz_capacity, num_docs=num_docs, k=TOP_K,
+    )[0].block_until_ready()
+    lat_f = []
+    t_start = time.time()
+    for term in fuzzy_terms:
+        t1 = time.perf_counter()
+        q, qlen = encode_query(term.lower())
+        ids, scores = fuzzy_search_topk(
+            chars, lengths, jnp.asarray(q), jnp.int32(qlen), jnp.int32(2),
+            dev.offsets, dev.anchors, dev.scores01,
+            max_terms=128, capacity=fuzz_capacity, num_docs=num_docs, k=TOP_K,
+        )
+        ids.block_until_ready()
+        lat_f.append(time.perf_counter() - t1)
+    wall_f = time.time() - t_start
+    qps_fuzzy = len(fuzzy_terms) / wall_f
+    log(
+        f"[{backend}] fuzzy d=2: {qps_fuzzy:.1f} QPS, p50 {percentile(lat_f,50)*1e3:.2f} ms, "
+        f"p99 {percentile(lat_f,99)*1e3:.2f} ms"
+    )
+
+    # ---- CPU single-core proxy baseline ----------------------------------
+    vs_baseline = 1.0
+    try:
+        cpu = jax.devices("cpu")[0]
+        off_c = jax.device_put(np.asarray(dev.offsets), cpu)
+        anc_c = jax.device_put(np.asarray(dev.anchors), cpu)
+        sc_c = jax.device_put(np.asarray(dev.scores01), cpu)
+        qps_cpu, _ = run_exact_bench(off_c, anc_c, sc_c, "cpu-proxy")
+        vs_baseline = qps_tpu / qps_cpu
+    except Exception as e:  # CPU backend may be unavailable under the plugin
+        log(f"cpu proxy failed: {e!r}")
+
+    result = {
+        "metric": "jmdict_like_exact_top10_qps",
+        "value": round(qps_tpu, 1),
+        "unit": "qps",
+        "vs_baseline": round(vs_baseline, 2),
+        "detail": {
+            "backend": backend,
+            "num_docs": num_docs,
+            "exact_p50_ms": round(percentile(lat_tpu, 50) * 1e3, 3),
+            "exact_p99_ms": round(percentile(lat_tpu, 99) * 1e3, 3),
+            "fuzzy_d2_qps": round(qps_fuzzy, 1),
+            "fuzzy_d2_p50_ms": round(percentile(lat_f, 50) * 1e3, 3),
+            "fuzzy_d2_p99_ms": round(percentile(lat_f, 99) * 1e3, 3),
+            "index_build_mb_per_s": round(pers.bytes_indexed / build_s / 1e6, 2),
+        },
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,110 @@
+"""Fully-fused fuzzy search step: Levenshtein sweep -> term select ->
+posting resolve -> top-k, in ONE XLA program (no host round trip).
+
+This is the TPU-native replacement for the reference's FST x Levenshtein-DFA
+product walk followed by posting iteration (search_field.rs:277-504): the
+query is swept against the whole packed dictionary, the best ``max_terms``
+matches are selected on-device with `top_k`, and their postings resolve into
+the dense score plane.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from .levenshtein import MAX_QUERY_CHARS
+
+_BIG = 1 << 20
+
+__all__ = ["fuzzy_search_topk"]
+
+
+def _sweep(term_chars, term_lens, query, query_len):
+    n, l = term_chars.shape
+    js = jnp.arange(l + 1, dtype=jnp.int32)
+    row0 = jnp.broadcast_to(js, (n, l + 1)).astype(jnp.int32)
+
+    def step(row, i):
+        qc = query[i].astype(jnp.int32)
+        active = i < query_len
+        cost = (term_chars.astype(jnp.int32) != qc).astype(jnp.int32)
+        sub = jnp.concatenate(
+            [jnp.full((n, 1), _BIG, dtype=jnp.int32), row[:, :-1] + cost], axis=1
+        )
+        base = jnp.minimum(row + 1, sub)
+        base = base.at[:, 0].set(i + 1)
+        carried = jax.lax.associative_scan(jnp.minimum, base - js[None, :], axis=1)
+        new_row = carried + js[None, :]
+        return jnp.where(active, new_row, row), None
+
+    row, _ = jax.lax.scan(step, row0, jnp.arange(MAX_QUERY_CHARS, dtype=jnp.int32))
+    dist = jnp.take_along_axis(row, term_lens[:, None].astype(jnp.int32), axis=1)[:, 0]
+    pos = jnp.arange(l, dtype=jnp.int32)
+    qfull = jnp.broadcast_to(query[:l].astype(jnp.int32), (n, l))
+    eq = (term_chars.astype(jnp.int32) == qfull) | (pos[None, :] >= query_len)
+    is_prefix = jnp.all(eq, axis=1) & (term_lens >= query_len)
+    valid = term_lens > 0
+    return jnp.where(valid, dist, _BIG), is_prefix & valid
+
+
+@partial(
+    jax.jit,
+    static_argnames=("max_terms", "capacity", "num_docs", "k"),
+)
+def fuzzy_search_topk(
+    term_chars: jax.Array,  # [N_pad, L] uint16
+    term_lens: jax.Array,  # [N_pad] int32
+    query: jax.Array,  # [MAX_QUERY_CHARS] uint16
+    query_len: jax.Array,  # scalar int32
+    distance: jax.Array,  # scalar int32 (max edit distance)
+    offsets: jax.Array,  # [num_keys + 2] int32
+    anchors: jax.Array,  # [nnz_pad] int32
+    scores01: jax.Array,  # [nnz_pad] f32
+    max_terms: int,
+    capacity: int,
+    num_docs: int,
+    k: int,
+):
+    dist, is_prefix = _sweep(term_chars, term_lens, query, query_len)
+    match = dist <= distance
+
+    # term-level score (get_default_score_for_distance, search_field.rs:27-33)
+    df = dist.astype(jnp.float32)
+    prefix_score = 2.0 / (jnp.log2(df + 1.0) + 0.2)
+    plain_score = 2.0 / (df + 0.2)
+    score = jnp.where(is_prefix, prefix_score, plain_score)
+    masked = jnp.where(match, score, -jnp.inf)
+
+    # select best max_terms matched terms on-device
+    sel_scores, sel_ids = jax.lax.top_k(masked, max_terms)
+    sel_valid = jnp.isfinite(sel_scores)
+    num_keys = offsets.shape[0] - 2
+    term_ids = jnp.where(sel_valid & (sel_ids < num_keys), sel_ids, -1).astype(jnp.int32)
+    term_scores = jnp.where(sel_valid, sel_scores, 0.0).astype(jnp.float32)
+
+    # resolve postings -> dense -> top-k
+    t_pad = max_terms
+    valid = term_ids >= 0
+    safe = jnp.where(valid, term_ids, 0)
+    starts = offsets[safe]
+    counts = jnp.where(valid, offsets[safe + 1] - starts, 0)
+    out_starts = jnp.concatenate(
+        [jnp.zeros(1, dtype=jnp.int32), jnp.cumsum(counts, dtype=jnp.int32)]
+    )
+    total = out_starts[t_pad]
+    idx = jnp.arange(capacity, dtype=jnp.int32)
+    seg = jnp.minimum(
+        jnp.searchsorted(out_starts[1:], idx, side="right").astype(jnp.int32),
+        t_pad - 1,
+    )
+    in_range = idx < total
+    src = jnp.where(in_range, starts[seg] + (idx - out_starts[seg]), 0)
+    a = jnp.where(in_range, anchors[src], num_docs)
+    s = jnp.where(in_range, scores01[src] * term_scores[seg], -jnp.inf)
+    dense = jax.ops.segment_max(s, a, num_segments=num_docs + 1)[:num_docs]
+    dense = jnp.where(jnp.isfinite(dense), dense, 0.0)
+    scores, ids = jax.lax.top_k(dense, k)
+    return ids, scores

@@ -1,0 +1,104 @@
+"""Fused device search steps: matched terms -> top-k documents in ONE XLA
+program.
+
+This is the TPU-native lowering of the reference's hot query path
+(`ResolveTokenIdToAnchor` -> `Union` -> `top_n_sort`;
+src/search/search_field.rs:400-504, set_op.rs:87-220, sort.rs:5-34): a ragged
+CSR gather over the anchor-score postings, per-(term-slot, anchor) max via
+segment reductions on a dense score plane, the distinct-terms^2 union boost,
+and `lax.top_k` — all fused by XLA, no host round-trips.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+__all__ = ["exact_search_topk", "union_search_topk"]
+
+
+@partial(jax.jit, static_argnames=("capacity", "num_docs", "k"))
+def exact_search_topk(
+    offsets: jax.Array,  # [num_keys + 2] int32
+    anchors: jax.Array,  # [nnz_pad] int32 (pad -> num_docs)
+    scores01: jax.Array,  # [nnz_pad] f32
+    term_ids: jax.Array,  # [T_pad] int32 (pad -1)
+    term_scores: jax.Array,  # [T_pad] f32
+    capacity: int,
+    num_docs: int,
+    k: int,
+):
+    """Single-query search: resolve postings, dedup-max per anchor, top-k."""
+    t_pad = term_ids.shape[0]
+    valid = term_ids >= 0
+    safe = jnp.where(valid, term_ids, 0)
+    starts = offsets[safe]
+    counts = jnp.where(valid, offsets[safe + 1] - starts, 0)
+    out_starts = jnp.concatenate(
+        [jnp.zeros(1, dtype=jnp.int32), jnp.cumsum(counts, dtype=jnp.int32)]
+    )
+    total = out_starts[t_pad]
+    idx = jnp.arange(capacity, dtype=jnp.int32)
+    seg = jnp.minimum(
+        jnp.searchsorted(out_starts[1:], idx, side="right").astype(jnp.int32),
+        t_pad - 1,
+    )
+    in_range = idx < total
+    src = jnp.where(in_range, starts[seg] + (idx - out_starts[seg]), 0)
+    a = jnp.where(in_range, anchors[src], num_docs)
+    s = jnp.where(in_range, scores01[src] * term_scores[seg], -jnp.inf)
+    dense = jax.ops.segment_max(s, a, num_segments=num_docs + 1)[:num_docs]
+    dense = jnp.where(jnp.isfinite(dense), dense, 0.0)
+    scores, ids = jax.lax.top_k(dense, k)
+    return ids, scores
+
+
+@partial(jax.jit, static_argnames=("capacity", "num_docs", "k", "num_slots"))
+def union_search_topk(
+    offsets: jax.Array,
+    anchors: jax.Array,
+    scores01: jax.Array,
+    term_ids: jax.Array,  # [T_pad] int32
+    term_scores: jax.Array,  # [T_pad] f32
+    term_slots: jax.Array,  # [T_pad] int32 — distinct query-term index
+    capacity: int,
+    num_docs: int,
+    k: int,
+    num_slots: int,
+):
+    """Multi-term OR: per-slot max, sum over slots * distinct^2, top-k.
+
+    Mirrors union_hits_score (set_op.rs:87-220) with the per-term dense max
+    expressed as ONE segment_max over a (slot, anchor) plane.
+    """
+    t_pad = term_ids.shape[0]
+    valid = term_ids >= 0
+    safe = jnp.where(valid, term_ids, 0)
+    starts = offsets[safe]
+    counts = jnp.where(valid, offsets[safe + 1] - starts, 0)
+    out_starts = jnp.concatenate(
+        [jnp.zeros(1, dtype=jnp.int32), jnp.cumsum(counts, dtype=jnp.int32)]
+    )
+    total = out_starts[t_pad]
+    idx = jnp.arange(capacity, dtype=jnp.int32)
+    seg = jnp.minimum(
+        jnp.searchsorted(out_starts[1:], idx, side="right").astype(jnp.int32),
+        t_pad - 1,
+    )
+    in_range = idx < total
+    src = jnp.where(in_range, starts[seg] + (idx - out_starts[seg]), 0)
+    a = jnp.where(in_range, anchors[src], num_docs)
+    s = jnp.where(in_range, scores01[src] * term_scores[seg], -jnp.inf)
+    slot = term_slots[seg]
+    # plane key = slot * (num_docs+1) + anchor
+    plane = slot * (num_docs + 1) + a
+    per_slot = jax.ops.segment_max(
+        s, plane, num_segments=num_slots * (num_docs + 1)
+    ).reshape(num_slots, num_docs + 1)[:, :num_docs]
+    per_slot = jnp.where(jnp.isfinite(per_slot), per_slot, 0.0)
+    distinct = jnp.sum(per_slot >= 1e-5, axis=0).astype(jnp.float32)
+    dense = jnp.sum(per_slot, axis=0) * distinct * distinct
+    scores, ids = jax.lax.top_k(dense, k)
+    return ids, scores

@@ -1,0 +1,218 @@
+"""Multi-chip index sharding and distributed query execution.
+
+The reference is single-node shared-memory (its sharding exists only as
+commented-out code, server/rocket_server.rs:41,102-108 — SURVEY.md §2.4).
+Here sharding is first-class and TPU-native:
+
+* **document sharding** (axis ``d``): the anchor-score postings are
+  partitioned by anchor range; every device holds the full term dictionary
+  (token-id space replicated) plus only its anchor range's postings. Each
+  query resolves locally into a dense ``[docs_per_shard]`` score slice;
+  per-shard top-k results merge with an ``all_gather`` over ICI — the
+  TPU-native replacement for the reference's k-merge of sorted hit lists
+  (set_op.rs:159).
+* **query-batch parallelism** (axis ``q``): independent queries execute as a
+  batch `vmap`'d across the other mesh axis.
+* facet counts reduce with a `psum` over ``d``.
+
+All collectives run inside one `shard_map`-ped XLA program.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+__all__ = ["ShardedPostings", "sharded_search_topk", "build_mesh"]
+
+
+def build_mesh(n_docs_shards: int, n_query_shards: int = 1, devices=None) -> Mesh:
+    devices = devices if devices is not None else jax.devices()
+    n = n_docs_shards * n_query_shards
+    assert len(devices) >= n, f"need {n} devices, have {len(devices)}"
+    arr = np.array(devices[:n]).reshape(n_query_shards, n_docs_shards)
+    return Mesh(arr, axis_names=("q", "d"))
+
+
+class ShardedPostings:
+    """Anchor-range-sharded postings for one field.
+
+    Device ``i`` (along mesh axis ``d``) holds postings whose anchor lies in
+    ``[i * docs_per_shard, (i+1) * docs_per_shard)``, with anchors localised
+    to the shard. Arrays are stacked ``[D, ...]`` and placed with a
+    NamedSharding over ``d`` so each row lives on its shard.
+    """
+
+    def __init__(
+        self,
+        offsets: np.ndarray,  # [num_keys + 1] global CSR offsets
+        anchors: np.ndarray,  # [nnz] global anchor ids
+        scores01: np.ndarray,  # [nnz] f32 (score / 100)
+        num_docs: int,
+        mesh: Mesh,
+        axis: str = "d",
+    ) -> None:
+        d = mesh.shape[axis]
+        self.mesh = mesh
+        self.axis = axis
+        self.num_shards = d
+        self.num_docs = num_docs
+        self.docs_per_shard = -(-num_docs // d)
+        num_keys = len(offsets) - 1
+        self.num_keys = num_keys
+
+        counts = np.diff(offsets).astype(np.int64)
+        keys = np.repeat(np.arange(num_keys, dtype=np.int64), counts)
+        anchors = np.asarray(anchors, dtype=np.int64)
+        scores01 = np.asarray(scores01, dtype=np.float32)
+        shard_of = anchors // self.docs_per_shard
+
+        per_shard = []
+        max_nnz = 1
+        for i in range(d):
+            sel = shard_of == i
+            k = keys[sel]
+            a = (anchors[sel] - i * self.docs_per_shard).astype(np.int32)
+            s = scores01[sel]
+            off = np.zeros(num_keys + 2, dtype=np.int32)
+            np.cumsum(np.bincount(k, minlength=num_keys), out=off[1 : num_keys + 1])
+            off[num_keys + 1] = off[num_keys]
+            per_shard.append((off, a, s))
+            max_nnz = max(max_nnz, len(a))
+
+        max_nnz = -(-max_nnz // 128) * 128
+        off_stack = np.zeros((d, num_keys + 2), dtype=np.int32)
+        a_stack = np.full((d, max_nnz), self.docs_per_shard, dtype=np.int32)
+        s_stack = np.zeros((d, max_nnz), dtype=np.float32)
+        for i, (off, a, s) in enumerate(per_shard):
+            off_stack[i] = off
+            a_stack[i, : len(a)] = a
+            s_stack[i, : len(s)] = s
+        self.max_nnz = max_nnz
+
+        sharding = NamedSharding(mesh, P(axis, None))
+        self.offsets = jax.device_put(off_stack, sharding)
+        self.anchors = jax.device_put(a_stack, sharding)
+        self.scores01 = jax.device_put(s_stack, sharding)
+
+
+def _local_resolve_dense(
+    offsets, anchors, scores01, term_ids, term_scores, capacity: int, docs: int
+):
+    """Per-shard ragged gather -> dense [docs] score slice (trace-time body)."""
+    t_pad = term_ids.shape[0]
+    valid = term_ids >= 0
+    safe = jnp.where(valid, term_ids, 0)
+    starts = offsets[safe]
+    counts = jnp.where(valid, offsets[safe + 1] - starts, 0)
+    out_starts = jnp.concatenate(
+        [jnp.zeros(1, dtype=jnp.int32), jnp.cumsum(counts, dtype=jnp.int32)]
+    )
+    total = out_starts[t_pad]
+    idx = jnp.arange(capacity, dtype=jnp.int32)
+    seg = jnp.minimum(
+        jnp.searchsorted(out_starts[1:], idx, side="right").astype(jnp.int32),
+        t_pad - 1,
+    )
+    in_range = idx < total
+    src = jnp.where(in_range, starts[seg] + (idx - out_starts[seg]), 0)
+    a = jnp.where(in_range, anchors[src], docs)
+    s = jnp.where(in_range, scores01[src] * term_scores[seg], -jnp.inf)
+    dense = jax.ops.segment_max(s, a, num_segments=docs + 1)[:docs]
+    return jnp.where(jnp.isfinite(dense), dense, 0.0)
+
+
+def sharded_search_topk(
+    postings: ShardedPostings,
+    term_ids: np.ndarray,  # [Q, T] int32, queries x matched terms (pad -1)
+    term_scores: np.ndarray,  # [Q, T] f32
+    capacity: int,
+    k: int,
+    facet_segments: Optional[np.ndarray] = None,  # [D, max_nnz] int32 or None
+    num_facet_values: int = 0,
+) -> Tuple[jax.Array, jax.Array, Optional[jax.Array]]:
+    """Distributed batched search: per-shard resolve + top-k, ICI merge.
+
+    Returns (ids [Q, k] global doc ids, scores [Q, k], facet_counts or None).
+    """
+    mesh = postings.mesh
+    docs = postings.docs_per_shard
+
+    def step(offsets, anchors, scores01, tids, tscores):
+        offsets, anchors, scores01 = offsets[0], anchors[0], scores01[0]
+        tids, tscores = tids[0], tscores[0]
+
+        def one_query(tid, tsc):
+            dense = _local_resolve_dense(
+                offsets, anchors, scores01, tid, tsc, capacity, docs
+            )
+            local_scores, local_ids = jax.lax.top_k(dense, min(k, docs))
+            gids = local_ids + jax.lax.axis_index("d") * docs
+            all_scores = jax.lax.all_gather(local_scores, "d")  # [D, k]
+            all_ids = jax.lax.all_gather(gids, "d")
+            merged_scores, pos = jax.lax.top_k(all_scores.reshape(-1), k)
+            return all_ids.reshape(-1)[pos], merged_scores
+
+        ids, scores = jax.vmap(one_query)(tids, tscores)
+        # re-gather across the query axis so every host sees the full batch
+        ids = jax.lax.all_gather(ids, "q").reshape(-1, k)
+        scores = jax.lax.all_gather(scores, "q").reshape(-1, k)
+        return ids[None], scores[None]
+
+    q = mesh.shape["q"]
+    qb = term_ids.shape[0]
+    assert qb % q == 0, "query batch must divide the q axis"
+
+    shard_q = NamedSharding(mesh, P("q", None, None))
+    tids = jax.device_put(
+        np.asarray(term_ids, dtype=np.int32).reshape(q, qb // q, -1), shard_q
+    )
+    tscores = jax.device_put(
+        np.asarray(term_scores, dtype=np.float32).reshape(q, qb // q, -1), shard_q
+    )
+
+    fn = jax.jit(
+        jax.shard_map(
+            step,
+            mesh=mesh,
+            in_specs=(P("d", None), P("d", None), P("d", None), P("q", None, None), P("q", None, None)),
+            out_specs=(P(None, None, None), P(None, None, None)),
+            check_vma=False,  # outputs are replicated via the all_gathers
+        )
+    )
+    ids, scores = fn(postings.offsets, postings.anchors, postings.scores01, tids, tscores)
+    return ids[0], scores[0], None
+
+
+def sharded_facet_counts(
+    postings: ShardedPostings,
+    pair_sources: jax.Array,  # [D, n_pairs] int32 local anchor of each pair
+    pair_segments: jax.Array,  # [D, n_pairs] int32 facet value id
+    hit_mask: jax.Array,  # [D, docs_per_shard] bool (sharded over d)
+    num_values: int,
+) -> jax.Array:
+    """Facet counting with a psum over the doc shards."""
+    mesh = postings.mesh
+
+    def step(sources, segments, mask):
+        sources, segments, mask = sources[0], segments[0], mask[0]
+        w = mask[sources].astype(jnp.int32)
+        local = jax.ops.segment_sum(w, segments, num_segments=num_values)
+        total = jax.lax.psum(local, "d")
+        return total[None]
+
+    fn = jax.jit(
+        jax.shard_map(
+            step,
+            mesh=mesh,
+            in_specs=(P("d", None), P("d", None), P("d", None)),
+            out_specs=P(None, None),
+            check_vma=False,  # psum output is replicated
+        )
+    )
+    return fn(pair_sources, pair_segments, hit_mask)[0]
