@@ -681,3 +681,63 @@ def test_read_recreate_complete_object(pers):
 
 def test_get_bytes_indexed(pers):
     assert pers.bytes_indexed > 2685
+
+
+# ---------------------------------------------------------------- highlight api
+
+
+def test_should_highlight_on_field(pers):
+    from veloci_tpu.query.request import RequestSearchPart
+    from veloci_tpu.search.field_search import highlight_field
+
+    req = RequestSearchPart(
+        terms=["story"],
+        path="mylongtext",
+        levenshtein_distance=0,
+        starts_with=True,
+        snippet=True,
+        top=10,
+        skip=0,
+    )
+    results = highlight_field(pers, req)
+    assert [el[0] for el in results] == [
+        "Prolog:\nthis is a <b>story</b> of a guy who went ... "
+    ]
+
+
+def test_should_highlight_on_1_n_field(pers):
+    from veloci_tpu.query.request import RequestSearchPart
+    from veloci_tpu.search.field_search import highlight_field
+
+    req = RequestSearchPart(
+        terms=["story"],
+        path="tags[]",
+        levenshtein_distance=0,
+        starts_with=True,
+        snippet=True,
+        top=10,
+        skip=0,
+    )
+    results = highlight_field(pers, req)
+    assert [el[0] for el in results] == [
+        "Prolog:\nthis is a <b>story</b> of a guy who went ... "
+    ]
+
+
+def test_should_highlight_on_sub_level_field(pers):
+    from veloci_tpu.query.request import RequestSearchPart
+    from veloci_tpu.search.field_search import highlight_field
+
+    req = RequestSearchPart(
+        terms=["story"],
+        path="sub_level[].text",
+        levenshtein_distance=0,
+        starts_with=True,
+        snippet=True,
+        top=10,
+        skip=0,
+    )
+    results = highlight_field(pers, req)
+    assert [el[0] for el in results] == [
+        "Prolog:\nthis is <b>story</b> of a guy who went ... "
+    ]

@@ -1,0 +1,126 @@
+"""HTTP server tests — port of reference server/tests.rs."""
+
+import json
+import threading
+import urllib.request
+
+import pytest
+
+from veloci_tpu import Persistence
+from veloci_tpu.server import PERSISTENCES, make_server
+
+TEST_DATA = '{"text": "hi there", "name": "fred", "boost": "me"}'
+CONFIG = """
+["*GLOBAL*"]
+    features = ["All"]
+"""
+
+
+@pytest.fixture(scope="module")
+def server(tmp_path_factory):
+    db_dir = tmp_path_factory.mktemp("dbs") / "test_http"
+    pers = Persistence.create_from_str(TEST_DATA, CONFIG)
+    pers.save(str(db_dir))
+    srv = make_server("127.0.0.1", 0)
+    thread = threading.Thread(target=srv.serve_forever, daemon=True)
+    thread.start()
+    try:
+        yield (srv, str(db_dir))
+    finally:
+        srv.shutdown()
+        PERSISTENCES.clear()
+
+
+def _get(srv_db, path):
+    srv, db = srv_db
+    port = srv.server_address[1]
+    url = f"http://127.0.0.1:{port}{path.replace('DB', urllib.request.quote(db, safe=''))}"
+    with urllib.request.urlopen(url, timeout=30) as resp:
+        return resp.status, resp.read().decode("utf-8")
+
+
+def _post(srv_db, path, body):
+    srv, db = srv_db
+    port = srv.server_address[1]
+    url = f"http://127.0.0.1:{port}{path.replace('DB', urllib.request.quote(db, safe=''))}"
+    req = urllib.request.Request(
+        url,
+        data=json.dumps(body).encode("utf-8"),
+        headers={"Content-Type": "application/json"},
+        method="POST",
+    )
+    with urllib.request.urlopen(req, timeout=30) as resp:
+        return resp.status, resp.read().decode("utf-8")
+
+
+def test_get_version(server):
+    status, body = _get(server, "/version")
+    assert status == 200
+    assert "0.8" in body
+
+
+def test_get_request(server):
+    status, body = _get(
+        server,
+        "/DB/search?query=fred&top=10&boost_fields=name-%3E2.5&boost_terms=boost:me-%3E2.0",
+    )
+    assert status == 200
+    assert "name" in body
+
+
+def test_get_suggest(server):
+    status, body = _get(server, "/DB/suggest?query=fr&top=10")
+    assert status == 200
+    assert "fred" in body
+
+
+def test_post_search_query_params(server):
+    status, body = _post(
+        server,
+        "/DB/search_query_params",
+        {
+            "search_term": "fred",
+            "top": 3,
+            "skip": 0,
+            "select": "name",
+            "boost_fields": {"name": 2.50},
+            "boost_terms": {"boost:me": 2.0},
+            "why_found": True,
+        },
+    )
+    assert status == 200
+    assert "name" in body
+
+
+def test_post_search_raw_request(server):
+    status, body = _post(
+        server,
+        "/DB/search",
+        {"search_req": {"search": {"terms": ["fred"], "path": "name"}}},
+    )
+    assert status == 200
+    data = json.loads(body)
+    assert data["num_hits"] == 1
+    assert data["data"][0]["doc"]["name"] == "fred"
+
+
+def test_get_doc_by_id(server):
+    status, body = _get(server, "/DB/_id/0")
+    assert status == 200
+    assert json.loads(body)["name"] == "fred"
+
+
+def test_get_idtree(server):
+    status, body = _get(server, "/DB/_idtree/0")
+    assert status == 200
+    assert json.loads(body)["name"] == "fred"
+
+
+def test_post_explain_plan(server):
+    status, body = _post(
+        server,
+        "/DB/search_query_params/explain_plan",
+        {"search_term": "fred"},
+    )
+    assert status == 200
+    assert "digraph" in body

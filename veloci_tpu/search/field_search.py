@@ -223,6 +223,11 @@ def get_term_ids_in_field(
         result.term_text_in_field[path] = list(result.terms.values())
 
     # token_value boost (search_field.rs:391-395): per-token boost column
+    _apply_token_value_boost(persistence, request, result)
+    return result
+
+
+def _apply_token_value_boost(persistence, request, result) -> None:
     if request.token_value is not None and len(result.term_ids):
         tv = request.token_value
         boost_path = tv.path
@@ -245,4 +250,85 @@ def get_term_ids_in_field(
                     )
             result.term_scores = scores
 
+
+def resolve_token_hits_to_text_id(
+    persistence, request, result, add_snippets: bool = False
+):
+    """Token-level hits -> text-id-level hits, optionally with snippets.
+
+    Reference: resolve_token_hits_to_text_id (search_field.rs:519-608):
+    each matched token maps to the text ids containing it via
+    ``.tokens_to_text_id``; per text id the max token score wins; with
+    ``add_snippets`` the text is reconstructed + highlighted from its token
+    ids.
+    """
+    from ..create import TOKENS_TO_TEXT_ID
+    from ..query.request import DEFAULT_SNIPPET_INFO
+    from .highlight import highlight_document
+
+    path = result.path
+    field = path[: -len(TEXTINDEX)]
+    if not persistence.tokenize_enabled(field):
+        return result
+    tta = persistence.key_value_stores.get(path + TOKENS_TO_TEXT_ID)
+    if tta is None:
+        return result
+
+    token_hits = []  # (text_id, score, token_id)
+    for tid, score in zip(result.term_ids, result.term_scores):
+        parents = tta.get_values(int(tid))
+        for p in parents:
+            token_hits.append((int(p), float(score), int(tid)))
+    token_hits.sort(key=lambda el: el[0])
+
+    if token_hits:
+        new_ids = []
+        new_scores = []
+        if add_snippets:
+            pass  # only text-level hits remain (reference clears hits_scores)
+        i = 0
+        while i < len(token_hits):
+            j = i
+            group_tokens = []
+            best = None
+            text_id = token_hits[i][0]
+            while j < len(token_hits) and token_hits[j][0] == text_id:
+                _t, sc, tok = token_hits[j]
+                if best is None or abs(sc) > abs(best):
+                    best = sc
+                group_tokens.append(tok)
+                j += 1
+            new_ids.append(text_id)
+            new_scores.append(best)
+            if add_snippets:
+                snippet_info = request.snippet_info or DEFAULT_SNIPPET_INFO
+                highlighted = highlight_document(
+                    persistence, path, text_id, group_tokens, snippet_info
+                )
+                if highlighted is not None:
+                    result.highlight[text_id] = highlighted
+            i = j
+        result.term_ids = np.asarray(new_ids, dtype=np.int64)
+        result.term_scores = np.asarray(new_scores, dtype=_F32)
     return result
+
+
+def highlight_field(persistence, request):
+    """Field-level snippet search (reference search_field.rs:233-245
+    `highlight`): returns [(snippet_text, score, id)] sorted by score."""
+    from ..utils import normalize_text
+
+    request.terms = [normalize_text(t) for t in request.terms]
+    result = get_term_ids_in_field(persistence, request, get_scores=True)
+    resolve_token_hits_to_text_id(persistence, request, result, add_snippets=True)
+    out = []
+    for tid, score in zip(result.term_ids, result.term_scores):
+        text = result.highlight.get(int(tid))
+        if text is not None:
+            out.append((text, float(score), int(tid)))
+    out.sort(key=lambda el: -el[1])
+    skip = request.skip or 0
+    out = out[skip:]
+    if request.top is not None:
+        out = out[: request.top]
+    return out
