@@ -741,3 +741,110 @@ def test_should_highlight_on_sub_level_field(pers):
     assert [el[0] for el in results] == [
         "Prolog:\nthis is <b>story</b> of a guy who went ... "
     ]
+
+
+# ---------------------------------------------------------------- explain
+
+
+def test_simple_search_explained(pers):
+    res = run(
+        pers,
+        {
+            "search_req": {
+                "search": {
+                    "terms": ["urge"],
+                    "path": "meanings.eng[]",
+                    "options": {"explain": True},
+                }
+            }
+        },
+    )
+    hits = res.data
+    assert len(hits) == 1
+    assert hits[0].doc["ent_seq"] == "1587690"
+    assert len(hits[0].explain) == 2
+
+
+def test_or_query_explained(pers):
+    res = run(
+        pers,
+        {
+            "search_req": {
+                "or": {
+                    "queries": [
+                        {"search": {"terms": ["majestät"], "path": "meanings.ger[]"}},
+                        {"search": {"terms": ["urge"], "path": "meanings.eng[]"}},
+                    ]
+                }
+            },
+            "explain": True,
+        },
+    )
+    hits = res.data
+    assert len(hits) == 2
+    assert hits[0].doc["ent_seq"] == "1587690"
+    assert len(hits[0].explain) == 5
+
+
+def test_explain_plan_contents(pers):
+    from veloci_tpu import explain_plan
+
+    req = Request.from_dict(
+        {
+            "search_req": {
+                "search": {
+                    "terms": ["weich"],
+                    "path": "meanings.ger[]",
+                    "levenshtein_distance": 1,
+                }
+            },
+            "boost": [{"path": "commonness", "boost_fun": "Log2", "param": 2}],
+        }
+    )
+    explain = explain_plan(req, pers).lower()
+    assert "weich" in explain
+    assert "meanings.ger[]" in explain
+    assert "boost" in explain
+
+
+def test_should_or_connect_search_and_boost_anchor(pers):
+    hits = search_req(
+        pers,
+        {
+            "or": {
+                "queries": [
+                    {
+                        "search": {
+                            "terms": ["awesome"],
+                            "path": "field1[].text",
+                            "options": {
+                                "boost": [
+                                    {
+                                        "path": "field1[].rank",
+                                        "boost_fun": "Log10",
+                                        "param": 1,
+                                    }
+                                ]
+                            },
+                        }
+                    },
+                    {
+                        "search": {
+                            "terms": ["urge"],
+                            "path": "meanings.eng[]",
+                            "options": {
+                                "boost": [
+                                    {
+                                        "path": "commonness",
+                                        "boost_fun": "Log10",
+                                        "param": 1,
+                                    }
+                                ]
+                            },
+                        }
+                    },
+                ]
+            }
+        },
+    ).data
+    assert hits[0].doc["commonness"] == 20

@@ -96,6 +96,7 @@ class RequestSearchPart:
     top: Optional[int] = None
     skip: Optional[int] = None
     explain: bool = False
+    options: Optional[dict] = None  # {explain, top, skip, boost: [...]}
 
     @classmethod
     def from_dict(cls, d: dict) -> "RequestSearchPart":
@@ -116,6 +117,7 @@ class RequestSearchPart:
             else None,
             top=d.get("top"),
             skip=d.get("skip"),
+            options=d.get("options"),
         )
 
     def key(self) -> tuple:

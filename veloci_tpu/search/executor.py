@@ -32,6 +32,7 @@ from ..query.request import Request, RequestSearchPart, SearchRequest
 from ..ops.postings import resolve_to_anchor_dense
 from ..ops.topk import dense_to_hits
 from . import boost as boost_mod
+from .explain import ExplainNode, collect_explain
 from .facet import get_facet
 from .field_search import get_term_ids_in_field
 from .highlight import highlight_on_original_document
@@ -58,6 +59,8 @@ class _Ctx:
         self.request = request
         self.num_docs = persistence.num_docs
         self.cache: Dict[tuple, FieldSearchResult] = {}
+        self.explain = bool(request.explain)
+        self.boost_log = []
         self.flags: Dict[tuple, _FieldSearchFlags] = {}
         self.parts: Dict[tuple, RequestSearchPart] = {}
 
@@ -133,21 +136,29 @@ def _matching_1n_boost(part: RequestSearchPart, boosts) -> Optional[object]:
     return matches[0]
 
 
-def _eval_scores(
-    ctx: _Ctx, node: SearchRequest, boosts
-) -> Tuple[np.ndarray, str, str]:
-    """Evaluate the search tree -> (dense scores, repr term, repr path)."""
+def _eval_scores(ctx: _Ctx, node: SearchRequest, boosts):
+    """Evaluate the search tree -> (dense, repr term, repr path, explain node)."""
     if node.kind == SearchRequest.SEARCH:
         part = node.part
         dense = _resolve_leaf_dense(ctx, part)
+        enode = ExplainNode("leaf", part=part) if ctx.explain else None
+        if part.options and part.options.get("boost"):
+            from ..query.request import RequestBoostPart
+
+            boosts = list(boosts) + [
+                RequestBoostPart.from_dict(b) for b in part.options["boost"]
+            ]
         b1n = _matching_1n_boost(part, boosts)
         if b1n is not None:
             fsr = ctx.result_for(part)
             anchors, bvals = boost_mod.boost_to_anchor_values(
                 ctx.persistence, fsr.path, b1n, fsr.term_ids
             )
+            old = dense
             dense = boost_mod.apply_anchor_boost_values(dense, anchors, bvals, b1n)
-        return dense, part.terms[0], part.path
+            if ctx.explain:
+                ctx.boost_log.append(((old > 0) & (dense != old), dense.copy()))
+        return dense, part.terms[0], part.path, enode
 
     # merge node-level option boosts (merge_vec, execution_plan.rs:268-275)
     sub_boosts = list(boosts)
@@ -158,18 +169,18 @@ def _eval_scores(
 
     children = [_eval_scores(ctx, q, sub_boosts) for q in node.queries]
     if not children:
-        return np.zeros(ctx.num_docs, dtype=_F32), "", ""
+        return np.zeros(ctx.num_docs, dtype=_F32), "", "", None
     if len(children) == 1:
         return children[0]
 
     if node.kind == SearchRequest.OR:
         # union_hits_score (set_op.rs:87-220): max per distinct term, sum in
         # sorted-term order, * distinct^2
-        terms = sorted({t for _d, t, _p in children})
+        terms = sorted({t for _d, t, _p, _e in children})
         total = np.zeros(ctx.num_docs, dtype=_F32)
         distinct = np.zeros(ctx.num_docs, dtype=np.int32)
         for t in terms:
-            vecs = [d for d, tt, _p in children if tt == t]
+            vecs = [d for d, tt, _p, _e in children if tt == t]
             mx = vecs[0]
             for v in vecs[1:]:
                 mx = np.maximum(mx, v)
@@ -177,22 +188,35 @@ def _eval_scores(
             distinct += (mx >= _F32(1e-5)).astype(np.int32)
         df = distinct.astype(_F32)
         dense = (total * df * df).astype(_F32)
-        return dense, children[0][1], children[0][2]
+        enode = None
+        if ctx.explain:
+            enode = ExplainNode(
+                "or",
+                children=[c[3] for c in children],
+                denses=[c[0] for c in children],
+                terms=[c[1] for c in children],
+            )
+        return dense, children[0][1], children[0][2], enode
 
     if node.kind == SearchRequest.AND:
         # intersect_hits_score (set_op.rs:368-448)
         mask = np.ones(ctx.num_docs, dtype=bool)
-        for d, _t, _p in children:
+        for d, _t, _p, _e in children:
             mask &= d > 0
-        counts = [int(np.count_nonzero(d > 0)) for d, _t, _p in children]
+        counts = [int(np.count_nonzero(d > 0)) for d, _t, _p, _e in children]
         shortest = int(np.argmin(counts))
         total = np.zeros(ctx.num_docs, dtype=_F32)
-        for i, (d, _t, _p) in enumerate(children):
+        for i, (d, _t, _p, _e) in enumerate(children):
             if i != shortest:
                 total = (total + d).astype(_F32)
         total = (total + children[shortest][0]).astype(_F32)
         dense = np.where(mask, total, _F32(0.0)).astype(_F32)
-        return dense, children[0][1], children[0][2]
+        enode = (
+            ExplainNode("and", children=[c[3] for c in children])
+            if ctx.explain
+            else None
+        )
+        return dense, children[0][1], children[0][2], enode
 
     raise InvalidRequestError(f"unknown node kind {node.kind}")
 
@@ -225,6 +249,11 @@ def search(request: Request, persistence) -> SearchResult:
     top = request.top if request.top is not None else 10
 
     ctx = _Ctx(persistence, request)
+    if not ctx.explain and request.search_req is not None:
+        for part in request.search_req.walk_parts():
+            if part.options and part.options.get("explain"):
+                ctx.explain = True
+                break
     _collect_parts(ctx, request)
     ctx.run_field_searches()
 
@@ -234,7 +263,7 @@ def search(request: Request, persistence) -> SearchResult:
         filter_mask = _eval_ids(ctx, request.filter)
 
     boosts = list(request.boost or [])
-    dense, _t, _p = _eval_scores(ctx, request.search_req, boosts)
+    dense, _t, _p, enode = _eval_scores(ctx, request.search_req, boosts)
 
     if filter_mask is not None:
         dense = np.where(filter_mask, dense, _F32(0.0)).astype(_F32)
@@ -249,7 +278,10 @@ def search(request: Request, persistence) -> SearchResult:
         if not boost_path.endswith(BOOST_VALID_TO_VALUE):
             boost_path = boost_path + BOOST_VALID_TO_VALUE
         vals, present = persistence.get_boost(boost_path)
+        old = dense
         dense = boost_mod.apply_boost_dense(dense, vals, present, b)
+        if ctx.explain:
+            ctx.boost_log.append(((old > 0) & (dense != old), dense.copy()))
 
     # phrase boosts (plan_steps.rs:237-283)
     if request.phrase_boosts:
@@ -332,6 +364,11 @@ def search(request: Request, persistence) -> SearchResult:
     if request.why_found and request.select is not None:
         anchor_ids = [h.id for h in result.data]
         result.why_found_info = get_why_found(persistence, anchor_ids, term_id_hits)
+
+    if ctx.explain:
+        result.explain = collect_explain(
+            ctx, enode, [h.id for h in result.data], ctx.boost_log
+        )
 
     result.execution_time_ns = time.time_ns() - start
     return result
@@ -431,7 +468,27 @@ def explain_plan(request: Request, persistence) -> str:
 
     if request.search_req is not None:
         final = walk(request.search_req, 0)
-        lines.append(f'  result [label="top_k + fetch"];')
+        if request.filter is not None:
+            fnode = walk(request.filter, 0)
+            lines.append('  fstep [label="intersect scores with filter ids"];')
+            lines.append(f"  {fnode} -> fstep;")
+            lines.append(f"  {final} -> fstep;")
+            final = "fstep"
+        for b in request.boost or []:
+            name = f"n{len(lines)}"
+            lines.append(
+                f'  {name} [label="boost {b.path} {b.boost_fun or b.expression}"];'
+            )
+            lines.append(f"  {final} -> {name};")
+            final = name
+        for pb in request.phrase_boosts or []:
+            name = f"n{len(lines)}"
+            lines.append(
+                f'  {name} [label="phrase boost {pb.search1.terms[0]} {pb.search2.terms[0]}"];'
+            )
+            lines.append(f"  {final} -> {name};")
+            final = name
+        lines.append('  result [label="top_k + fetch"];')
         lines.append(f"  {final} -> result;")
     lines.append("}")
     return "\n".join(lines)
