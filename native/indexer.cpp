@@ -1,0 +1,668 @@
+// veloci_tpu native indexing core.
+//
+// The host-side analogue of the reference's Rust indexing pipeline
+// (json_converter + tokenizer + term counting; reference:
+// json_converter/src/lib.rs, src/tokenizer/*, src/create/create_fulltext.rs).
+// Parses an ndjson buffer, flattens documents into per-path text leaves and
+// id relations, tokenizes with per-path separator sets, counts terms, sorts
+// them and assigns ids — returning flat arrays that the Python side turns
+// into packed columns with numpy (pass 3).
+//
+// Exposed as a plain C ABI consumed via ctypes (no pybind11 in this image).
+//
+// Build: g++ -O2 -std=c++17 -shared -fPIC -o libveloci_native.so indexer.cpp
+
+#include <algorithm>
+#include <cstdint>
+#include <cstring>
+#include <string>
+#include <unordered_map>
+#include <unordered_set>
+#include <vector>
+
+namespace {
+
+// ---------------------------------------------------------------- utf-8
+
+inline int utf8_decode(const char* s, int64_t len, int64_t pos, uint32_t* cp) {
+    unsigned char c = (unsigned char)s[pos];
+    if (c < 0x80) { *cp = c; return 1; }
+    if ((c >> 5) == 0x6 && pos + 1 < len) {
+        *cp = ((c & 0x1F) << 6) | ((unsigned char)s[pos + 1] & 0x3F);
+        return 2;
+    }
+    if ((c >> 4) == 0xE && pos + 2 < len) {
+        *cp = ((c & 0x0F) << 12) | (((unsigned char)s[pos + 1] & 0x3F) << 6) |
+              ((unsigned char)s[pos + 2] & 0x3F);
+        return 3;
+    }
+    if ((c >> 3) == 0x1E && pos + 3 < len) {
+        *cp = ((c & 0x07) << 18) | (((unsigned char)s[pos + 1] & 0x3F) << 12) |
+              (((unsigned char)s[pos + 2] & 0x3F) << 6) |
+              ((unsigned char)s[pos + 3] & 0x3F);
+        return 4;
+    }
+    *cp = 0xFFFD;
+    return 1;
+}
+
+void utf8_append(std::string& out, uint32_t cp) {
+    if (cp < 0x80) {
+        out.push_back((char)cp);
+    } else if (cp < 0x800) {
+        out.push_back((char)(0xC0 | (cp >> 6)));
+        out.push_back((char)(0x80 | (cp & 0x3F)));
+    } else if (cp < 0x10000) {
+        out.push_back((char)(0xE0 | (cp >> 12)));
+        out.push_back((char)(0x80 | ((cp >> 6) & 0x3F)));
+        out.push_back((char)(0x80 | (cp & 0x3F)));
+    } else {
+        out.push_back((char)(0xF0 | (cp >> 18)));
+        out.push_back((char)(0x80 | ((cp >> 12) & 0x3F)));
+        out.push_back((char)(0x80 | ((cp >> 6) & 0x3F)));
+        out.push_back((char)(0x80 | (cp & 0x3F)));
+    }
+}
+
+// ---------------------------------------------------------------- JSON
+
+// Minimal recursive-descent ndjson parser. Numbers/bools are stringified
+// the way serde_json::Value renders them (json_converter lib.rs:6-14).
+
+struct JsonValue;
+using JsonArray = std::vector<JsonValue>;
+using JsonMember = std::pair<std::string, JsonValue>;
+using JsonObject = std::vector<JsonMember>;
+
+struct JsonValue {
+    enum Kind { Null, Text, Arr, Obj } kind = Null;
+    std::string text;  // scalar rendered as text
+    JsonArray* arr = nullptr;
+    JsonObject* obj = nullptr;
+
+    JsonValue() = default;
+    JsonValue(const JsonValue&) = delete;
+    JsonValue& operator=(const JsonValue&) = delete;
+    JsonValue(JsonValue&& o) noexcept { *this = std::move(o); }
+    JsonValue& operator=(JsonValue&& o) noexcept {
+        kind = o.kind; text = std::move(o.text); arr = o.arr; obj = o.obj;
+        o.arr = nullptr; o.obj = nullptr; o.kind = Null;
+        return *this;
+    }
+    ~JsonValue() { delete arr; delete obj; }
+};
+
+struct Parser {
+    const char* s;
+    int64_t n;
+    int64_t i = 0;
+    bool ok = true;
+
+    void skip_ws() {
+        while (i < n) {
+            char c = s[i];
+            if (c == ' ' || c == '\t' || c == '\n' || c == '\r') i++;
+            else break;
+        }
+    }
+
+    bool parse_string(std::string& out) {
+        // assumes s[i] == '"'
+        i++;
+        out.clear();
+        while (i < n) {
+            unsigned char c = (unsigned char)s[i];
+            if (c == '"') { i++; return true; }
+            if (c == '\\') {
+                i++;
+                if (i >= n) return false;
+                char e = s[i++];
+                switch (e) {
+                    case '"': out.push_back('"'); break;
+                    case '\\': out.push_back('\\'); break;
+                    case '/': out.push_back('/'); break;
+                    case 'b': out.push_back('\b'); break;
+                    case 'f': out.push_back('\f'); break;
+                    case 'n': out.push_back('\n'); break;
+                    case 'r': out.push_back('\r'); break;
+                    case 't': out.push_back('\t'); break;
+                    case 'u': {
+                        if (i + 4 > n) return false;
+                        uint32_t cp = 0;
+                        for (int k = 0; k < 4; k++) {
+                            char h = s[i + k];
+                            cp <<= 4;
+                            if (h >= '0' && h <= '9') cp |= h - '0';
+                            else if (h >= 'a' && h <= 'f') cp |= h - 'a' + 10;
+                            else if (h >= 'A' && h <= 'F') cp |= h - 'A' + 10;
+                            else return false;
+                        }
+                        i += 4;
+                        if (cp >= 0xD800 && cp <= 0xDBFF && i + 6 <= n &&
+                            s[i] == '\\' && s[i + 1] == 'u') {
+                            uint32_t lo = 0;
+                            for (int k = 0; k < 4; k++) {
+                                char h = s[i + 2 + k];
+                                lo <<= 4;
+                                if (h >= '0' && h <= '9') lo |= h - '0';
+                                else if (h >= 'a' && h <= 'f') lo |= h - 'a' + 10;
+                                else if (h >= 'A' && h <= 'F') lo |= h - 'A' + 10;
+                                else { lo = 0xFFFFFFFF; break; }
+                            }
+                            if (lo >= 0xDC00 && lo <= 0xDFFF) {
+                                cp = 0x10000 + ((cp - 0xD800) << 10) + (lo - 0xDC00);
+                                i += 6;
+                            }
+                        }
+                        utf8_append(out, cp);
+                        break;
+                    }
+                    default: return false;
+                }
+            } else {
+                out.push_back((char)c);
+                i++;
+            }
+        }
+        return false;
+    }
+
+    bool parse_value(JsonValue& out) {
+        skip_ws();
+        if (i >= n) return false;
+        char c = s[i];
+        if (c == '"') {
+            out.kind = JsonValue::Text;
+            return parse_string(out.text);
+        }
+        if (c == '{') {
+            i++;
+            out.kind = JsonValue::Obj;
+            out.obj = new JsonObject();
+            skip_ws();
+            if (i < n && s[i] == '}') { i++; return true; }
+            while (i < n) {
+                skip_ws();
+                if (i >= n || s[i] != '"') return false;
+                std::string key;
+                if (!parse_string(key)) return false;
+                skip_ws();
+                if (i >= n || s[i] != ':') return false;
+                i++;
+                JsonValue v;
+                if (!parse_value(v)) return false;
+                out.obj->emplace_back(std::move(key), std::move(v));
+                skip_ws();
+                if (i < n && s[i] == ',') { i++; continue; }
+                if (i < n && s[i] == '}') { i++; return true; }
+                return false;
+            }
+            return false;
+        }
+        if (c == '[') {
+            i++;
+            out.kind = JsonValue::Arr;
+            out.arr = new JsonArray();
+            skip_ws();
+            if (i < n && s[i] == ']') { i++; return true; }
+            while (i < n) {
+                JsonValue v;
+                if (!parse_value(v)) return false;
+                out.arr->emplace_back(std::move(v));
+                skip_ws();
+                if (i < n && s[i] == ',') { i++; continue; }
+                if (i < n && s[i] == ']') { i++; return true; }
+                return false;
+            }
+            return false;
+        }
+        if (c == 't' && i + 4 <= n && memcmp(s + i, "true", 4) == 0) {
+            out.kind = JsonValue::Text;
+            out.text = "true";
+            i += 4;
+            return true;
+        }
+        if (c == 'f' && i + 5 <= n && memcmp(s + i, "false", 5) == 0) {
+            out.kind = JsonValue::Text;
+            out.text = "false";
+            i += 5;
+            return true;
+        }
+        if (c == 'n' && i + 4 <= n && memcmp(s + i, "null", 4) == 0) {
+            out.kind = JsonValue::Null;
+            i += 4;
+            return true;
+        }
+        // number: slice the raw token, then normalise like serde/python
+        int64_t start = i;
+        if (s[i] == '-') i++;
+        bool is_float = false;
+        while (i < n) {
+            char d = s[i];
+            if ((d >= '0' && d <= '9')) { i++; continue; }
+            if (d == '.' || d == 'e' || d == 'E' || d == '+' || d == '-') {
+                is_float = true;
+                i++;
+                continue;
+            }
+            break;
+        }
+        if (i == start) return false;
+        std::string raw(s + start, (size_t)(i - start));
+        out.kind = JsonValue::Text;
+        if (!is_float) {
+            out.text = raw;  // integers render verbatim
+        } else {
+            // shortest round-trip double formatting (matches repr/serde)
+            double v = strtod(raw.c_str(), nullptr);
+            char buf[40];
+            for (int prec = 1; prec <= 17; prec++) {
+                snprintf(buf, sizeof(buf), "%.*g", prec, v);
+                if (strtod(buf, nullptr) == v) break;
+            }
+            std::string t(buf);
+            // python repr always shows a fraction for integral floats
+            if (t.find('.') == std::string::npos &&
+                t.find('e') == std::string::npos &&
+                t.find("inf") == std::string::npos &&
+                t.find("nan") == std::string::npos) {
+                t += ".0";
+            }
+            out.text = t;
+        }
+        return true;
+    }
+};
+
+// ---------------------------------------------------------------- config
+
+typedef int32_t (*PathConfigCb)(const char* path, int32_t path_len,
+                                uint8_t* tokenize,
+                                int32_t* do_not_store_longer_than,
+                                char* separators_buf, int32_t* separators_len);
+
+struct PathConfig {
+    bool tokenize = true;
+    int32_t max_store_len = 64;
+    std::unordered_set<uint32_t> separators;
+};
+
+// ---------------------------------------------------------------- per-path state
+
+struct TermEntry {
+    uint32_t count = 0;
+    uint32_t id = 0;
+};
+
+struct PathState {
+    std::string name;
+    PathConfig config;
+    std::unordered_map<std::string, TermEntry> terms;
+    uint32_t large_text_counter = 0;  // pass-1 count (reference TermDataInPath)
+
+    // leaf table (encounter order)
+    std::vector<uint32_t> leaf_anchor;
+    std::vector<uint32_t> leaf_parent;
+    std::vector<int64_t> leaf_text_id;  // resolved after id assignment
+    std::vector<int32_t> leaf_term_ref;  // -1 => large text
+    std::vector<uint32_t> leaf_ntokens;
+    std::vector<int64_t> leaf_tok_offsets;  // [num_leaves+1]
+    std::vector<uint32_t> token_ids;  // resolved after id assignment
+    std::vector<int32_t> token_refs;  // interned term handle per token
+    std::vector<uint8_t> token_is_sep;
+    std::vector<const std::string*> handle_to_key;  // term handle -> key
+
+    // sorted output
+    std::string terms_blob;
+    std::vector<uint32_t> occurrences;
+    uint32_t num_terms = 0;
+};
+
+struct IdPathState {
+    std::string name;
+    std::vector<uint32_t> value_id;
+    std::vector<uint32_t> parent_id;
+    std::vector<uint32_t> anchor_id;
+    uint32_t counter = 0;
+};
+
+struct IndexResult {
+    std::vector<PathState*> paths;
+    std::unordered_map<std::string, int32_t> path_index;
+    std::vector<IdPathState*> id_paths;
+    std::unordered_map<std::string, int32_t> id_path_index;
+    int64_t num_docs = 0;
+    std::string error;
+
+    ~IndexResult() {
+        for (auto* p : paths) delete p;
+        for (auto* p : id_paths) delete p;
+    }
+};
+
+// token handle: intern a term into the path's term map, returning a stable
+// pointer-based handle recorded for later id resolution
+inline int32_t intern_term(PathState& ps, const std::string& term) {
+    auto it = ps.terms.find(term);
+    if (it == ps.terms.end()) {
+        it = ps.terms.emplace(term, TermEntry{}).first;
+        ps.handle_to_key.push_back(&it->first);
+        it->second.id = (uint32_t)(ps.handle_to_key.size() - 1);  // handle idx
+    }
+    it->second.count++;
+    return (int32_t)it->second.id;
+}
+
+// tokenize `text`, appending (handle, is_sep) pairs; returns token count.
+// Reference: SimpleTokenizerGroupTokenIter (simple_tokenizer_group.rs).
+uint32_t tokenize_count(PathState& ps, const std::string& text) {
+    const auto& sep = ps.config.separators;
+    int64_t len = (int64_t)text.size();
+    int64_t pos = 0;
+    int64_t last_returned = 0;
+    bool last_was_sep_run = false;
+    uint32_t count = 0;
+    bool any_sep_boundary = false;
+
+    auto emit = [&](int64_t from, int64_t to, bool is_sep) {
+        std::string tok = text.substr((size_t)from, (size_t)(to - from));
+        int32_t h = intern_term(ps, tok);
+        ps.token_refs.push_back(h);
+        ps.token_is_sep.push_back(is_sep ? 1 : 0);
+        count++;
+    };
+
+    while (pos < len) {
+        uint32_t cp;
+        int adv = utf8_decode(text.data(), len, pos, &cp);
+        bool is_sep = sep.count(cp) > 0;
+        if (is_sep) {
+            if (pos == 0) {
+                last_was_sep_run = true;
+            } else if (!last_was_sep_run) {
+                emit(last_returned, pos, false);
+                any_sep_boundary = true;
+                last_was_sep_run = true;
+                last_returned = pos;
+            }
+        } else if (last_was_sep_run) {
+            emit(last_returned, pos, true);
+            any_sep_boundary = true;
+            last_was_sep_run = false;
+            last_returned = pos;
+        }
+        pos += adv;
+    }
+    if (last_returned != len) {
+        emit(last_returned, len, last_was_sep_run);
+    }
+    (void)any_sep_boundary;
+    return count;
+}
+
+struct Walker {
+    IndexResult* res;
+    PathConfigCb config_cb;
+    std::unordered_map<std::string, uint32_t> id_counters;  // IDProvider
+
+    PathState& path_state(const std::string& path) {
+        auto it = res->path_index.find(path);
+        if (it != res->path_index.end()) return *res->paths[it->second];
+        auto* ps = new PathState();
+        ps->name = path;
+        // fetch config from python
+        uint8_t tokenize = 1;
+        int32_t max_len = 64;
+        char sepbuf[1024];
+        int32_t seplen = (int32_t)sizeof(sepbuf);
+        config_cb(path.data(), (int32_t)path.size(), &tokenize, &max_len,
+                  sepbuf, &seplen);
+        ps->config.tokenize = tokenize != 0;
+        ps->config.max_store_len = max_len;
+        int64_t p = 0;
+        while (p < seplen) {
+            uint32_t cp;
+            int adv = utf8_decode(sepbuf, seplen, p, &cp);
+            ps->config.separators.insert(cp);
+            p += adv;
+        }
+        res->path_index.emplace(path, (int32_t)res->paths.size());
+        res->paths.push_back(ps);
+        return *ps;
+    }
+
+    IdPathState& id_path_state(const std::string& path) {
+        auto it = res->id_path_index.find(path);
+        if (it != res->id_path_index.end()) return *res->id_paths[it->second];
+        auto* ps = new IdPathState();
+        ps->name = path;
+        res->id_path_index.emplace(path, (int32_t)res->id_paths.size());
+        res->id_paths.push_back(ps);
+        return *ps;
+    }
+
+    uint32_t provide_id(const std::string& path) {
+        auto it = id_counters.find(path);
+        if (it == id_counters.end()) {
+            id_counters.emplace(path, 0);
+            return 0;
+        }
+        return ++it->second;
+    }
+
+    void text_leaf(uint32_t anchor, const std::string& text,
+                   const std::string& path, uint32_t parent) {
+        PathState& ps = path_state(path);
+        ps.leaf_anchor.push_back(anchor);
+        ps.leaf_parent.push_back(parent);
+        if (ps.leaf_tok_offsets.empty()) ps.leaf_tok_offsets.push_back(0);
+
+        bool is_large = (int64_t)text.size() > ps.config.max_store_len;
+        if (is_large) {
+            ps.large_text_counter++;
+            ps.leaf_term_ref.push_back(-1);
+        } else {
+            ps.leaf_term_ref.push_back(intern_term(ps, text));
+        }
+
+        uint32_t ntok = 0;
+        if (ps.config.tokenize) {
+            size_t before = ps.token_refs.size();
+            ntok = tokenize_count(ps, text);
+            if (ntok <= 1) {
+                // single token == whole text: reference skips token emission
+                // (has_tokens() false); undo the interned token count? No —
+                // pass 1 counts tokens only when has_tokens() is true, i.e.
+                // more than one token. Roll back.
+                for (size_t k = before; k < ps.token_refs.size(); k++) {
+                    const std::string* key = ps.handle_to_key[(size_t)ps.token_refs[k]];
+                    auto it = ps.terms.find(*key);
+                    if (it != ps.terms.end() && it->second.count > 0) it->second.count--;
+                }
+                ps.token_refs.resize(before);
+                ps.token_is_sep.resize(before);
+                ntok = 0;
+            }
+        }
+        ps.leaf_ntokens.push_back(ntok);
+        ps.leaf_tok_offsets.push_back((int64_t)ps.token_refs.size());
+    }
+
+    void walk(const JsonValue& v, uint32_t anchor, uint32_t parent,
+              const std::string& current_path, const std::string& el_name) {
+        if (v.kind == JsonValue::Arr) {
+            std::string path = current_path + el_name + "[]";
+            for (const auto& el : *v.arr) {
+                uint32_t vid = provide_id(path);
+                IdPathState& ips = id_path_state(path);
+                ips.value_id.push_back(vid);
+                ips.parent_id.push_back(parent);
+                ips.anchor_id.push_back(anchor);
+                walk(el, anchor, vid, path, "");
+            }
+        } else if (v.kind == JsonValue::Obj) {
+            std::string path = current_path + el_name;
+            if (!path.empty()) path += ".";
+            for (const auto& kv : *v.obj) {
+                walk(kv.second, anchor, parent, path, kv.first);
+            }
+        } else if (v.kind == JsonValue::Text) {
+            text_leaf(anchor, v.text, current_path + el_name, parent);
+        }
+    }
+};
+
+// resolve interned handles to sorted term ids; build terms blob
+void finalize_path(PathState& ps) {
+    // order handles by term bytes (== codepoint order == python sorted())
+    size_t n = ps.handle_to_key.size();
+    // prune zero-count terms (rolled-back single-token texts that never
+    // appeared elsewhere)
+    std::vector<uint32_t> order;
+    order.reserve(n);
+    for (uint32_t h = 0; h < n; h++) {
+        if (ps.terms.at(*ps.handle_to_key[h]).count > 0) order.push_back(h);
+    }
+    std::sort(order.begin(), order.end(), [&](uint32_t a, uint32_t b) {
+        return *ps.handle_to_key[a] < *ps.handle_to_key[b];
+    });
+    std::vector<uint32_t> handle_to_id(n, 0xFFFFFFFFu);
+    ps.occurrences.resize(order.size());
+    size_t blob_size = 0;
+    for (size_t r = 0; r < order.size(); r++) blob_size += ps.handle_to_key[order[r]]->size() + 1;
+    ps.terms_blob.reserve(blob_size);
+    for (size_t r = 0; r < order.size(); r++) {
+        uint32_t h = order[r];
+        handle_to_id[h] = (uint32_t)r;
+        ps.occurrences[r] = ps.terms.at(*ps.handle_to_key[h]).count;
+        if (r) ps.terms_blob.push_back('\0');
+        ps.terms_blob.append(*ps.handle_to_key[h]);
+    }
+    ps.num_terms = (uint32_t)order.size();
+
+    // leaf text ids: normal -> sorted id; large -> reference get_text_info
+    // formula continuing from the pass-1 counter (create.rs:141-160)
+    uint32_t large_counter = ps.large_text_counter;
+    ps.leaf_text_id.resize(ps.leaf_term_ref.size());
+    for (size_t i = 0; i < ps.leaf_term_ref.size(); i++) {
+        int32_t h = ps.leaf_term_ref[i];
+        if (h < 0) {
+            large_counter++;
+            ps.leaf_text_id[i] = (int64_t)ps.num_terms + 1 + large_counter;
+        } else {
+            ps.leaf_text_id[i] = handle_to_id[(uint32_t)h];
+        }
+    }
+    // token ids
+    ps.token_ids.resize(ps.token_refs.size());
+    for (size_t i = 0; i < ps.token_refs.size(); i++) {
+        ps.token_ids[i] = handle_to_id[(uint32_t)ps.token_refs[i]];
+    }
+    // release intermediates
+    ps.terms.clear();
+    ps.handle_to_key.clear();
+    ps.token_refs.clear();
+    ps.token_refs.shrink_to_fit();
+}
+
+}  // namespace
+
+extern "C" {
+
+void* vl_index_ndjson(const char* data, int64_t len, PathConfigCb cb) {
+    auto* res = new IndexResult();
+    Walker w{res, cb, {}};
+    Parser p{data, len};
+    while (true) {
+        p.skip_ws();
+        if (p.i >= p.n) break;
+        JsonValue doc;
+        if (!p.parse_value(doc)) {
+            res->error = "json parse error at byte " + std::to_string(p.i);
+            break;
+        }
+        uint32_t anchor = w.provide_id("");
+        w.walk(doc, anchor, anchor, "", "");
+        res->num_docs++;
+    }
+    for (auto* ps : res->paths) finalize_path(*ps);
+    return res;
+}
+
+const char* vl_error(void* r) { return ((IndexResult*)r)->error.c_str(); }
+int64_t vl_num_docs(void* r) { return ((IndexResult*)r)->num_docs; }
+int32_t vl_num_paths(void* r) { return (int32_t)((IndexResult*)r)->paths.size(); }
+
+int64_t vl_path_name(void* r, int32_t p, const char** out) {
+    auto& ps = *((IndexResult*)r)->paths[p];
+    *out = ps.name.data();
+    return (int64_t)ps.name.size();
+}
+int64_t vl_terms_blob(void* r, int32_t p, const char** out) {
+    auto& ps = *((IndexResult*)r)->paths[p];
+    *out = ps.terms_blob.data();
+    return (int64_t)ps.terms_blob.size();
+}
+int64_t vl_num_terms(void* r, int32_t p) {
+    return ((IndexResult*)r)->paths[p]->num_terms;
+}
+const uint32_t* vl_term_occurrences(void* r, int32_t p) {
+    return ((IndexResult*)r)->paths[p]->occurrences.data();
+}
+int64_t vl_num_leaves(void* r, int32_t p) {
+    return (int64_t)((IndexResult*)r)->paths[p]->leaf_anchor.size();
+}
+const uint32_t* vl_leaf_anchor(void* r, int32_t p) {
+    return ((IndexResult*)r)->paths[p]->leaf_anchor.data();
+}
+const uint32_t* vl_leaf_parent(void* r, int32_t p) {
+    return ((IndexResult*)r)->paths[p]->leaf_parent.data();
+}
+const int64_t* vl_leaf_text_id(void* r, int32_t p) {
+    return ((IndexResult*)r)->paths[p]->leaf_text_id.data();
+}
+const uint32_t* vl_leaf_ntokens(void* r, int32_t p) {
+    return ((IndexResult*)r)->paths[p]->leaf_ntokens.data();
+}
+const int64_t* vl_leaf_tok_offsets(void* r, int32_t p) {
+    auto& ps = *((IndexResult*)r)->paths[p];
+    if (ps.leaf_tok_offsets.empty()) ps.leaf_tok_offsets.push_back(0);
+    return ps.leaf_tok_offsets.data();
+}
+const uint32_t* vl_tokens(void* r, int32_t p) {
+    return ((IndexResult*)r)->paths[p]->token_ids.data();
+}
+int64_t vl_num_tokens(void* r, int32_t p) {
+    return (int64_t)((IndexResult*)r)->paths[p]->token_ids.size();
+}
+const uint8_t* vl_token_is_sep(void* r, int32_t p) {
+    return ((IndexResult*)r)->paths[p]->token_is_sep.data();
+}
+int64_t vl_large_text_count(void* r, int32_t p) {
+    return ((IndexResult*)r)->paths[p]->large_text_counter;
+}
+
+int32_t vl_num_id_paths(void* r) {
+    return (int32_t)((IndexResult*)r)->id_paths.size();
+}
+int64_t vl_id_path_name(void* r, int32_t p, const char** out) {
+    auto& ps = *((IndexResult*)r)->id_paths[p];
+    *out = ps.name.data();
+    return (int64_t)ps.name.size();
+}
+int64_t vl_num_id_pairs(void* r, int32_t p) {
+    return (int64_t)((IndexResult*)r)->id_paths[p]->value_id.size();
+}
+const uint32_t* vl_id_value(void* r, int32_t p) {
+    return ((IndexResult*)r)->id_paths[p]->value_id.data();
+}
+const uint32_t* vl_id_parent(void* r, int32_t p) {
+    return ((IndexResult*)r)->id_paths[p]->parent_id.data();
+}
+const uint32_t* vl_id_anchor(void* r, int32_t p) {
+    return ((IndexResult*)r)->id_paths[p]->anchor_id.data();
+}
+
+void vl_free(void* r) { delete (IndexResult*)r; }
+
+}  // extern "C"

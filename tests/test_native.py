@@ -1,0 +1,116 @@
+"""Native C++ indexing core: parity with the pure-Python pipeline."""
+
+import json
+
+import numpy as np
+import pytest
+
+from corpus import TEST_CONFIG, data_ndjson
+from veloci_tpu.create import create_indices_from_str
+from veloci_tpu.native import native_available
+
+pytestmark = pytest.mark.skipif(
+    not native_available(), reason="native library unavailable"
+)
+
+
+def _compare_builds(data: str, config: str) -> None:
+    py = create_indices_from_str(data, config, use_native=False)
+    nat = create_indices_from_str(data, config, use_native=True)
+
+    assert nat.num_docs == py.num_docs
+    assert set(nat.dictionaries) == set(py.dictionaries)
+    for field in py.dictionaries:
+        assert nat.dictionaries[field].terms == py.dictionaries[field].terms, field
+
+    assert set(nat.key_value_stores) == set(py.key_value_stores)
+    for path in py.key_value_stores:
+        a, b = py.key_value_stores[path], nat.key_value_stores[path]
+        assert type(a) is type(b), path
+        if hasattr(a, "offsets"):
+            np.testing.assert_array_equal(a.offsets, b.offsets, err_msg=path)
+        np.testing.assert_array_equal(a.values, b.values, err_msg=path)
+
+    assert set(nat.anchor_scores) == set(py.anchor_scores)
+    for path in py.anchor_scores:
+        a, b = py.anchor_scores[path], nat.anchor_scores[path]
+        np.testing.assert_array_equal(a.offsets, b.offsets, err_msg=path)
+        np.testing.assert_array_equal(a.anchors, b.anchors, err_msg=path)
+        np.testing.assert_array_equal(a.scores, b.scores, err_msg=path)
+
+    assert set(nat.phrase_indices) == set(py.phrase_indices)
+    for path in py.phrase_indices:
+        a, b = py.phrase_indices[path], nat.phrase_indices[path]
+        np.testing.assert_array_equal(a.keys, b.keys, err_msg=path)
+        np.testing.assert_array_equal(a.offsets, b.offsets, err_msg=path)
+        np.testing.assert_array_equal(a.values, b.values, err_msg=path)
+
+    assert set(nat.boost_stores) == set(py.boost_stores)
+    for path in py.boost_stores:
+        (av, ap), (bv, bp) = py.boost_stores[path], nat.boost_stores[path]
+        np.testing.assert_array_equal(av, bv, err_msg=path)
+        np.testing.assert_array_equal(ap, bp, err_msg=path)
+
+    for field in py.columns:
+        assert (
+            nat.columns[field]["is_anchor_identity_column"]
+            == py.columns[field]["is_anchor_identity_column"]
+        ), field
+
+
+def test_native_parity_main_corpus():
+    _compare_builds(data_ndjson(), TEST_CONFIG)
+
+
+def test_native_parity_unicode_and_escapes():
+    docs = [
+        {"t": "majestätischer Anblick (m)", "k": "意慾"},
+        {"t": 'quote " and \\ backslash\nnewline\ttab', "k": "いよく"},
+        {"t": "é́ combining", "nested": {"deep": [["a", "b"], ["c"]]}},
+        {"num": 5.123, "int": 42, "neg": -17, "big": 1e30, "flag": True, "nil": None},
+    ]
+    data = "\n".join(json.dumps(d, ensure_ascii=False) for d in docs)
+    _compare_builds(data, "{}")
+    # also with ascii escapes in the input
+    data_escaped = "\n".join(json.dumps(d, ensure_ascii=True) for d in docs)
+    _compare_builds(data_escaped, "{}")
+
+
+def test_native_parity_long_texts():
+    long_text = "lorem ipsum " * 20
+    docs = [{"text": long_text}, {"text": "short"}, {"text": long_text}]
+    data = "\n".join(json.dumps(d) for d in docs)
+    _compare_builds(data, "{}")
+
+
+def test_native_parity_custom_separators():
+    cfg = """
+[custom.fulltext]
+tokenize = true
+tokenize_on_chars = ['§', '<']
+[plain.fulltext]
+tokenize = false
+"""
+    docs = [
+        {"custom": "test§_ cool _", "plain": "no tokens here"},
+        {"custom": "<<cool>>"},
+    ]
+    data = "\n".join(json.dumps(d, ensure_ascii=False) for d in docs)
+    _compare_builds(data, cfg)
+
+
+def test_native_parity_large_random():
+    rng = np.random.default_rng(3)
+    words = [f"w{i}" for i in range(200)]
+    docs = []
+    for i in range(500):
+        docs.append(
+            {
+                "title": " ".join(rng.choice(words, size=int(rng.integers(1, 9)))),
+                "tags": [str(w) for w in rng.choice(words, size=2)],
+                "nested": {"vals": [" ".join(rng.choice(words, size=3))]},
+                "ent_seq": str(i),
+            }
+        )
+    data = "\n".join(json.dumps(d) for d in docs)
+    _compare_builds(data, TEST_CONFIG)

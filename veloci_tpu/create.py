@@ -198,11 +198,33 @@ def _pass1_collect_terms(
 
 
 def create_indices_from_str(
-    data_str: str, indices: str = "{}", *, line_delimited: bool = True
+    data_str: str,
+    indices: str = "{}",
+    *,
+    line_delimited: bool = True,
+    use_native: Optional[bool] = None,
 ) -> BuiltIndex:
-    """Build an index from newline-delimited JSON (reference create.rs:929-941)."""
+    """Build an index from newline-delimited JSON (reference create.rs:929-941).
+
+    ``use_native=None`` auto-selects the C++ indexing core when available
+    (``VELOCI_TPU_NO_NATIVE=1`` forces the pure-Python pipeline).
+    """
     if not line_delimited:
         data_str = to_line_delimited(data_str)
+    if use_native is not False:
+        try:
+            from .native import native_available
+
+            if native_available():
+                from .config import config_from_string as _cfs
+                from .create_native import build_native
+
+                config = _cfs(indices)
+                config.features_to_indices()
+                return build_native(data_str, config)
+        except Exception:
+            if use_native:  # explicit request -> surface the error
+                raise
     lines = [ln for ln in data_str.split("\n") if ln.strip()]
     docs = [json.loads(ln) for ln in lines]
     return create_indices_from_docs(docs, lines, indices)

@@ -1,0 +1,246 @@
+"""ctypes bindings for the native indexing core (native/indexer.cpp).
+
+Loads (building on demand with g++ if needed) ``libveloci_native.so`` and
+exposes :func:`index_ndjson`, which parses + flattens + tokenizes + counts an
+ndjson corpus in C++ and returns numpy arrays per field path. The pure-Python
+pipeline in :mod:`veloci_tpu.create` remains the reference implementation and
+fallback; parity between the two is covered by tests.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+from dataclasses import dataclass
+from pathlib import Path
+from typing import Dict, List, Optional
+
+import numpy as np
+
+__all__ = ["native_available", "index_ndjson", "NativePath", "NativeIdPath"]
+
+_LIB: Optional[ctypes.CDLL] = None
+_LIB_TRIED = False
+
+_NATIVE_DIR = Path(__file__).resolve().parent.parent / "native"
+_SO_PATH = _NATIVE_DIR / "libveloci_native.so"
+
+_CONFIG_CB = ctypes.CFUNCTYPE(
+    ctypes.c_int32,
+    ctypes.POINTER(ctypes.c_char),  # path (NOT c_char_p: keep the raw pointer)
+    ctypes.c_int32,  # path_len
+    ctypes.POINTER(ctypes.c_uint8),  # tokenize out
+    ctypes.POINTER(ctypes.c_int32),  # do_not_store_longer_than out
+    ctypes.POINTER(ctypes.c_char),  # separators buf (writable)
+    ctypes.POINTER(ctypes.c_int32),  # separators len in/out
+)
+
+
+def _build_lib() -> bool:
+    src = _NATIVE_DIR / "indexer.cpp"
+    if not src.exists():
+        return False
+    try:
+        subprocess.run(
+            [
+                "g++",
+                "-O2",
+                "-std=c++17",
+                "-shared",
+                "-fPIC",
+                "-o",
+                str(_SO_PATH),
+                str(src),
+            ],
+            check=True,
+            capture_output=True,
+        )
+        return True
+    except Exception:
+        return False
+
+
+def _load() -> Optional[ctypes.CDLL]:
+    global _LIB, _LIB_TRIED
+    if _LIB is not None or _LIB_TRIED:
+        return _LIB
+    _LIB_TRIED = True
+    if os.environ.get("VELOCI_TPU_NO_NATIVE"):
+        return None
+    if not _SO_PATH.exists() or (
+        _SO_PATH.stat().st_mtime < (_NATIVE_DIR / "indexer.cpp").stat().st_mtime
+    ):
+        if not _build_lib():
+            return None
+    try:
+        lib = ctypes.CDLL(str(_SO_PATH))
+    except OSError:
+        return None
+    lib.vl_index_ndjson.restype = ctypes.c_void_p
+    lib.vl_index_ndjson.argtypes = [ctypes.c_char_p, ctypes.c_int64, _CONFIG_CB]
+    lib.vl_error.restype = ctypes.c_char_p
+    lib.vl_error.argtypes = [ctypes.c_void_p]
+    lib.vl_num_docs.restype = ctypes.c_int64
+    lib.vl_num_docs.argtypes = [ctypes.c_void_p]
+    lib.vl_num_paths.restype = ctypes.c_int32
+    lib.vl_num_paths.argtypes = [ctypes.c_void_p]
+    for name, restype in [
+        ("vl_path_name", ctypes.c_int64),
+        ("vl_terms_blob", ctypes.c_int64),
+    ]:
+        fn = getattr(lib, name)
+        fn.restype = restype
+        fn.argtypes = [ctypes.c_void_p, ctypes.c_int32, ctypes.POINTER(ctypes.c_char_p)]
+    for name, restype in [
+        ("vl_num_terms", ctypes.c_int64),
+        ("vl_num_leaves", ctypes.c_int64),
+        ("vl_num_tokens", ctypes.c_int64),
+        ("vl_large_text_count", ctypes.c_int64),
+        ("vl_num_id_pairs", ctypes.c_int64),
+    ]:
+        fn = getattr(lib, name)
+        fn.restype = restype
+        fn.argtypes = [ctypes.c_void_p, ctypes.c_int32]
+    for name, ptr_t in [
+        ("vl_term_occurrences", ctypes.c_uint32),
+        ("vl_leaf_anchor", ctypes.c_uint32),
+        ("vl_leaf_parent", ctypes.c_uint32),
+        ("vl_leaf_text_id", ctypes.c_int64),
+        ("vl_leaf_ntokens", ctypes.c_uint32),
+        ("vl_leaf_tok_offsets", ctypes.c_int64),
+        ("vl_tokens", ctypes.c_uint32),
+        ("vl_token_is_sep", ctypes.c_uint8),
+        ("vl_id_value", ctypes.c_uint32),
+        ("vl_id_parent", ctypes.c_uint32),
+        ("vl_id_anchor", ctypes.c_uint32),
+    ]:
+        fn = getattr(lib, name)
+        fn.restype = ctypes.POINTER(ptr_t)
+        fn.argtypes = [ctypes.c_void_p, ctypes.c_int32]
+    lib.vl_num_id_paths.restype = ctypes.c_int32
+    lib.vl_num_id_paths.argtypes = [ctypes.c_void_p]
+    lib.vl_id_path_name.restype = ctypes.c_int64
+    lib.vl_id_path_name.argtypes = [
+        ctypes.c_void_p,
+        ctypes.c_int32,
+        ctypes.POINTER(ctypes.c_char_p),
+    ]
+    lib.vl_free.restype = None
+    lib.vl_free.argtypes = [ctypes.c_void_p]
+    _LIB = lib
+    return _LIB
+
+
+def native_available() -> bool:
+    return _load() is not None
+
+
+@dataclass
+class NativePath:
+    name: str
+    terms: List[str]
+    occurrences: np.ndarray  # uint32 [num_terms]
+    large_text_count: int
+    leaf_anchor: np.ndarray  # uint32 [L]
+    leaf_parent: np.ndarray  # uint32 [L]
+    leaf_text_id: np.ndarray  # int64 [L]
+    leaf_ntokens: np.ndarray  # uint32 [L]
+    leaf_tok_offsets: np.ndarray  # int64 [L+1]
+    tokens: np.ndarray  # uint32 [T]
+    token_is_sep: np.ndarray  # uint8 [T]
+
+
+@dataclass
+class NativeIdPath:
+    name: str
+    value_id: np.ndarray
+    parent_id: np.ndarray
+    anchor_id: np.ndarray
+
+
+def _copy_array(ptr, count, dtype):
+    if count == 0:
+        return np.empty(0, dtype=dtype)
+    return np.ctypeslib.as_array(ptr, shape=(count,)).astype(dtype, copy=True)
+
+
+def index_ndjson(data: str, get_path_config) -> tuple:
+    """Run the native pipeline. ``get_path_config(path) -> (tokenize,
+    do_not_store_longer_than, separators_str)``.
+
+    Returns (num_docs, [NativePath], [NativeIdPath]).
+    """
+    lib = _load()
+    assert lib is not None, "native library unavailable"
+
+    def cb(path, path_len, tokenize_out, max_len_out, sep_buf, sep_len):
+        p = ctypes.string_at(path, path_len).decode("utf-8")
+        tokenize, max_len, separators = get_path_config(p)
+        tokenize_out[0] = 1 if tokenize else 0
+        max_len_out[0] = int(max_len)
+        enc = separators.encode("utf-8")
+        cap = sep_len[0]
+        enc = enc[:cap]
+        ctypes.memmove(sep_buf, enc, len(enc))
+        sep_len[0] = len(enc)
+        return 0
+
+    cb_ref = _CONFIG_CB(cb)
+    raw = data.encode("utf-8")
+    handle = lib.vl_index_ndjson(raw, len(raw), cb_ref)
+    try:
+        err = lib.vl_error(handle)
+        if err:
+            raise ValueError(err.decode("utf-8"))
+        num_docs = lib.vl_num_docs(handle)
+        paths: List[NativePath] = []
+        for p in range(lib.vl_num_paths(handle)):
+            out = ctypes.c_char_p()
+            nlen = lib.vl_path_name(handle, p, ctypes.byref(out))
+            name = ctypes.string_at(out, nlen).decode("utf-8")
+            blen = lib.vl_terms_blob(handle, p, ctypes.byref(out))
+            blob = ctypes.string_at(out, blen)
+            nt = lib.vl_num_terms(handle, p)
+            # NB: decode by term count, not blob truthiness — a single empty
+            # term ("" is a valid text value) yields an empty blob
+            terms = blob.decode("utf-8").split("\x00") if nt > 0 else []
+            assert len(terms) == nt, (name, len(terms), nt)
+            nl = lib.vl_num_leaves(handle, p)
+            ntk = lib.vl_num_tokens(handle, p)
+            paths.append(
+                NativePath(
+                    name=name,
+                    terms=terms,
+                    occurrences=_copy_array(
+                        lib.vl_term_occurrences(handle, p), nt, np.uint32
+                    ),
+                    large_text_count=lib.vl_large_text_count(handle, p),
+                    leaf_anchor=_copy_array(lib.vl_leaf_anchor(handle, p), nl, np.uint32),
+                    leaf_parent=_copy_array(lib.vl_leaf_parent(handle, p), nl, np.uint32),
+                    leaf_text_id=_copy_array(lib.vl_leaf_text_id(handle, p), nl, np.int64),
+                    leaf_ntokens=_copy_array(lib.vl_leaf_ntokens(handle, p), nl, np.uint32),
+                    leaf_tok_offsets=_copy_array(
+                        lib.vl_leaf_tok_offsets(handle, p), nl + 1, np.int64
+                    ),
+                    tokens=_copy_array(lib.vl_tokens(handle, p), ntk, np.uint32),
+                    token_is_sep=_copy_array(lib.vl_token_is_sep(handle, p), ntk, np.uint8),
+                )
+            )
+        id_paths: List[NativeIdPath] = []
+        for p in range(lib.vl_num_id_paths(handle)):
+            out = ctypes.c_char_p()
+            nlen = lib.vl_id_path_name(handle, p, ctypes.byref(out))
+            name = ctypes.string_at(out, nlen).decode("utf-8")
+            npairs = lib.vl_num_id_pairs(handle, p)
+            id_paths.append(
+                NativeIdPath(
+                    name=name,
+                    value_id=_copy_array(lib.vl_id_value(handle, p), npairs, np.uint32),
+                    parent_id=_copy_array(lib.vl_id_parent(handle, p), npairs, np.uint32),
+                    anchor_id=_copy_array(lib.vl_id_anchor(handle, p), npairs, np.uint32),
+                )
+            )
+        return num_docs, paths, id_paths
+    finally:
+        lib.vl_free(handle)
