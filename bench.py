@@ -157,6 +157,31 @@ def main() -> None:
 
     qps_tpu, lat_tpu = run_exact_bench(dev.offsets, dev.anchors, dev.scores01, backend)
 
+    # ---- batched throughput mode ----------------------------------------
+    from veloci_tpu.ops.search_step import batched_search_topk
+
+    batch = np.full((len(exact_terms), t_pad), -1, dtype=np.int32)
+    batch_scores = np.zeros((len(exact_terms), t_pad), dtype=np.float32)
+    for qi, term in enumerate(exact_terms):
+        for j, tid in enumerate(dictionary.get_ignore_case(term)[:t_pad]):
+            batch[qi, j] = tid
+            batch_scores[qi, j] = 10.0
+    bt, bs = jnp.asarray(batch), jnp.asarray(batch_scores)
+    batched_search_topk(
+        dev.offsets, dev.anchors, dev.scores01, bt, bs,
+        capacity=capacity, num_docs=num_docs, k=TOP_K,
+    )[0].block_until_ready()
+    reps = 5
+    t_start = time.perf_counter()
+    for _ in range(reps):
+        ids_b, _sc = batched_search_topk(
+            dev.offsets, dev.anchors, dev.scores01, bt, bs,
+            capacity=capacity, num_docs=num_docs, k=TOP_K,
+        )
+        ids_b.block_until_ready()
+    qps_batched = reps * len(exact_terms) / (time.perf_counter() - t_start)
+    log(f"[{backend}] exact batched ({len(exact_terms)}/batch): {qps_batched:.0f} QPS")
+
     # ---- fuzzy d=2 -------------------------------------------------------
     fuzz_capacity = 1 << 17
     chars, lengths = dev.chars, dev.lengths
@@ -186,25 +211,44 @@ def main() -> None:
     )
 
     # ---- CPU single-core proxy baseline ----------------------------------
+    # (runs in a subprocess so a wedged CPU backend can't hang the bench)
     vs_baseline = 1.0
-    try:
-        cpu = jax.devices("cpu")[0]
-        off_c = jax.device_put(np.asarray(dev.offsets), cpu)
-        anc_c = jax.device_put(np.asarray(dev.anchors), cpu)
-        sc_c = jax.device_put(np.asarray(dev.scores01), cpu)
-        qps_cpu, _ = run_exact_bench(off_c, anc_c, sc_c, "cpu-proxy")
-        vs_baseline = qps_tpu / qps_cpu
-    except Exception as e:  # CPU backend may be unavailable under the plugin
-        log(f"cpu proxy failed: {e!r}")
+    if not os.environ.get("BENCH_SKIP_CPU_PROXY"):
+        import subprocess
+
+        try:
+            env = dict(os.environ)
+            env["JAX_PLATFORMS"] = "cpu"
+            env["BENCH_DOCS"] = str(N_DOCS)
+            env["BENCH_EXACT_QUERIES"] = "30"
+            env["BENCH_FUZZY_QUERIES"] = "1"
+            env["BENCH_SKIP_CPU_PROXY"] = "1"
+            proc = subprocess.run(
+                ["python", "-c",
+                 "import jax; jax.config.update('jax_platforms','cpu');"
+                 "import bench; bench.main()"],
+                capture_output=True, text=True, timeout=600, env=env,
+                cwd=os.path.dirname(os.path.abspath(__file__)) or ".",
+            )
+            cpu_json = json.loads(proc.stdout.strip().splitlines()[-1])
+            qps_cpu_batched = cpu_json["value"]  # headline = batched
+            qps_cpu = cpu_json["detail"].get("exact_sequential_qps", qps_cpu_batched)
+            log(f"cpu proxy: {qps_cpu} QPS sequential, {qps_cpu_batched} QPS batched")
+            # batched-vs-batched: TPU serving throughput over the same
+            # vectorised engine pinned to host CPU
+            vs_baseline = qps_batched / qps_cpu_batched
+        except Exception as e:
+            log(f"cpu proxy failed: {e!r}")
 
     result = {
-        "metric": "jmdict_like_exact_top10_qps",
-        "value": round(qps_tpu, 1),
+        "metric": "jmdict_like_exact_top10_batched_qps",
+        "value": round(qps_batched, 1),
         "unit": "qps",
         "vs_baseline": round(vs_baseline, 2),
         "detail": {
             "backend": backend,
             "num_docs": num_docs,
+            "exact_sequential_qps": round(qps_tpu, 1),
             "exact_p50_ms": round(percentile(lat_tpu, 50) * 1e3, 3),
             "exact_p99_ms": round(percentile(lat_tpu, 99) * 1e3, 3),
             "fuzzy_d2_qps": round(qps_fuzzy, 1),

@@ -16,7 +16,7 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
-__all__ = ["exact_search_topk", "union_search_topk"]
+__all__ = ["exact_search_topk", "union_search_topk", "batched_search_topk"]
 
 
 @partial(jax.jit, static_argnames=("capacity", "num_docs", "k"))
@@ -53,6 +53,33 @@ def exact_search_topk(
     dense = jnp.where(jnp.isfinite(dense), dense, 0.0)
     scores, ids = jax.lax.top_k(dense, k)
     return ids, scores
+
+
+@partial(jax.jit, static_argnames=("capacity", "num_docs", "k"))
+def batched_search_topk(
+    offsets: jax.Array,
+    anchors: jax.Array,
+    scores01: jax.Array,
+    term_ids: jax.Array,  # [Q, T_pad] int32 (pad -1)
+    term_scores: jax.Array,  # [Q, T_pad] f32
+    capacity: int,
+    num_docs: int,
+    k: int,
+):
+    """Throughput mode: a batch of queries in ONE device dispatch.
+
+    The serving-side analogue of the reference's per-request thread pool —
+    on TPU, queries batch into one `vmap`'d XLA program so HBM bandwidth,
+    not dispatch latency, sets the throughput ceiling.
+    """
+
+    def one(tids, tscores):
+        return exact_search_topk(
+            offsets, anchors, scores01, tids, tscores,
+            capacity=capacity, num_docs=num_docs, k=k,
+        )
+
+    return jax.vmap(one)(term_ids, term_scores)
 
 
 @partial(jax.jit, static_argnames=("capacity", "num_docs", "k", "num_slots"))

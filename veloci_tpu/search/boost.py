@@ -301,12 +301,20 @@ def term_boost_factor(
     """Multiplicative per-anchor factor for `boost_term`
     (reference apply_boost_term, boost.rs:89-196): each term searched across
     its field, resolved to anchors ids-only; every occurrence multiplies the
-    hit score by the part's boost (default 2.0)."""
+    hit score by the part's boost (default 2.0). Resolved anchors are cached
+    per part (reference `term_boost_cache`, persistence.rs:67)."""
     factor = np.ones(num_docs, dtype=_F32)
+    cache = persistence.term_boost_cache
     for part in boost_terms:
-        res = field_search_fn(part, get_scores=False, get_ids=True)
-        anchors = resolve_ids_to_anchor(persistence, res.path, res.hits_ids)
-        anchors = anchors[anchors < num_docs]
+        key = part.key()
+        anchors = cache.get(key)
+        if anchors is None:
+            res = field_search_fn(part, get_scores=False, get_ids=True)
+            anchors = resolve_ids_to_anchor(persistence, res.path, res.hits_ids)
+            anchors = anchors[anchors < num_docs]
+            if len(cache) > 512:
+                cache.clear()
+            cache[key] = anchors
         if len(anchors) == 0:
             continue
         boost_val = _F32(part.boost if part.boost is not None else 2.0)

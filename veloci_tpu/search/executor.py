@@ -22,6 +22,8 @@ from __future__ import annotations
 
 import time
 from dataclasses import dataclass
+
+from ..trace import debug_time, info_time
 from typing import Dict, List, Optional, Set, Tuple
 
 import numpy as np
@@ -248,6 +250,8 @@ def search(request: Request, persistence) -> SearchResult:
         raise InvalidRequestError("search_req is required in search")
     top = request.top if request.top is not None else 10
 
+    tm = info_time("search")
+    tm.__enter__()
     ctx = _Ctx(persistence, request)
     if not ctx.explain and request.search_req is not None:
         for part in request.search_req.walk_parts():
@@ -371,6 +375,7 @@ def search(request: Request, persistence) -> SearchResult:
         )
 
     result.execution_time_ns = time.time_ns() - start
+    tm.__exit__(None, None, None)
     return result
 
 
