@@ -141,7 +141,7 @@ def main() -> None:
         for term in exact_terms:
             q0 = time.perf_counter()
             tid, tsc = prep_exact(term)
-            ids, scores = exact_search_topk(
+            ids, scores, _nh = exact_search_topk(
                 offsets, anchors, scores01, tid, tsc,
                 capacity=capacity, num_docs=num_docs, k=TOP_K,
             )
@@ -174,7 +174,7 @@ def main() -> None:
     reps = 5
     t_start = time.perf_counter()
     for _ in range(reps):
-        ids_b, _sc = batched_search_topk(
+        ids_b, _sc, _nh = batched_search_topk(
             dev.offsets, dev.anchors, dev.scores01, bt, bs,
             capacity=capacity, num_docs=num_docs, k=TOP_K,
         )
@@ -196,7 +196,7 @@ def main() -> None:
     for term in fuzzy_terms:
         t1 = time.perf_counter()
         q, qlen = encode_query(term.lower())
-        ids, scores = fuzzy_search_topk(
+        ids, scores, _nh = fuzzy_search_topk(
             chars, lengths, jnp.asarray(q), jnp.int32(qlen), jnp.int32(2),
             dev.offsets, dev.anchors, dev.scores01,
             max_terms=128, capacity=fuzz_capacity, num_docs=num_docs, k=TOP_K,

@@ -107,4 +107,5 @@ def fuzzy_search_topk(
     dense = jax.ops.segment_max(s, a, num_segments=num_docs + 1)[:num_docs]
     dense = jnp.where(jnp.isfinite(dense), dense, 0.0)
     scores, ids = jax.lax.top_k(dense, k)
-    return ids, scores
+    num_hits = jnp.sum(dense > 0, dtype=jnp.int32)
+    return ids, scores, num_hits

@@ -52,7 +52,8 @@ def exact_search_topk(
     dense = jax.ops.segment_max(s, a, num_segments=num_docs + 1)[:num_docs]
     dense = jnp.where(jnp.isfinite(dense), dense, 0.0)
     scores, ids = jax.lax.top_k(dense, k)
-    return ids, scores
+    num_hits = jnp.sum(dense > 0, dtype=jnp.int32)
+    return ids, scores, num_hits
 
 
 @partial(jax.jit, static_argnames=("capacity", "num_docs", "k"))
@@ -128,4 +129,5 @@ def union_search_topk(
     distinct = jnp.sum(per_slot >= 1e-5, axis=0).astype(jnp.float32)
     dense = jnp.sum(per_slot, axis=0) * distinct * distinct
     scores, ids = jax.lax.top_k(dense, k)
-    return ids, scores
+    num_hits = jnp.sum(dense > 0, dtype=jnp.int32)
+    return ids, scores, num_hits

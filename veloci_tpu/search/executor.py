@@ -243,12 +243,135 @@ def _eval_ids(ctx: _Ctx, node: SearchRequest) -> np.ndarray:
     return out
 
 
+def _try_fast_path(request: Request, persistence, top: int) -> Optional[SearchResult]:
+    """Fused device path for plain exact queries: host term lookup + ONE XLA
+    program (resolve -> dense -> top-k -> hit count). Covers single-leaf and
+    flat-OR exact requests without filters/boosts/facets/why-found."""
+    if any(
+        (
+            request.filter,
+            request.boost,
+            request.boost_term,
+            request.phrase_boosts,
+            request.facets,
+            request.why_found,
+            request.text_locality,
+            request.explain,
+            request.suggest,
+        )
+    ):
+        return None
+    node = request.search_req
+    if node.kind == SearchRequest.SEARCH:
+        leaves = [node.part]
+    elif node.kind == SearchRequest.OR and all(
+        q.kind == SearchRequest.SEARCH for q in node.queries
+    ):
+        leaves = [q.part for q in node.queries]
+    else:
+        return None
+    for part in leaves:
+        if (
+            (part.levenshtein_distance or 0) != 0
+            or part.starts_with
+            or part.is_regex
+            or part.token_value is not None
+            or part.snippet
+            or part.top is not None
+            or part.skip is not None
+            or (part.options or None)
+            or part.ignore_case is False
+        ):
+            return None
+
+    from ..ops.postings import bucket_size
+    from ..ops.search_step import union_search_topk
+    from .field_search import get_default_score_for_distance
+
+    import jax.numpy as jnp
+
+    # host term lookup + slot assignment (slot = distinct term string)
+    term_strings = sorted({p.terms[0] for p in leaves})
+    slots = {t: i for i, t in enumerate(term_strings)}
+    tid_list: List[Tuple[str, int, float, int]] = []  # (field, tid, score, slot)
+    fields = set()
+    for part in leaves:
+        field = part.path
+        if field.endswith(TEXTINDEX):
+            field = field[: -len(TEXTINDEX)]
+        fields.add(field)
+        dictionary = persistence.get_dictionary(field)
+        score = _F32(10.0)  # exact: distance 0 -> 2/0.2
+        if part.boost is not None:
+            score = _F32(score * _F32(part.boost))
+        for tid in dictionary.get_ignore_case(part.terms[0]):
+            tid_list.append((field, tid, float(score), slots[part.terms[0]]))
+    if len(fields) != 1:
+        return None  # multi-field fusion needs per-field postings; generic path
+    field = next(iter(fields))
+    dev = persistence.device_field(field)
+    if dev.offsets is None:
+        return None
+
+    num_docs = persistence.num_docs
+    ho = dev.host_offsets
+    total = sum(
+        int(ho[t + 1] - ho[t]) for _f, t, _s, _sl in tid_list if t < dev.num_score_keys
+    )
+    capacity = bucket_size(max(total, 1))
+    t_pad = bucket_size(max(len(tid_list), 1), 8)
+    term_ids = np.full(t_pad, -1, dtype=np.int32)
+    term_scores = np.zeros(t_pad, dtype=np.float32)
+    term_slots = np.zeros(t_pad, dtype=np.int32)
+    for j, (_f, tid, sc, sl) in enumerate(tid_list[:t_pad]):
+        if tid < dev.num_score_keys:
+            term_ids[j] = tid
+            term_scores[j] = sc
+            term_slots[j] = sl
+    k_eff = min(num_docs, top + 64)
+    ids, scores, num_hits = union_search_topk(
+        dev.offsets,
+        dev.anchors,
+        dev.scores01,
+        jnp.asarray(term_ids),
+        jnp.asarray(term_scores),
+        jnp.asarray(term_slots),
+        capacity=capacity,
+        num_docs=num_docs,
+        k=k_eff,
+        num_slots=max(len(term_strings), 1),
+    )
+    ids = np.asarray(ids)
+    scores = np.asarray(scores)
+    mask = scores > 0
+    ids, scores = ids[mask], scores[mask]
+    # exact (score desc, id desc) tie-break; bail out if ties straddle the
+    # overfetch boundary (then the generic exact path decides)
+    order = np.lexsort((-ids.astype(np.int64), -scores.astype(np.float64)))
+    ids, scores = ids[order], scores[order]
+    if len(ids) > top and k_eff < num_docs and len(ids) == k_eff and scores[-1] == scores[top - 1]:
+        return None
+    result = SearchResult()
+    result.num_hits = int(num_hits)
+    result.data = [Hit(int(i), float(s)) for i, s in zip(ids[:top], scores[:top])]
+    return result
+
+
 def search(request: Request, persistence) -> SearchResult:
     """Reference search::search (src/search.rs:143-228)."""
     start = time.time_ns()
     if request.search_req is None:
         raise InvalidRequestError("search_req is required in search")
     top = request.top if request.top is not None else 10
+
+    skip0 = request.skip or 0
+    fast = _try_fast_path(request, persistence, top + skip0)
+    if fast is not None:
+        if skip0:
+            fast.data = fast.data[skip0:]
+        fast.data = fast.data[:top]
+        fast.execution_time_ns = time.time_ns() - start
+        return fast
 
     tm = info_time("search")
     tm.__enter__()
