@@ -16,10 +16,24 @@ from veloci_tpu.search.executor import suggest
 from veloci_tpu.search.read_document import read_data
 
 
-@pytest.fixture(scope="module")
-def pers():
+import os
+
+# Same suite against both storage backends — the reference CI's env matrix
+# (`PersistenceType=Transient|Persistent`, tests/all/common/mod.rs:40-77).
+_BACKENDS = [os.environ["PersistenceType"]] if os.environ.get("PersistenceType") else [
+    "Transient",
+    "Persistent",
+]
+
+
+@pytest.fixture(scope="module", params=_BACKENDS)
+def pers(request, tmp_path_factory):
     p = Persistence.create_from_str(data_ndjson(), TEST_CONFIG)
     add_token_values_to_tokens(p, TOKEN_VALUES[0], TOKEN_VALUES[1])
+    if request.param == "Persistent":
+        d = str(tmp_path_factory.mktemp("dbs") / "test_all")
+        p.save(d)
+        p = Persistence.load(d)
     return p
 
 

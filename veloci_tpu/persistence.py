@@ -104,6 +104,31 @@ class Persistence:
         return cls.from_built(built)
 
     @classmethod
+    def create_im(cls, data_str: str, indices: str = "{}") -> "Persistence":
+        """In-memory ("Transient") build — reference Persistence::create_im
+        (persistence.rs:368-380)."""
+        return cls.create_from_str(data_str, indices)
+
+    @classmethod
+    def create_mmap(
+        cls, directory: str, data_str: str, indices: str = "{}"
+    ) -> "Persistence":
+        """Disk-backed build + reload through mmap — reference
+        Persistence::create_mmap + load (persistence.rs:382-410)."""
+        pers = cls.create_from_str(data_str, indices)
+        pers.save(directory)
+        return cls.load(directory)
+
+    @classmethod
+    def create_from_file(
+        cls, data_path: str, indices: str = "{}"
+    ) -> "Persistence":
+        """Reference create::create_indices_from_file (create.rs:935-941)."""
+        from pathlib import Path as _P
+
+        return cls.create_from_str(_P(data_path).read_text(), indices)
+
+    @classmethod
     def from_built(cls, built: BuiltIndex) -> "Persistence":
         p = cls()
         p.num_docs = built.num_docs
