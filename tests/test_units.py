@@ -261,3 +261,13 @@ def test_persistence_save_load(tmp_path):
     assert p2.doc_loader.get_doc(res.data[0].id) == json.dumps(
         {"title": "die erbin", "commonness": 5}
     )
+
+
+def test_steps_between_field_paths():
+    from veloci_tpu.utils import steps_between_field_paths
+
+    assert steps_between_field_paths("meanings.ger[].text", "meanings.ger[].boost") == [
+        "meanings.ger[].value_id_to_parent",
+        "meanings.ger[].parent_to_value_id",
+        "meanings.ger[].boost.parent_to_value_id",
+    ]

@@ -25,7 +25,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .levenshtein import MAX_QUERY_CHARS
 
-__all__ = ["levenshtein_sweep_pallas"]
+__all__ = ["levenshtein_sweep_pallas", "levenshtein_sweep_pallas_banded"]
 
 _BIG = np.int32(1 << 20)
 TILE_N = 1024
@@ -105,6 +105,129 @@ def levenshtein_sweep_pallas(
     prefix_dist = prefix_dist[0]
 
     # is-prefix flag (plain jnp; one fused comparison pass)
+    pos = jnp.arange(l, dtype=jnp.int32)
+    eq = (chars_t.astype(jnp.int32) == query[:l].astype(jnp.int32)[:, None]) | (
+        pos[:, None] >= query_len
+    )
+    is_prefix = jnp.all(eq, axis=0) & (term_lens >= query_len) & (term_lens > 0)
+    return dist, prefix_dist, is_prefix
+
+
+# --------------------------------------------------------------------------
+# Banded variant: edit distances are only needed up to d<=4 for matching, so
+# the DP restricts to the |i-j| <= D_BAND diagonal band — 9 relaxations per
+# query char instead of 33. Distances beyond the band report as _BIG (they
+# cannot match). NOT valid for starts_with scoring, where matched terms can
+# have full-term distance > d (the wrapper in field_search keeps the
+# full-width sweep for that case).
+# --------------------------------------------------------------------------
+
+D_BAND = 4
+_W = 2 * D_BAND + 1
+
+
+def _kernel_banded(
+    query_ref, qlen_ref, chars_ref, len_ref, dist_ref, prefix_ref, chars32
+):
+    qlen = qlen_ref[0]
+    lens = len_ref[0, :]
+    # stage chars as i32 — Mosaic only supports dynamic sublane loads on
+    # 32-bit tiles ((8,128) tiling), not on the u16 input
+    chars32[:, :] = chars_ref[:, :].astype(jnp.int32)
+
+    # B[o] = D[i][i + o - D_BAND]; init row i=0: D[0][j] = j
+    init_rows = []
+    for oi in range(_W):
+        o = oi - D_BAND
+        if o >= 0:
+            init_rows.append(jnp.full((TILE_N,), o, dtype=jnp.int32))
+        else:
+            init_rows.append(jnp.full((TILE_N,), _BIG, dtype=jnp.int32))
+    init = jnp.stack(init_rows, axis=0)  # [_W, TILE_N]
+
+    # fully unrolled over query chars: every chars row index is STATIC, so
+    # Mosaic emits plain vector loads (no dynamic-slice shuffles)
+    B = [init[oi] for oi in range(_W)]
+    for i in range(1, MAX_QUERY_CHARS + 1):
+        qc = query_ref[i - 1]
+        active = i <= qlen
+        prev = jnp.full((TILE_N,), _BIG, dtype=jnp.int32)
+        new_rows = []
+        for oi in range(_W):
+            o = oi - D_BAND
+            j_idx = i + o  # static!
+            if j_idx < 0 or j_idx > L:
+                val = jnp.full((TILE_N,), _BIG, dtype=jnp.int32)
+            elif j_idx == 0:
+                val = jnp.full((TILE_N,), i, dtype=jnp.int32)
+            else:
+                cost = (chars32[j_idx - 1, :] != qc).astype(jnp.int32)
+                up = B[oi + 1] + 1 if oi + 1 < _W else jnp.full((TILE_N,), _BIG, jnp.int32)
+                diag = B[oi] + cost
+                val = jnp.minimum(jnp.minimum(up, diag), prev + 1)
+                val = jnp.minimum(val, _BIG)
+            prev = val
+            new_rows.append(val)
+        B = [jnp.where(active, n_, b_) for n_, b_ in zip(new_rows, B)]
+    B = jnp.stack(B, axis=0)
+
+    # dist = D[qlen][len] when |len - qlen| <= D_BAND
+    off = lens - qlen + D_BAND  # band index of the term end
+    dist = jnp.full((TILE_N,), _BIG, dtype=jnp.int32)
+    prefix_dist = jnp.full((TILE_N,), _BIG, dtype=jnp.int32)
+    for oi in range(_W):
+        o = oi - D_BAND
+        dist = jnp.where(off == oi, B[oi, :], dist)
+        # prefix j = qlen + o must satisfy 0 <= j <= len
+        ok = (qlen + o >= 0) & (qlen + o <= lens)
+        prefix_dist = jnp.minimum(prefix_dist, jnp.where(ok, B[oi, :], _BIG))
+    valid = lens > 0
+    dist_ref[0, :] = jnp.where(valid, dist, _BIG)
+    prefix_ref[0, :] = jnp.where(valid, prefix_dist, _BIG)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def levenshtein_sweep_pallas_banded(
+    chars_t: jax.Array,  # [L, N_pad] uint16
+    term_lens: jax.Array,  # [N_pad] int32
+    query: jax.Array,  # [MAX_QUERY_CHARS] uint16
+    query_len: jax.Array,  # scalar int32
+    interpret: bool = False,
+):
+    """Banded sweep: exact distances within the +-4 band, _BIG outside."""
+    l, n = chars_t.shape
+    assert l == L and n % TILE_N == 0
+    grid = (n // TILE_N,)
+    dist, prefix_dist = pl.pallas_call(
+        _kernel_banded,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((L, TILE_N), lambda t, *_: (0, t)),
+                pl.BlockSpec((1, TILE_N), lambda t, *_: (0, t)),
+            ],
+            out_specs=[
+                pl.BlockSpec((1, TILE_N), lambda t, *_: (0, t)),
+                pl.BlockSpec((1, TILE_N), lambda t, *_: (0, t)),
+            ],
+            scratch_shapes=[pltpu.VMEM((L, TILE_N), jnp.int32)],
+        ),
+        out_shape=[
+            jax.ShapeDtypeStruct((1, n), jnp.int32),
+            jax.ShapeDtypeStruct((1, n), jnp.int32),
+        ],
+        interpret=interpret,
+    )(
+        query.astype(jnp.int32),
+        query_len.reshape(1).astype(jnp.int32)
+        if query_len.ndim == 0
+        else query_len.astype(jnp.int32),
+        chars_t,
+        term_lens.reshape(1, n),
+    )
+    dist = dist[0]
+    prefix_dist = prefix_dist[0]
     pos = jnp.arange(l, dtype=jnp.int32)
     eq = (chars_t.astype(jnp.int32) == query[:l].astype(jnp.int32)[:, None]) | (
         pos[:, None] >= query_len

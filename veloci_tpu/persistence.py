@@ -55,6 +55,7 @@ class DeviceField:
 
     # fuzzy sweep inputs
     chars: object  # jnp [N_pad, MAX_TERM_CHARS] uint16 (lowercased codepoints)
+    chars_t: object  # jnp [MAX_TERM_CHARS, N_pad] uint16 (for the Pallas sweep)
     lengths: object  # jnp [N_pad] int32
     num_terms: int
     # anchor-score postings (token_id -> (anchor, score/100))
@@ -321,7 +322,8 @@ class Persistence:
         dictionary = self.get_dictionary(field)
         chars, lengths = dictionary.char_matrix()
         n = len(dictionary)
-        n_pad = _round_up(max(n, 8), 128)
+        # pad to the Pallas sweep tile (1024 terms/tile)
+        n_pad = _round_up(max(n, 8), 1024)
         chars_p = np.zeros((n_pad, chars.shape[1]), dtype=np.uint16)
         chars_p[: chars.shape[0]] = chars
         lens_p = np.zeros(n_pad, dtype=np.int32)
@@ -342,6 +344,7 @@ class Persistence:
             offsets_p[nk + 1 :] = host_offsets[-1]
             dev = DeviceField(
                 chars=jnp.asarray(chars_p),
+                chars_t=jnp.asarray(np.ascontiguousarray(chars_p.T)),
                 lengths=jnp.asarray(lens_p),
                 num_terms=n,
                 offsets=jnp.asarray(offsets_p),
@@ -353,6 +356,7 @@ class Persistence:
         else:
             dev = DeviceField(
                 chars=jnp.asarray(chars_p),
+                chars_t=jnp.asarray(np.ascontiguousarray(chars_p.T)),
                 lengths=jnp.asarray(lens_p),
                 num_terms=n,
                 offsets=None,

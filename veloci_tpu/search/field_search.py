@@ -55,11 +55,25 @@ def _match_fuzzy_device(persistence, field, lower_term, distance, starts_with):
         e = np.empty(0, np.int64)
         return e, np.empty(0, np.int64), np.empty(0, bool)
     q, qlen = encode_query(lower_term)
+    import jax
     import jax.numpy as jnp
 
-    dist, prefix_dist, is_prefix = levenshtein_sweep(
-        dev.chars, dev.lengths, jnp.asarray(q), jnp.int32(qlen)
+    # Pallas banded kernel on TPU (exact within the +-4 band, which covers
+    # all matching distances); XLA full sweep elsewhere and for starts_with
+    # (whose score distance can exceed the band)
+    use_banded = (
+        jax.default_backend() == "tpu"
+        and not starts_with
+        and distance <= 4
     )
+    if use_banded:
+        from .pallas_support import banded_sweep
+
+        dist, prefix_dist, is_prefix = banded_sweep(dev, q, qlen)
+    else:
+        dist, prefix_dist, is_prefix = levenshtein_sweep(
+            dev.chars, dev.lengths, jnp.asarray(q), jnp.int32(qlen)
+        )
     dist = np.asarray(dist[:n])
     prefix_dist = np.asarray(prefix_dist[:n])
     is_prefix = np.asarray(is_prefix[:n])

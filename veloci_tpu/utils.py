@@ -84,6 +84,38 @@ def get_all_steps_to_anchor(path: str) -> List[str]:
     return paths
 
 
+def steps_between_field_paths(start: str, end: str) -> List[str]:
+    """Index-file chain between two field paths (reference
+    src/steps.rs:126-150 `steps_between_field_paths`): walk up from `start`
+    with `.value_id_to_parent` until reaching a shared stem, then down to
+    `end` with `.parent_to_value_id`."""
+    VALUE_ID_TO_PARENT = ".value_id_to_parent"
+    PARENT_TO_VALUE_ID = ".parent_to_value_id"
+
+    def components(path: str) -> List[str]:
+        return path.split(".")
+
+    start_c = components(start)
+    end_c = components(end)
+
+    def contained(prefix: List[str], full: List[str]) -> bool:
+        return all(
+            prefix[i] == full[i] for i in range(min(len(prefix), len(full)))
+        )
+
+    out: List[str] = []
+    cur = list(start_c)
+    while not contained(cur, end_c):
+        cur.pop()
+        out.append(".".join(cur) + VALUE_ID_TO_PARENT)
+    out.append(".".join(cur) + PARENT_TO_VALUE_ID)
+    remaining = [c for c in end_c if c not in cur]
+    for comp in remaining:
+        cur.append(comp)
+        out.append(".".join(cur) + PARENT_TO_VALUE_ID)
+    return out
+
+
 def to_node_tree(paths: List[List[str]]) -> NodeTree:
     """Build the select-reconstruction tree (util.rs:199-229)."""
     paths = sorted(paths, key=lambda el: el[0])
