@@ -60,9 +60,14 @@ def _match_fuzzy_device(persistence, field, lower_term, distance, starts_with):
 
     # Pallas banded kernel on TPU (exact within the +-4 band, which covers
     # all matching distances); XLA full sweep elsewhere and for starts_with
-    # (whose score distance can exceed the band)
+    # (whose score distance can exceed the band). Opt-in: the kernel runs
+    # ~1.2-1.8x faster but costs ~2min of Mosaic compile per field shape, so
+    # it suits warmed serving deployments, not ad-hoc queries.
+    import os
+
     use_banded = (
-        jax.default_backend() == "tpu"
+        os.environ.get("VELOCI_PALLAS_SWEEP") == "1"
+        and jax.default_backend() == "tpu"
         and not starts_with
         and distance <= 4
     )
