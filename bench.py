@@ -210,6 +210,41 @@ def main() -> None:
         f"p99 {percentile(lat_f,99)*1e3:.2f} ms"
     )
 
+    # ---- gutenberg-style highlight (reference bench_jmdict.rs:41-45) -----
+    # book-paragraph corpus; search + why_found highlighting end to end
+    hl_qps = 0.0
+    try:
+        from veloci_tpu import Request, search, search_to_result_with_doc
+
+        rng2 = np.random.default_rng(7)
+        filler = [f"word{i}" for i in range(500)]
+        paras = []
+        for i in range(2000):
+            words = list(rng2.choice(filler, size=40))
+            if i % 7 == 0:
+                words[rng2.integers(0, 40)] = "pride"
+            paras.append(json.dumps({"content": " ".join(words), "nr": str(i)}))
+        book = Persistence.create_from_str("\n".join(paras), "{}")
+        req = Request.from_dict(
+            {
+                "search_req": {"search": {"terms": ["pride"], "path": "content"}},
+                "why_found": True,
+                "top": 10,
+            }
+        )
+        res = search(req, book)
+        search_to_result_with_doc(book, res, None)  # warm
+        reps_hl = 20
+        t_start = time.perf_counter()
+        for _ in range(reps_hl):
+            res = search(req, book)
+            out = search_to_result_with_doc(book, res, None)
+        hl_qps = reps_hl / (time.perf_counter() - t_start)
+        assert out.data and out.data[0].why_found["content"]
+        log(f"[{backend}] highlight (search+why_found+doc fetch): {hl_qps:.1f} QPS")
+    except Exception as e:
+        log(f"highlight bench failed: {e!r}")
+
     # ---- CPU single-core proxy baseline ----------------------------------
     # (runs in a subprocess so a wedged CPU backend can't hang the bench)
     vs_baseline = 1.0
@@ -254,6 +289,7 @@ def main() -> None:
             "fuzzy_d2_qps": round(qps_fuzzy, 1),
             "fuzzy_d2_p50_ms": round(percentile(lat_f, 50) * 1e3, 3),
             "fuzzy_d2_p99_ms": round(percentile(lat_f, 99) * 1e3, 3),
+            "highlight_qps": round(hl_qps, 1),
             "index_build_mb_per_s": round(pers.bytes_indexed / build_s / 1e6, 2),
         },
     }
