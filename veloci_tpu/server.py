@@ -218,6 +218,12 @@ class _Handler(BaseHTTPRequestHandler):
                     request = Request.from_dict(body)
                     self._reply(_search_result_json(pers, request))
                     return
+                if route == "search_batch":
+                    # batched serving: a JSON array of Requests answered in
+                    # one pass (TPU-native throughput mode)
+                    requests = [Request.from_dict(b) for b in body]
+                    self._reply([_search_result_json(pers, r) for r in requests])
+                    return
                 if route == "search_query_params":
                     params = SearchQueryGeneratorParameters.from_dict(body)
                     request = search_query(pers, params)
