@@ -110,14 +110,27 @@ def _collect_parts(ctx: _Ctx, request: Request) -> None:
             ctx.register(part, get_ids=True)
 
 
-def _resolve_leaf_dense(ctx: _Ctx, part: RequestSearchPart) -> np.ndarray:
+def _jnp():
+    import jax.numpy as jnp
+
+    return jnp
+
+
+def _is_host(x) -> bool:
+    return isinstance(x, np.ndarray)
+
+
+def _to_host(x) -> np.ndarray:
+    return x if _is_host(x) else np.asarray(x, dtype=_F32)
+
+
+def _resolve_leaf_dense(ctx: _Ctx, part: RequestSearchPart):
+    """Dense [num_docs] score vector for one leaf — stays ON DEVICE; host
+    materialisation happens lazily at the first host-only op."""
     fsr = ctx.result_for(part)
     field = fsr.path[: -len(TEXTINDEX)]
     dev = ctx.persistence.device_field(field)
-    dense = resolve_to_anchor_dense(
-        dev, fsr.term_ids, fsr.term_scores, ctx.num_docs
-    )
-    return np.asarray(dense, dtype=_F32)
+    return resolve_to_anchor_dense(dev, fsr.term_ids, fsr.term_scores, ctx.num_docs)
 
 
 def _matching_1n_boost(part: RequestSearchPart, boosts) -> Optional[object]:
@@ -156,7 +169,7 @@ def _eval_scores(ctx: _Ctx, node: SearchRequest, boosts):
             anchors, bvals = boost_mod.boost_to_anchor_values(
                 ctx.persistence, fsr.path, b1n, fsr.term_ids
             )
-            old = dense
+            old = dense = _to_host(dense)
             dense = boost_mod.apply_anchor_boost_values(dense, anchors, bvals, b1n)
             if ctx.explain:
                 ctx.boost_log.append(((old > 0) & (dense != old), dense.copy()))
@@ -177,17 +190,20 @@ def _eval_scores(ctx: _Ctx, node: SearchRequest, boosts):
 
     if node.kind == SearchRequest.OR:
         # union_hits_score (set_op.rs:87-220): max per distinct term, sum in
-        # sorted-term order, * distinct^2
+        # sorted-term order, * distinct^2 — on device when all inputs are
+        xp = np if any(_is_host(c[0]) for c in children) else _jnp()
+        if xp is np:
+            children = [(_to_host(c[0]), c[1], c[2], c[3]) for c in children]
         terms = sorted({t for _d, t, _p, _e in children})
-        total = np.zeros(ctx.num_docs, dtype=_F32)
-        distinct = np.zeros(ctx.num_docs, dtype=np.int32)
+        total = xp.zeros(ctx.num_docs, dtype=_F32)
+        distinct = xp.zeros(ctx.num_docs, dtype=np.int32)
         for t in terms:
             vecs = [d for d, tt, _p, _e in children if tt == t]
             mx = vecs[0]
             for v in vecs[1:]:
-                mx = np.maximum(mx, v)
+                mx = xp.maximum(mx, v)
             total = (total + mx).astype(_F32)
-            distinct += (mx >= _F32(1e-5)).astype(np.int32)
+            distinct = distinct + (mx >= _F32(1e-5)).astype(np.int32)
         df = distinct.astype(_F32)
         dense = (total * df * df).astype(_F32)
         enode = None
@@ -202,17 +218,21 @@ def _eval_scores(ctx: _Ctx, node: SearchRequest, boosts):
 
     if node.kind == SearchRequest.AND:
         # intersect_hits_score (set_op.rs:368-448)
-        mask = np.ones(ctx.num_docs, dtype=bool)
+        xp = np if any(_is_host(c[0]) for c in children) else _jnp()
+        if xp is np:
+            children = [(_to_host(c[0]), c[1], c[2], c[3]) for c in children]
+        mask = None
         for d, _t, _p, _e in children:
-            mask &= d > 0
-        counts = [int(np.count_nonzero(d > 0)) for d, _t, _p, _e in children]
+            m = d > 0
+            mask = m if mask is None else (mask & m)
+        counts = [int((d > 0).sum()) for d, _t, _p, _e in children]
         shortest = int(np.argmin(counts))
-        total = np.zeros(ctx.num_docs, dtype=_F32)
+        total = xp.zeros(ctx.num_docs, dtype=_F32)
         for i, (d, _t, _p, _e) in enumerate(children):
             if i != shortest:
                 total = (total + d).astype(_F32)
         total = (total + children[shortest][0]).astype(_F32)
-        dense = np.where(mask, total, _F32(0.0)).astype(_F32)
+        dense = xp.where(mask, total, _F32(0.0)).astype(_F32)
         enode = (
             ExplainNode("and", children=[c[3] for c in children])
             if ctx.explain
@@ -393,7 +413,12 @@ def search(request: Request, persistence) -> SearchResult:
     dense, _t, _p, enode = _eval_scores(ctx, request.search_req, boosts)
 
     if filter_mask is not None:
-        dense = np.where(filter_mask, dense, _F32(0.0)).astype(_F32)
+        if _is_host(dense):
+            dense = np.where(filter_mask, dense, _F32(0.0)).astype(_F32)
+        else:
+            import jax.numpy as jnp
+
+            dense = jnp.where(jnp.asarray(filter_mask), dense, _F32(0.0))
 
     # anchor-level boosts (paths without []) — execution_plan.rs:168-183
     for b in boosts:
@@ -405,7 +430,7 @@ def search(request: Request, persistence) -> SearchResult:
         if not boost_path.endswith(BOOST_VALID_TO_VALUE):
             boost_path = boost_path + BOOST_VALID_TO_VALUE
         vals, present = persistence.get_boost(boost_path)
-        old = dense
+        old = dense = _to_host(dense)
         dense = boost_mod.apply_boost_dense(dense, vals, present, b)
         if ctx.explain:
             ctx.boost_log.append(((old > 0) & (dense != old), dense.copy()))
@@ -434,7 +459,7 @@ def search(request: Request, persistence) -> SearchResult:
         ]
         if group_arrays:
             dense = (
-                dense
+                _to_host(dense)
                 * boost_mod.phrase_boost_factor(group_arrays, ctx.num_docs)
             ).astype(_F32)
             # boosts only apply to existing hits
@@ -460,19 +485,26 @@ def search(request: Request, persistence) -> SearchResult:
         factor = boost_mod.term_boost_factor(
             persistence, request.boost_term, ctx.num_docs, run_part
         )
-        dense = (dense * factor).astype(_F32)
+        dense = (_to_host(dense) * factor).astype(_F32)
 
     # text locality (boost.rs:11-87)
     if request.text_locality:
         factor = boost_mod.text_locality_boost(
             persistence, term_id_hits, ctx.num_docs
         )
-        dense = (dense * factor).astype(_F32)
+        dense = (_to_host(dense) * factor).astype(_F32)
 
     result.why_found_terms = term_texts
 
-    hit_mask = dense > 0
-    result.num_hits = int(np.count_nonzero(hit_mask))
+    if request.facets or request.why_found or ctx.explain:
+        dense = _to_host(dense)
+
+    if _is_host(dense):
+        hit_mask = dense > 0
+        result.num_hits = int(np.count_nonzero(hit_mask))
+    else:
+        result.num_hits = int((dense > 0).sum())
+        hit_mask = None
 
     if request.facets:
         result.facets = {
@@ -481,7 +513,12 @@ def search(request: Request, persistence) -> SearchResult:
 
     # top-n sort (sort.rs:5-34) + skip/top (search.rs:230-239)
     skip = request.skip or 0
-    ids, scores = dense_to_hits(dense, k=(top + skip) if top is not None else None)
+    if _is_host(dense):
+        ids, scores = dense_to_hits(dense, k=(top + skip) if top is not None else None)
+    else:
+        from ..ops.topk import top_k_scores
+
+        ids, scores = top_k_scores(dense, (top + skip) if top is not None else ctx.num_docs)
     if skip:
         ids, scores = ids[skip:], scores[skip:]
     if top is not None:
