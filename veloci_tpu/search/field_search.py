@@ -47,7 +47,11 @@ def get_default_score_for_distance(distance, prefix_matches):
 
 
 def _match_fuzzy_device(persistence, field, lower_term, distance, starts_with):
-    """Run the device sweep; returns (ids, distances, is_prefix) numpy."""
+    """Run the device sweep with ON-DEVICE match selection.
+
+    Only the matched terms transfer to the host (O(matches), not O(dict)).
+    Returns (matched_ids sorted asc, distances, is_prefix) — aligned arrays.
+    """
     dev = persistence.device_field(field)
     dictionary = persistence.get_dictionary(field)
     n = dev.num_terms
@@ -58,11 +62,12 @@ def _match_fuzzy_device(persistence, field, lower_term, distance, starts_with):
     import jax
     import jax.numpy as jnp
 
+    from ..ops.levenshtein import sweep_select
+
     # Pallas banded kernel on TPU (exact within the +-4 band, which covers
     # all matching distances); XLA full sweep elsewhere and for starts_with
-    # (whose score distance can exceed the band). Opt-in: the kernel runs
-    # ~1.2-1.8x faster but costs ~2min of Mosaic compile per field shape, so
-    # it suits warmed serving deployments, not ad-hoc queries.
+    # (whose score distance can exceed the band). Opt-in: the kernel costs
+    # ~2min Mosaic compile per field shape — for warmed serving deployments.
     import os
 
     use_banded = (
@@ -74,37 +79,58 @@ def _match_fuzzy_device(persistence, field, lower_term, distance, starts_with):
     if use_banded:
         from .pallas_support import banded_sweep
 
-        dist, prefix_dist, is_prefix = banded_sweep(dev, q, qlen)
+        dist_d, prefix_d, ispref_d = banded_sweep(dev, q, qlen)
+        crit = np.asarray(prefix_d if starts_with else dist_d)[:n]
+        matched = np.flatnonzero(crit <= distance).astype(np.int64)
+        dists = np.asarray(dist_d)[:n][matched]
+        prefixes = np.asarray(ispref_d)[:n][matched]
     else:
-        dist, prefix_dist, is_prefix = levenshtein_sweep(
-            dev.chars, dev.lengths, jnp.asarray(q), jnp.int32(qlen)
-        )
-    dist = np.asarray(dist[:n])
-    prefix_dist = np.asarray(prefix_dist[:n])
-    is_prefix = np.asarray(is_prefix[:n])
-    crit = prefix_dist if starts_with else dist
-    matched = np.flatnonzero(crit <= distance)
+        max_matches = 1024
+        while True:
+            sel_ids, sel_dist, sel_prefix, total = sweep_select(
+                dev.chars,
+                dev.lengths,
+                jnp.asarray(q),
+                jnp.int32(qlen),
+                jnp.int32(distance),
+                jnp.bool_(starts_with),
+                max_matches=min(max_matches, dev.chars.shape[0]),
+            )
+            total = int(total)
+            if total <= max_matches or max_matches >= dev.chars.shape[0]:
+                break
+            while max_matches < total:
+                max_matches *= 4
+        sel_ids = np.asarray(sel_ids)
+        keep = (sel_ids >= 0) & (sel_ids < n)
+        matched = sel_ids[keep].astype(np.int64)
+        dists = np.asarray(sel_dist)[keep].astype(np.int64)
+        prefixes = np.asarray(sel_prefix)[keep]
+        order = np.argsort(matched, kind="stable")
+        matched, dists, prefixes = matched[order], dists[order], prefixes[order]
+
     # host fallback for terms longer than the sweep width
     long_ids = dictionary.long_term_ids()
     if long_ids:
-        extra = []
+        extra_ids, extra_d, extra_p = [], [], []
         for tid in long_ids:
             lo = dictionary.terms[tid].lower()
-            if starts_with:
-                d = levenshtein_prefix_distance_host(lower_term, lo)
-            else:
-                d = levenshtein_distance_host(lower_term, lo)
+            d = (
+                levenshtein_prefix_distance_host(lower_term, lo)
+                if starts_with
+                else levenshtein_distance_host(lower_term, lo)
+            )
             if d <= distance:
-                extra.append(tid)
-        if extra:
-            matched = np.union1d(matched, np.asarray(extra, dtype=np.int64))
-            dist = dist.copy()
-            is_prefix = is_prefix.copy()
-            for tid in extra:
-                lo = dictionary.terms[tid].lower()
-                dist[tid] = levenshtein_distance_host(lower_term, lo)
-                is_prefix[tid] = lo.startswith(lower_term)
-    return matched.astype(np.int64), dist, is_prefix
+                extra_ids.append(tid)
+                extra_d.append(levenshtein_distance_host(lower_term, lo))
+                extra_p.append(lo.startswith(lower_term))
+        if extra_ids:
+            matched = np.concatenate([matched, np.asarray(extra_ids, np.int64)])
+            dists = np.concatenate([dists, np.asarray(extra_d, np.int64)])
+            prefixes = np.concatenate([prefixes, np.asarray(extra_p, bool)])
+            order = np.argsort(matched, kind="stable")
+            matched, dists, prefixes = matched[order], dists[order], prefixes[order]
+    return matched, dists, prefixes
 
 
 def get_term_ids_in_field(
@@ -136,8 +162,8 @@ def get_term_ids_in_field(
     distance = distance or 0
 
     matched: np.ndarray
-    dist_arr: Optional[np.ndarray] = None
-    prefix_arr: Optional[np.ndarray] = None
+    aligned_dists: Optional[np.ndarray] = None  # per-matched distances
+    aligned_prefixes: Optional[np.ndarray] = None
 
     if request.is_regex:
         flags = re.IGNORECASE if ignore_case else 0
@@ -168,40 +194,44 @@ def get_term_ids_in_field(
     else:
         if len(lower_term) > MAX_QUERY_CHARS - 1:
             # very long query: host loop
-            crit_ids = []
-            dist_arr = np.full(len(dictionary), 1 << 20, dtype=np.int64)
-            prefix_arr = np.zeros(len(dictionary), dtype=bool)
+            crit_ids, crit_d, crit_p = [], [], []
             for i, t in enumerate(dictionary.terms):
                 lo = t.lower()
                 d = levenshtein_distance_host(lower_term, lo)
-                dist_arr[i] = d
-                prefix_arr[i] = lo.startswith(lower_term)
-                ok = d <= distance or (
-                    request.starts_with and lo.startswith(lower_term)
-                )
-                if ok:
+                is_p = lo.startswith(lower_term)
+                if d <= distance or (request.starts_with and is_p):
                     crit_ids.append(i)
+                    crit_d.append(d)
+                    crit_p.append(is_p)
             matched = np.array(crit_ids, dtype=np.int64)
+            aligned_dists = np.array(crit_d, dtype=np.int64)
+            aligned_prefixes = np.array(crit_p, dtype=bool)
         else:
-            matched, dist_arr, prefix_arr = _match_fuzzy_device(
+            matched, aligned_dists, aligned_prefixes = _match_fuzzy_device(
                 persistence, field, lower_term, distance, request.starts_with
             )
         if not ignore_case:
             # case-sensitive verification on the candidate set
-            keep = []
-            for tid in matched:
-                if levenshtein_distance_host(term, dictionary.terms[int(tid)]) <= distance:
-                    keep.append(int(tid))
-            matched = np.array(keep, dtype=np.int64)
+            keep = np.array(
+                [
+                    levenshtein_distance_host(term, dictionary.terms[int(tid)])
+                    <= distance
+                    for tid in matched
+                ],
+                dtype=bool,
+            )
+            matched = matched[keep]
+            aligned_dists = aligned_dists[keep]
+            aligned_prefixes = aligned_prefixes[keep]
 
     if get_ids:
         result.hits_ids = matched.copy()
 
     if get_scores and len(matched):
         should_check_prefix = request.starts_with or distance != 0
-        if dist_arr is not None:
-            distances = dist_arr[matched]
-            prefix_matches = prefix_arr[matched] & should_check_prefix
+        if aligned_dists is not None:
+            distances = aligned_dists
+            prefix_matches = aligned_prefixes & should_check_prefix
         else:
             # exact / prefix-range path: distance = |candidate| - |query| when
             # the candidate starts with the query, else true distance
