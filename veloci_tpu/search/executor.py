@@ -496,9 +496,6 @@ def search(request: Request, persistence) -> SearchResult:
 
     result.why_found_terms = term_texts
 
-    if request.facets or request.why_found or ctx.explain:
-        dense = _to_host(dense)
-
     if _is_host(dense):
         hit_mask = dense > 0
         result.num_hits = int(np.count_nonzero(hit_mask))
@@ -507,8 +504,11 @@ def search(request: Request, persistence) -> SearchResult:
         hit_mask = None
 
     if request.facets:
+        # device path counts on-chip (cached relation pairs + segment_sum);
+        # host path uses the dense mask
+        mask_arg = hit_mask if hit_mask is not None else dense
         result.facets = {
-            f.field: get_facet(persistence, f, hit_mask) for f in request.facets
+            f.field: get_facet(persistence, f, mask_arg) for f in request.facets
         }
 
     # top-n sort (sort.rs:5-34) + skip/top (search.rs:230-239)

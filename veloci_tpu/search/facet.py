@@ -22,6 +22,55 @@ from ..utils import get_steps_to_anchor
 
 __all__ = ["get_facet"]
 
+# per-persistence device relation cache: (id(persistence), path) ->
+# (sources_dev, targets_dev, num_targets)
+_DEVICE_PAIRS: dict = {}
+
+
+def _device_facet_counts(persistence, path: str, store, dense):
+    """On-chip facet counting: counts = segment_sum(hit[src], target)."""
+    import jax
+    import jax.numpy as jnp
+
+    key = (id(persistence), path)
+    cached = _DEVICE_PAIRS.get(key)
+    if cached is None:
+        sources, targets = _pairs_of(store)
+        num_targets = int(targets.max()) + 1 if len(targets) else 1
+        cached = (
+            jnp.asarray(sources.astype(np.int32)),
+            jnp.asarray(targets.astype(np.int32)),
+            num_targets,
+        )
+        if len(_DEVICE_PAIRS) > 256:
+            _DEVICE_PAIRS.clear()
+        _DEVICE_PAIRS[key] = cached
+    sources_d, targets_d, num_targets = cached
+    return _count_kernel(dense, sources_d, targets_d, num_targets)
+
+
+def _count_kernel_impl(dense_v, src, tgt, num_targets):
+    import jax
+    import jax.numpy as jnp
+
+    mask = dense_v > 0
+    n = dense_v.shape[0]
+    ok = src < n
+    w = jnp.where(ok, mask[jnp.minimum(src, n - 1)], False).astype(jnp.int32)
+    return jax.ops.segment_sum(w, tgt, num_segments=num_targets)
+
+
+def _count_kernel(dense_v, src, tgt, num_targets):
+    import jax
+
+    global _COUNT_JIT
+    if "_COUNT_JIT" not in globals() or _COUNT_JIT is None:
+        _COUNT_JIT = jax.jit(_count_kernel_impl, static_argnames=("num_targets",))
+    return _COUNT_JIT(dense_v, src, tgt, num_targets=num_targets)
+
+
+_COUNT_JIT = None
+
 
 def _pairs_of(store) -> Tuple[np.ndarray, np.ndarray]:
     """(sources, targets) pair arrays of a relation column."""
@@ -33,10 +82,16 @@ def _pairs_of(store) -> Tuple[np.ndarray, np.ndarray]:
     return src, store.values.astype(np.int64)
 
 
-def get_facet(persistence, facet_req, hit_mask: np.ndarray) -> List[Tuple[str, int]]:
-    """Count facet values for the hit set; returns [(text, count)] top-n."""
+def get_facet(persistence, facet_req, hit_mask) -> List[Tuple[str, int]]:
+    """Count facet values for the hit set; returns [(text, count)] top-n.
+
+    ``hit_mask`` is either a host bool mask or a DEVICE dense score vector —
+    in the device case the fast path counts on-chip against cached relation
+    pairs (one masked segment-sum), transferring only the counts.
+    """
     steps = get_steps_to_anchor(facet_req.field)
     top = facet_req.top
+    on_device = not isinstance(hit_mask, np.ndarray)
 
     fast_anchor_path = steps[-1] + ANCHOR_TO_TEXT_ID
     if len(steps) == 1 or persistence.has_index(fast_anchor_path):
@@ -46,12 +101,19 @@ def get_facet(persistence, facet_req, hit_mask: np.ndarray) -> List[Tuple[str, i
         store = persistence.key_value_stores.get(path)
         if store is None:
             return []
-        sources, targets = _pairs_of(store)
-        keep = sources < len(hit_mask)
-        sources, targets = sources[keep], targets[keep]
-        w = hit_mask[sources]
-        counts = np.bincount(targets[w])
+        if on_device:
+            counts = np.asarray(
+                _device_facet_counts(persistence, path, store, hit_mask)
+            )
+        else:
+            sources, targets = _pairs_of(store)
+            keep = sources < len(hit_mask)
+            sources, targets = sources[keep], targets[keep]
+            w = hit_mask[sources]
+            counts = np.bincount(targets[w])
     else:
+        if on_device:
+            hit_mask = np.asarray(hit_mask) > 0
         # slow path: join anchor -> ... -> leaf values (facet.rs:75-93)
         ids = np.flatnonzero(hit_mask).astype(np.int64)
         for step in steps:
