@@ -124,11 +124,31 @@ def _to_host(x) -> np.ndarray:
     return x if _is_host(x) else np.asarray(x, dtype=_F32)
 
 
+# below this many documents the dense vectors live on the host: per-op
+# device dispatch would dominate (numpy beats a TPU round-trip at this size)
+import os as _os
+
+SMALL_DOCS = int(_os.environ.get("VELOCI_DEVICE_MIN_DOCS", "65536"))
+
+
 def _resolve_leaf_dense(ctx: _Ctx, part: RequestSearchPart):
-    """Dense [num_docs] score vector for one leaf — stays ON DEVICE; host
-    materialisation happens lazily at the first host-only op."""
+    """Dense [num_docs] score vector for one leaf — on device for large
+    indices (host materialisation lazily at the first host-only op), on host
+    for small ones."""
     fsr = ctx.result_for(part)
     field = fsr.path[: -len(TEXTINDEX)]
+    if ctx.num_docs < SMALL_DOCS:
+        store = ctx.persistence.anchor_scores.get(
+            fsr.path + ".to_anchor_id_score"
+        )
+        dense = np.zeros(ctx.num_docs, dtype=_F32)
+        if store is None:
+            return dense
+        for tid, tscore in zip(fsr.term_ids, fsr.term_scores):
+            anchors, scores = store.get_postings(int(tid))
+            vals = (scores.astype(_F32) / _F32(100.0)) * _F32(tscore)
+            np.maximum.at(dense, anchors.astype(np.int64), vals)
+        return dense
     dev = ctx.persistence.device_field(field)
     return resolve_to_anchor_dense(dev, fsr.term_ids, fsr.term_scores, ctx.num_docs)
 
@@ -281,6 +301,8 @@ def _try_fast_path(request: Request, persistence, top: int) -> Optional[SearchRe
         )
     ):
         return None
+    if persistence.num_docs < SMALL_DOCS:
+        return None  # host execution path is faster at this size
     node = request.search_req
     if node.kind == SearchRequest.SEARCH:
         leaves = [node.part]
