@@ -1,0 +1,92 @@
+"""Device-path verification: run a query battery on a >=64k-doc index and
+compare the device executor path against the host path (VELOCI_DEVICE_MIN_DOCS
+forced high). Run on the TPU terminal:  python < tools/tpu_verify.py
+"""
+
+import json
+import os
+import time
+
+import numpy as np
+
+
+def main() -> None:
+    import jax
+
+    print("backend:", jax.default_backend(), flush=True)
+    import sys
+
+    sys.path.insert(0, ".")
+    from bench import build_corpus
+
+    from veloci_tpu import Persistence, Request, search
+    import importlib
+
+    ex = importlib.import_module("veloci_tpu.search.executor")
+
+    corpus, vocab = build_corpus(80000)
+    pers = Persistence.create_from_str(corpus, "{}")
+    print("built", pers.num_docs, flush=True)
+
+    queries = [
+        {"search_req": {"search": {"terms": ["w1bb"], "path": "title"}}},
+        {"search_req": {"search": {"terms": ["w2cc"], "path": "title",
+                                   "levenshtein_distance": 1}}},
+        {
+            "search_req": {
+                "or": {
+                    "queries": [
+                        {"search": {"terms": ["w1bb"], "path": "title"}},
+                        {"search": {"terms": ["w3dd"], "path": "title"}},
+                    ]
+                }
+            },
+            "top": 20,
+        },
+        {
+            "search_req": {
+                "and": {
+                    "queries": [
+                        {"search": {"terms": ["w1bb"], "path": "title"}},
+                        {"search": {"terms": ["w0aa"], "path": "title"}},
+                    ]
+                }
+            }
+        },
+        {
+            "search_req": {"search": {"terms": ["w1bb"], "path": "title"}},
+            "filter": {"search": {"terms": ["w0aa"], "path": "title"}},
+        },
+        {
+            "search_req": {"search": {"terms": ["w5ff"], "path": "title",
+                                      "starts_with": True,
+                                      "levenshtein_distance": 1}},
+        },
+    ]
+
+    failures = 0
+    for qi, q in enumerate(queries):
+        # device path (num_docs >= threshold -> device)
+        ex.SMALL_DOCS = 1
+        r_dev = search(Request.from_dict(q), pers)
+        # host path
+        ex.SMALL_DOCS = 10**9
+        r_host = search(Request.from_dict(q), pers)
+        ex.SMALL_DOCS = 65536
+        ok_hits = r_dev.num_hits == r_host.num_hits
+        ok_data = [(h.id, round(h.score, 3)) for h in r_dev.data] == [
+            (h.id, round(h.score, 3)) for h in r_host.data
+        ]
+        status = "OK" if (ok_hits and ok_data) else "MISMATCH"
+        if status != "OK":
+            failures += 1
+            print(f"  dev : {r_dev.num_hits} {[(h.id, h.score) for h in r_dev.data[:5]]}")
+            print(f"  host: {r_host.num_hits} {[(h.id, h.score) for h in r_host.data[:5]]}")
+        print(f"query {qi}: {status} ({r_dev.num_hits} hits)", flush=True)
+
+    print("FAILURES:", failures, flush=True)
+    assert failures == 0
+
+
+if __name__ == "__main__":
+    main()
