@@ -271,3 +271,26 @@ def test_steps_between_field_paths():
         "meanings.ger[].parent_to_value_id",
         "meanings.ger[].boost.parent_to_value_id",
     ]
+
+
+def test_sweep_select_overflow_growth():
+    """Device match selection grows its window when matches overflow."""
+    import json
+
+    from veloci_tpu import Persistence, Request, search
+
+    # 2000 docs whose terms all match "common" within distance 1
+    docs = [json.dumps({"t": f"common{i % 10}", "nr": str(i)}) for i in range(3000)]
+    pers = Persistence.create_from_str("\n".join(docs), "{}")
+    res = search(
+        Request.from_dict(
+            {
+                "search_req": {
+                    "search": {"terms": ["common1"], "path": "t", "levenshtein_distance": 1}
+                },
+                "top": 3000,
+            }
+        ),
+        pers,
+    )
+    assert res.num_hits == 3000  # every doc matches within d=1

@@ -203,12 +203,30 @@ class TermDictionary:
 
     def __init__(self, terms: Sequence[str]):
         self.terms: List[str] = list(terms)
-        # case-insensitive view: ids sorted by (lower(term), term)
-        self._lower = [t.lower() for t in self.terms]
-        self.lower_perm = sorted(range(len(self.terms)), key=lambda i: self._lower[i])
-        self._lower_sorted = [self._lower[i] for i in self.lower_perm]
+        # case-insensitive view built lazily (costs a sort of all terms —
+        # only needed once queries arrive, not at build time)
+        self._lower_cache = None
         self._char_matrix: Optional[np.ndarray] = None
         self._char_lengths: Optional[np.ndarray] = None
+
+    def _lower_view(self):
+        if self._lower_cache is None:
+            lower = [t.lower() for t in self.terms]
+            perm = sorted(range(len(self.terms)), key=lambda i: lower[i])
+            self._lower_cache = (lower, perm, [lower[i] for i in perm])
+        return self._lower_cache
+
+    @property
+    def _lower(self):
+        return self._lower_view()[0]
+
+    @property
+    def lower_perm(self):
+        return self._lower_view()[1]
+
+    @property
+    def _lower_sorted(self):
+        return self._lower_view()[2]
 
     def __len__(self) -> int:
         return len(self.terms)
