@@ -300,6 +300,19 @@ struct PathState {
     std::unordered_map<std::string, TermEntry> terms;
     uint32_t large_text_counter = 0;  // pass-1 count (reference TermDataInPath)
 
+    // per-(leaf, token) first-position groups (emitted during tokenize;
+    // replaces the reference's calculate_and_add_token_score_in_doc grouping)
+    std::vector<int32_t> grp_token_refs;
+    std::vector<uint32_t> grp_first_pos;
+    std::vector<uint32_t> grp_leaf;
+    std::vector<uint32_t> grp_token_ids;  // resolved
+    // phrase pairs (prev-nonsep chain), resolved in finalize
+    std::vector<int32_t> pair_a_refs;
+    std::vector<int32_t> pair_b_refs;
+    std::vector<uint32_t> pair_anchor;
+    std::vector<uint32_t> pair_a_ids;
+    std::vector<uint32_t> pair_b_ids;
+
     // leaf table (encounter order)
     std::vector<uint32_t> leaf_anchor;
     std::vector<uint32_t> leaf_parent;
@@ -404,6 +417,7 @@ struct Walker {
     IndexResult* res;
     PathConfigCb config_cb;
     std::unordered_map<std::string, uint32_t> id_counters;  // IDProvider
+    std::vector<std::pair<int32_t, uint32_t>> scratch_pairs;
 
     PathState& path_state(const std::string& path) {
         auto it = res->path_index.find(path);
@@ -466,6 +480,7 @@ struct Walker {
         }
 
         uint32_t ntok = 0;
+        uint32_t leaf_idx = (uint32_t)(ps.leaf_anchor.size() - 1);
         if (ps.config.tokenize) {
             size_t before = ps.token_refs.size();
             ntok = tokenize_count(ps, text);
@@ -482,6 +497,37 @@ struct Walker {
                 ps.token_refs.resize(before);
                 ps.token_is_sep.resize(before);
                 ntok = 0;
+            } else {
+                // per-leaf (token -> first pos) groups, sorted by (handle, pos)
+                size_t n = ps.token_refs.size() - before;
+                scratch_pairs.clear();
+                for (size_t k = 0; k < n; k++) {
+                    scratch_pairs.emplace_back(ps.token_refs[before + k],
+                                               (uint32_t)k);
+                }
+                std::sort(scratch_pairs.begin(), scratch_pairs.end());
+                int32_t prev_h = -1;
+                for (auto& hp : scratch_pairs) {
+                    if (hp.first != prev_h) {
+                        ps.grp_token_refs.push_back(hp.first);
+                        ps.grp_first_pos.push_back(hp.second);
+                        ps.grp_leaf.push_back(leaf_idx);
+                        prev_h = hp.first;
+                    }
+                }
+                // phrase pairs: consecutive non-separator tokens
+                int32_t prev_tok = -1;
+                for (size_t k = 0; k < n; k++) {
+                    if (!ps.token_is_sep[before + k]) {
+                        int32_t h = ps.token_refs[before + k];
+                        if (prev_tok >= 0) {
+                            ps.pair_a_refs.push_back(prev_tok);
+                            ps.pair_b_refs.push_back(h);
+                            ps.pair_anchor.push_back(ps.leaf_anchor[leaf_idx]);
+                        }
+                        prev_tok = h;
+                    }
+                }
             }
         }
         ps.leaf_ntokens.push_back(ntok);
@@ -558,6 +604,19 @@ void finalize_path(PathState& ps) {
     for (size_t i = 0; i < ps.token_refs.size(); i++) {
         ps.token_ids[i] = handle_to_id[(uint32_t)ps.token_refs[i]];
     }
+    ps.grp_token_ids.resize(ps.grp_token_refs.size());
+    for (size_t i = 0; i < ps.grp_token_refs.size(); i++) {
+        ps.grp_token_ids[i] = handle_to_id[(uint32_t)ps.grp_token_refs[i]];
+    }
+    ps.pair_a_ids.resize(ps.pair_a_refs.size());
+    ps.pair_b_ids.resize(ps.pair_b_refs.size());
+    for (size_t i = 0; i < ps.pair_a_refs.size(); i++) {
+        ps.pair_a_ids[i] = handle_to_id[(uint32_t)ps.pair_a_refs[i]];
+        ps.pair_b_ids[i] = handle_to_id[(uint32_t)ps.pair_b_refs[i]];
+    }
+    ps.grp_token_refs.clear(); ps.grp_token_refs.shrink_to_fit();
+    ps.pair_a_refs.clear(); ps.pair_a_refs.shrink_to_fit();
+    ps.pair_b_refs.clear(); ps.pair_b_refs.shrink_to_fit();
     // release intermediates
     ps.terms.clear();
     ps.handle_to_key.clear();
@@ -640,6 +699,30 @@ const uint8_t* vl_token_is_sep(void* r, int32_t p) {
 }
 int64_t vl_large_text_count(void* r, int32_t p) {
     return ((IndexResult*)r)->paths[p]->large_text_counter;
+}
+int64_t vl_num_groups(void* r, int32_t p) {
+    return (int64_t)((IndexResult*)r)->paths[p]->grp_token_ids.size();
+}
+const uint32_t* vl_grp_token(void* r, int32_t p) {
+    return ((IndexResult*)r)->paths[p]->grp_token_ids.data();
+}
+const uint32_t* vl_grp_pos(void* r, int32_t p) {
+    return ((IndexResult*)r)->paths[p]->grp_first_pos.data();
+}
+const uint32_t* vl_grp_leaf(void* r, int32_t p) {
+    return ((IndexResult*)r)->paths[p]->grp_leaf.data();
+}
+int64_t vl_num_phrase_pairs(void* r, int32_t p) {
+    return (int64_t)((IndexResult*)r)->paths[p]->pair_a_ids.size();
+}
+const uint32_t* vl_pair_a(void* r, int32_t p) {
+    return ((IndexResult*)r)->paths[p]->pair_a_ids.data();
+}
+const uint32_t* vl_pair_b(void* r, int32_t p) {
+    return ((IndexResult*)r)->paths[p]->pair_b_ids.data();
+}
+const uint32_t* vl_pair_anchor(void* r, int32_t p) {
+    return ((IndexResult*)r)->paths[p]->pair_anchor.data();
 }
 
 int32_t vl_num_id_paths(void* r) {

@@ -482,7 +482,12 @@ def _pack_anchor_scores(
             pos[tok_mask], occ[tok_mask], ntok[tok_mask], False
         )
 
-    order = np.lexsort((anchors, ids))
+    if len(ids) and int(ids.max()) < (1 << 31) and int(anchors.max()) < (1 << 32):
+        # combined-key argsort: one int64 key beats a 2-key lexsort
+        combo = (ids << np.int64(32)) | anchors
+        order = np.argsort(combo, kind="stable")
+    else:
+        order = np.lexsort((anchors, ids))
     ids, anchors, scores = ids[order], anchors[order], scores[order]
     if len(ids):
         new_group = np.ones(len(ids), dtype=bool)

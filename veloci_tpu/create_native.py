@@ -224,17 +224,13 @@ def _pack_path(out: BuiltIndex, ps: NativePath, config: FieldsConfig) -> None:
         pos_parts = [np.full(L, -1, dtype=np.int64)]
         occ_parts = [text_occ]
         ntok_parts = [np.ones(L, dtype=np.int64)]
-        if T:
-            # first position of each (leaf, token) pair
-            pos_in_leaf = np.arange(T, dtype=np.int64) - tok_off[leaf_of_token]
-            order = np.lexsort((pos_in_leaf, tokens, leaf_of_token))
-            lo, to_, po = leaf_of_token[order], tokens[order], pos_in_leaf[order]
-            first = np.ones(len(order), dtype=bool)
-            first[1:] = (lo[1:] != lo[:-1]) | (to_[1:] != to_[:-1])
-            lo, to_, po = lo[first], to_[first], po[first]
+        if len(ps.grp_token):
+            # per-(leaf, token) first positions — emitted by the C++ core
+            to_ = ps.grp_token.astype(np.int64)
+            lo = ps.grp_leaf.astype(np.int64)
             ids_parts.append(to_)
             anchors_parts.append(anchor[lo])
-            pos_parts.append(po)
+            pos_parts.append(ps.grp_pos.astype(np.int64))
             occ_parts.append(ps.occurrences[to_].astype(np.int64))
             ntok_parts.append(ntok[lo])
         score_csr = _pack_anchor_scores(
@@ -249,21 +245,18 @@ def _pack_path(out: BuiltIndex, ps: NativePath, config: FieldsConfig) -> None:
         out.anchor_scores[p + TO_ANCHOR_ID_SCORE] = score_csr
         _add_meta(out, path_col, p + TO_ANCHOR_ID_SCORE, "AnchorScore", "MultiValue", False)
 
-    if en(I.PhrasePairToAnchor) and T:
-        ns = ~is_sep
-        idx = np.flatnonzero(ns)
-        if len(idx) > 1:
-            li = leaf_of_token[idx]
-            same_leaf = li[1:] == li[:-1]
-            a = tokens[idx[:-1]][same_leaf]
-            b = tokens[idx[1:]][same_leaf]
-            anc = anchor[li[1:]][same_leaf]
-            if len(a):
-                pcsr = _pack_phrase((a, b, anc))
-                out.phrase_indices[p + PHRASE_PAIR_TO_ANCHOR] = pcsr
-                _add_meta(
-                    out, path_col, p + PHRASE_PAIR_TO_ANCHOR, "Phrase", "MultiValue", False
-                )
+    if en(I.PhrasePairToAnchor) and len(ps.pair_a):
+        pcsr = _pack_phrase(
+            (
+                ps.pair_a.astype(np.int64),
+                ps.pair_b.astype(np.int64),
+                ps.pair_anchor,
+            )
+        )
+        out.phrase_indices[p + PHRASE_PAIR_TO_ANCHOR] = pcsr
+        _add_meta(
+            out, path_col, p + PHRASE_PAIR_TO_ANCHOR, "Phrase", "MultiValue", False
+        )
 
 
 def _pack_id_path(out: BuiltIndex, ip: NativeIdPath, config: FieldsConfig) -> None:

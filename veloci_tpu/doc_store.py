@@ -26,21 +26,24 @@ _LEVEL = 1
 
 
 class DocStoreWriter:
-    """Streaming writer; append docs, then `finish()` -> bytes."""
+    """Streaming writer; append docs, then `finish()` -> bytes.
+
+    Blocks are compressed in parallel at `finish()` — zlib releases the GIL,
+    so a thread pool gets real speedup (the reference compresses inline on
+    one thread, doc_store/src/lib.rs:131-149).
+    """
 
     def __init__(self) -> None:
         self.curr_id = 0
         self.bytes_indexed = 0
-        self._out = io.BytesIO()
         self._block: List[bytes] = []
         self._block_bytes = 0
         self._first_id_in_block = 0
-        # block index rows: (first_doc_id, start, end)
-        self._index: List[Tuple[int, int, int]] = []
-        self._block_doc_offsets: List[np.ndarray] = []
+        # pending raw blocks: (first_doc_id, num_offsets, payload bytes)
+        self._raw_blocks: List[Tuple[int, int, bytes]] = []
 
-    def add_doc(self, doc: str) -> None:
-        data = doc.encode("utf-8")
+    def add_doc(self, doc: str | bytes) -> None:
+        data = doc if isinstance(doc, bytes) else doc.encode("utf-8")
         self.bytes_indexed += len(data)
         if not self._block:
             self._first_id_in_block = self.curr_id
@@ -54,21 +57,34 @@ class DocStoreWriter:
         raw = b"".join(self._block)
         offsets = np.zeros(len(self._block) + 1, dtype=np.uint32)
         np.cumsum([len(b) for b in self._block], out=offsets[1:])
-        start = self._out.tell()
-        payload = offsets.tobytes() + raw
-        comp = zlib.compress(payload, _LEVEL)
-        self._out.write(len(offsets).to_bytes(4, "little"))
-        self._out.write(comp)
-        end = self._out.tell()
-        self._index.append((self._first_id_in_block, start, end))
+        self._raw_blocks.append(
+            (self._first_id_in_block, len(offsets), offsets.tobytes() + raw)
+        )
         self._block = []
         self._block_bytes = 0
 
     def finish(self) -> bytes:
         if self._block:
             self._flush_block()
-        index = np.array(self._index, dtype=np.uint64).reshape(-1, 3)
-        body = self._out.getvalue()
+        from concurrent.futures import ThreadPoolExecutor
+
+        if len(self._raw_blocks) > 8:
+            with ThreadPoolExecutor(max_workers=8) as pool:
+                compressed = list(
+                    pool.map(lambda b: zlib.compress(b[2], _LEVEL), self._raw_blocks)
+                )
+        else:
+            compressed = [zlib.compress(b[2], _LEVEL) for b in self._raw_blocks]
+
+        out = io.BytesIO()
+        index_rows = []
+        for (first_id, noffsets, _payload), comp in zip(self._raw_blocks, compressed):
+            start = out.tell()
+            out.write(noffsets.to_bytes(4, "little"))
+            out.write(comp)
+            index_rows.append((first_id, start, out.tell()))
+        index = np.array(index_rows, dtype=np.uint64).reshape(-1, 3)
+        body = out.getvalue()
         tail = index.tobytes()
         return (
             body

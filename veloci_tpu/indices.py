@@ -334,12 +334,20 @@ def csr_from_pairs(
     keys = np.asarray(keys, dtype=np.int64)
     values = np.asarray(values, dtype=np.uint32)
     if sort_and_dedup:
-        order = np.lexsort((values, keys))
-        keys, values = keys[order], values[order]
-        if len(keys):
-            keep = np.ones(len(keys), dtype=bool)
-            keep[1:] = (keys[1:] != keys[:-1]) | (values[1:] != values[:-1])
-            keys, values = keys[keep], values[keep]
+        if len(keys) and int(keys.max()) < (1 << 31):
+            # combined-key sort: one int64 np.sort beats a 2-key lexsort
+            combo = (keys << np.int64(32)) | values.astype(np.int64)
+            combo = np.sort(combo)
+            combo = combo[np.concatenate([[True], combo[1:] != combo[:-1]])]
+            keys = combo >> np.int64(32)
+            values = (combo & np.int64(0xFFFFFFFF)).astype(np.uint32)
+        else:
+            order = np.lexsort((values, keys))
+            keys, values = keys[order], values[order]
+            if len(keys):
+                keep = np.ones(len(keys), dtype=bool)
+                keep[1:] = (keys[1:] != keys[:-1]) | (values[1:] != values[:-1])
+                keys, values = keys[keep], values[keep]
     else:
         order = np.argsort(keys, kind="stable" if stable else "quicksort")
         keys, values = keys[order], values[order]

@@ -98,6 +98,8 @@ def _load() -> Optional[ctypes.CDLL]:
         ("vl_num_tokens", ctypes.c_int64),
         ("vl_large_text_count", ctypes.c_int64),
         ("vl_num_id_pairs", ctypes.c_int64),
+        ("vl_num_groups", ctypes.c_int64),
+        ("vl_num_phrase_pairs", ctypes.c_int64),
     ]:
         fn = getattr(lib, name)
         fn.restype = restype
@@ -111,6 +113,12 @@ def _load() -> Optional[ctypes.CDLL]:
         ("vl_leaf_tok_offsets", ctypes.c_int64),
         ("vl_tokens", ctypes.c_uint32),
         ("vl_token_is_sep", ctypes.c_uint8),
+        ("vl_grp_token", ctypes.c_uint32),
+        ("vl_grp_pos", ctypes.c_uint32),
+        ("vl_grp_leaf", ctypes.c_uint32),
+        ("vl_pair_a", ctypes.c_uint32),
+        ("vl_pair_b", ctypes.c_uint32),
+        ("vl_pair_anchor", ctypes.c_uint32),
         ("vl_id_value", ctypes.c_uint32),
         ("vl_id_parent", ctypes.c_uint32),
         ("vl_id_anchor", ctypes.c_uint32),
@@ -149,6 +157,12 @@ class NativePath:
     leaf_tok_offsets: np.ndarray  # int64 [L+1]
     tokens: np.ndarray  # uint32 [T]
     token_is_sep: np.ndarray  # uint8 [T]
+    grp_token: np.ndarray  # uint32 [G] — per-(leaf, token) groups
+    grp_pos: np.ndarray  # uint32 [G] — first position within the leaf
+    grp_leaf: np.ndarray  # uint32 [G]
+    pair_a: np.ndarray  # uint32 [P] — phrase pairs
+    pair_b: np.ndarray  # uint32 [P]
+    pair_anchor: np.ndarray  # uint32 [P]
 
 
 @dataclass
@@ -225,6 +239,24 @@ def index_ndjson(data: str, get_path_config) -> tuple:
                     ),
                     tokens=_copy_array(lib.vl_tokens(handle, p), ntk, np.uint32),
                     token_is_sep=_copy_array(lib.vl_token_is_sep(handle, p), ntk, np.uint8),
+                    grp_token=_copy_array(
+                        lib.vl_grp_token(handle, p), lib.vl_num_groups(handle, p), np.uint32
+                    ),
+                    grp_pos=_copy_array(
+                        lib.vl_grp_pos(handle, p), lib.vl_num_groups(handle, p), np.uint32
+                    ),
+                    grp_leaf=_copy_array(
+                        lib.vl_grp_leaf(handle, p), lib.vl_num_groups(handle, p), np.uint32
+                    ),
+                    pair_a=_copy_array(
+                        lib.vl_pair_a(handle, p), lib.vl_num_phrase_pairs(handle, p), np.uint32
+                    ),
+                    pair_b=_copy_array(
+                        lib.vl_pair_b(handle, p), lib.vl_num_phrase_pairs(handle, p), np.uint32
+                    ),
+                    pair_anchor=_copy_array(
+                        lib.vl_pair_anchor(handle, p), lib.vl_num_phrase_pairs(handle, p), np.uint32
+                    ),
                 )
             )
         id_paths: List[NativeIdPath] = []
