@@ -124,3 +124,19 @@ def test_post_explain_plan(server):
     )
     assert status == 200
     assert "digraph" in body
+
+
+def test_search_batch_route(server):
+    status, body = _post(
+        server,
+        "/DB/search_batch",
+        [
+            {"search_req": {"search": {"terms": ["fred"], "path": "name"}}},
+            {"search_req": {"search": {"terms": ["hi"], "path": "text"}}},
+        ],
+    )
+    assert status == 200
+    data = json.loads(body)
+    assert len(data) == 2
+    assert data[0]["num_hits"] == 1
+    assert data[1]["num_hits"] == 1

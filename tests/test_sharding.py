@@ -85,3 +85,32 @@ def test_sharded_matches_dense(pers, shape):
         # same hit set and scores (tie order may differ across shard merge)
         assert set(got_ids.tolist()) == set(int(i) for i in ref_ids)
         np.testing.assert_allclose(np.sort(got_scores), np.sort(ref_scores), rtol=1e-6)
+
+
+def test_search_batch_device_path(pers, monkeypatch):
+    """Batched serving path matches individual searches (device kernels)."""
+    import importlib
+
+    batch_mod = importlib.import_module("veloci_tpu.search.batch")
+    ex = importlib.import_module("veloci_tpu.search.executor")
+    monkeypatch.setattr(batch_mod, "SMALL_DOCS", 1)
+    monkeypatch.setattr(ex, "SMALL_DOCS", 1)
+
+    from veloci_tpu import Request
+
+    search_batch = batch_mod.search_batch
+    search = ex.search
+
+    reqs = [
+        Request.from_dict(
+            {"search_req": {"search": {"terms": [f"w{i:03d}"], "path": "title"}}}
+        )
+        for i in [1, 7, 17, 42]
+    ]
+    batched = search_batch(reqs, pers)
+    for req, res in zip(reqs, batched):
+        single = search(req, pers)
+        assert res.num_hits == single.num_hits
+        assert [(h.id, round(h.score, 4)) for h in res.data] == [
+            (h.id, round(h.score, 4)) for h in single.data
+        ]

@@ -219,10 +219,17 @@ class _Handler(BaseHTTPRequestHandler):
                     self._reply(_search_result_json(pers, request))
                     return
                 if route == "search_batch":
-                    # batched serving: a JSON array of Requests answered in
-                    # one pass (TPU-native throughput mode)
+                    # batched serving: eligible requests share ONE device
+                    # dispatch (see search/batch.py)
+                    from .search.batch import search_batch
+
                     requests = [Request.from_dict(b) for b in body]
-                    self._reply([_search_result_json(pers, r) for r in requests])
+                    batch_results = search_batch(requests, pers)
+                    out = []
+                    for req, res in zip(requests, batch_results):
+                        with_doc = search_to_result_with_doc(pers, res, req.select)
+                        out.append(with_doc.to_dict())
+                    self._reply(out)
                     return
                 if route == "search_query_params":
                     params = SearchQueryGeneratorParameters.from_dict(body)
