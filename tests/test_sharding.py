@@ -114,3 +114,29 @@ def test_search_batch_device_path(pers, monkeypatch):
         assert [(h.id, round(h.score, 4)) for h in res.data] == [
             (h.id, round(h.score, 4)) for h in single.data
         ]
+
+
+def test_sharded_fuzzy_match(pers):
+    """Dictionary-sharded fuzzy match finds the same terms as the host."""
+    import jax
+
+    from veloci_tpu.ops.levenshtein import encode_query, levenshtein_distance_host
+    from veloci_tpu.parallel.sharding import ShardedDictionary, build_mesh, sharded_fuzzy_match
+
+    if len(jax.devices()) < 4:
+        pytest.skip("not enough devices")
+    mesh = build_mesh(4, 1)
+    dictionary = pers.get_dictionary("title")
+    chars, lengths = dictionary.char_matrix()
+    sd = ShardedDictionary(chars, lengths, mesh)
+
+    query = "w01"
+    q, qlen = encode_query(query)
+    ids, dists = sharded_fuzzy_match(sd, q, qlen, distance=1)
+    got = {int(i) for i in ids if 0 <= i < len(dictionary)}
+    expected = {
+        i
+        for i, t in enumerate(dictionary.terms)
+        if levenshtein_distance_host(query, t.lower()) <= 1
+    }
+    assert got == expected

@@ -28,7 +28,13 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-__all__ = ["ShardedPostings", "sharded_search_topk", "build_mesh"]
+__all__ = [
+    "ShardedPostings",
+    "ShardedDictionary",
+    "sharded_search_topk",
+    "sharded_fuzzy_match",
+    "build_mesh",
+]
 
 
 def build_mesh(n_docs_shards: int, n_query_shards: int = 1, devices=None) -> Mesh:
@@ -99,6 +105,79 @@ class ShardedPostings:
         self.offsets = jax.device_put(off_stack, sharding)
         self.anchors = jax.device_put(a_stack, sharding)
         self.scores01 = jax.device_put(s_stack, sharding)
+
+
+class ShardedDictionary:
+    """Term-axis sharding of the fuzzy-sweep char matrix (the tensor-parallel
+    analog: each device sweeps its slice of the dictionary; matches merge
+    with an all_gather over ICI)."""
+
+    def __init__(self, chars: np.ndarray, lengths: np.ndarray, mesh: Mesh, axis: str = "d"):
+        d = mesh.shape[axis]
+        n = chars.shape[0]
+        per = -(-n // d)
+        per = -(-per // 128) * 128
+        n_pad = per * d
+        chars_p = np.zeros((n_pad, chars.shape[1]), dtype=chars.dtype)
+        chars_p[:n] = chars
+        lens_p = np.zeros(n_pad, dtype=np.int32)
+        lens_p[: len(lengths)] = lengths
+        self.mesh = mesh
+        self.axis = axis
+        self.terms_per_shard = per
+        self.num_terms = n
+        sharding = NamedSharding(mesh, P(axis, None))
+        self.chars = jax.device_put(chars_p.reshape(d, per, chars.shape[1]), sharding)
+        self.lengths = jax.device_put(
+            lens_p.reshape(d, per), NamedSharding(mesh, P(axis, None))
+        )
+
+
+def sharded_fuzzy_match(
+    dictionary: ShardedDictionary,
+    query: np.ndarray,  # [MAX_QUERY_CHARS] uint16
+    query_len: int,
+    distance: int,
+    max_matches_per_shard: int = 256,
+):
+    """Distributed fuzzy term match: per-shard Levenshtein sweep + top-M
+    select, all_gather of the per-shard matches. Returns
+    (term_ids [D*M] global ids or -1, distances [D*M])."""
+    from ..ops.levenshtein import sweep_select
+
+    mesh = dictionary.mesh
+    per = dictionary.terms_per_shard
+    max_matches_per_shard = min(max_matches_per_shard, per)
+
+    def step(chars, lens, q, qlen, dist):
+        chars, lens = chars[0], lens[0]
+        sel_ids, sel_dist, _sel_prefix, _total = sweep_select(
+            chars, lens, q, qlen, dist, jnp.bool_(False),
+            max_matches=max_matches_per_shard,
+        )
+        base = jax.lax.axis_index("d").astype(jnp.int32) * per
+        gids = jnp.where(sel_ids >= 0, sel_ids + base, -1)
+        all_ids = jax.lax.all_gather(gids, "d").reshape(-1)
+        all_dist = jax.lax.all_gather(sel_dist, "d").reshape(-1)
+        return all_ids[None], all_dist[None]
+
+    fn = jax.jit(
+        jax.shard_map(
+            step,
+            mesh=mesh,
+            in_specs=(P("d", None, None), P("d", None), P(), P(), P()),
+            out_specs=(P(None, None), P(None, None)),
+            check_vma=False,
+        )
+    )
+    ids, dists = fn(
+        dictionary.chars,
+        dictionary.lengths,
+        jnp.asarray(query),
+        jnp.int32(query_len),
+        jnp.int32(distance),
+    )
+    return np.asarray(ids[0]), np.asarray(dists[0])
 
 
 def _local_resolve_dense(
