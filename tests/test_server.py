@@ -140,3 +140,18 @@ def test_search_batch_route(server):
     assert len(data) == 2
     assert data[0]["num_hits"] == 1
     assert data[1]["num_hits"] == 1
+
+
+def test_post_request_invalid_field(server):
+    """400 on a field filter matching nothing (reference server/tests.rs:90+)."""
+    import urllib.error
+
+    try:
+        _post(
+            server,
+            "/DB/search_query_params",
+            {"search_term": "fred", "fields": ["invalid"]},
+        )
+        raise AssertionError("expected HTTPError")
+    except urllib.error.HTTPError as e:
+        assert e.code == 400
