@@ -310,6 +310,9 @@ class Persistence:
     # --------------------------------------------------------------- device
     def invalidate_device_cache(self) -> None:
         self._device_fields.clear()
+        if hasattr(self, "_field_search_cache"):
+            self._field_search_cache.clear()
+        self.term_boost_cache.clear()
 
     def device_field(self, field: str) -> DeviceField:
         """Lazily upload one field's dictionary + postings to the device."""

@@ -75,9 +75,20 @@ class _Ctx:
                 setattr(fl, k, True)
 
     def run_field_searches(self) -> None:
+        # per-persistence memo of term-match results (the reference's
+        # field-level LRU, persistence.rs:66); keyed by request + flags
+        memo = getattr(self.persistence, "_field_search_cache", None)
+        if memo is None:
+            memo = {}
+            self.persistence._field_search_cache = memo
         for key, part in self.parts.items():
             fl = self.flags[key]
-            self.cache[key] = get_term_ids_in_field(
+            mkey = (key, fl.get_scores, fl.get_ids, fl.store_term_id_hits, fl.store_term_texts)
+            hit = memo.get(mkey)
+            if hit is not None:
+                self.cache[key] = hit
+                continue
+            res = get_term_ids_in_field(
                 self.persistence,
                 part,
                 get_scores=fl.get_scores,
@@ -85,6 +96,10 @@ class _Ctx:
                 store_term_id_hits=fl.store_term_id_hits,
                 store_term_texts=fl.store_term_texts,
             )
+            if len(memo) > 4096:
+                memo.clear()
+            memo[mkey] = res
+            self.cache[key] = res
 
     def result_for(self, part: RequestSearchPart) -> FieldSearchResult:
         return self.cache[part.key()]
