@@ -101,6 +101,26 @@ def levenshtein_sweep(
 
 
 @partial(jax.jit, static_argnames=("max_matches",))
+def select_matches(
+    dist: jax.Array,  # [N] int32 distances (precomputed sweep)
+    is_prefix: jax.Array,  # [N] bool
+    crit: jax.Array,  # [N] int32 matching criterion (dist or prefix_dist)
+    distance: jax.Array,  # scalar int32
+    max_matches: int,
+):
+    """Top-M match selection from precomputed sweep outputs (device-side)."""
+    match = crit <= distance
+    total = jnp.sum(match, dtype=jnp.int32)
+    key = jnp.where(match, dist, _BIG)
+    neg, sel_ids = jax.lax.top_k(-key, max_matches)
+    sel_match = -neg < _BIG
+    sel_ids = jnp.where(sel_match, sel_ids, -1)
+    sel_dist = jnp.where(sel_match, dist[sel_ids], _BIG)
+    sel_prefix = jnp.where(sel_match, is_prefix[sel_ids], False)
+    return sel_ids, sel_dist, sel_prefix, total
+
+
+@partial(jax.jit, static_argnames=("max_matches",))
 def sweep_select(
     term_chars: jax.Array,  # [N, L] uint16
     term_lens: jax.Array,  # [N] int32

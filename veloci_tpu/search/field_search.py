@@ -62,31 +62,33 @@ def _match_fuzzy_device(persistence, field, lower_term, distance, starts_with):
     import jax
     import jax.numpy as jnp
 
-    from ..ops.levenshtein import sweep_select
+    from ..ops.levenshtein import select_matches, sweep_select
 
-    # Pallas banded kernel on TPU (exact within the +-4 band, which covers
-    # all matching distances); XLA full sweep elsewhere and for starts_with
-    # (whose score distance can exceed the band). Opt-in: the kernel costs
-    # ~2min Mosaic compile per field shape — for warmed serving deployments.
+    # Banded Pallas kernel is the TPU default for non-starts_with matching
+    # (exact within the +-4 band; the XLA sweep spills its DP state to HBM
+    # at large N — 331ms vs 0.24ms per query over 1M terms). starts_with
+    # scoring needs full-term distances beyond the band -> XLA sweep.
+    # VELOCI_PALLAS_SWEEP=0 opts out.
     import os
 
     use_banded = (
-        os.environ.get("VELOCI_PALLAS_SWEEP") == "1"
+        os.environ.get("VELOCI_PALLAS_SWEEP", "1") != "0"
         and jax.default_backend() == "tpu"
         and not starts_with
         and distance <= 4
     )
-    if use_banded:
-        from .pallas_support import banded_sweep
+    max_matches = 1024
+    while True:
+        mm = min(max_matches, dev.chars.shape[0])
+        if use_banded:
+            from .pallas_support import banded_sweep
 
-        dist_d, prefix_d, ispref_d = banded_sweep(dev, q, qlen)
-        crit = np.asarray(prefix_d if starts_with else dist_d)[:n]
-        matched = np.flatnonzero(crit <= distance).astype(np.int64)
-        dists = np.asarray(dist_d)[:n][matched]
-        prefixes = np.asarray(ispref_d)[:n][matched]
-    else:
-        max_matches = 1024
-        while True:
+            dist_d, prefix_d, ispref_d = banded_sweep(dev, q, qlen)
+            crit_d = prefix_d if starts_with else dist_d
+            sel_ids, sel_dist, sel_prefix, total = select_matches(
+                dist_d, ispref_d, crit_d, jnp.int32(distance), max_matches=mm
+            )
+        else:
             sel_ids, sel_dist, sel_prefix, total = sweep_select(
                 dev.chars,
                 dev.lengths,
@@ -94,20 +96,20 @@ def _match_fuzzy_device(persistence, field, lower_term, distance, starts_with):
                 jnp.int32(qlen),
                 jnp.int32(distance),
                 jnp.bool_(starts_with),
-                max_matches=min(max_matches, dev.chars.shape[0]),
+                max_matches=mm,
             )
-            total = int(total)
-            if total <= max_matches or max_matches >= dev.chars.shape[0]:
-                break
-            while max_matches < total:
-                max_matches *= 4
-        sel_ids = np.asarray(sel_ids)
-        keep = (sel_ids >= 0) & (sel_ids < n)
-        matched = sel_ids[keep].astype(np.int64)
-        dists = np.asarray(sel_dist)[keep].astype(np.int64)
-        prefixes = np.asarray(sel_prefix)[keep]
-        order = np.argsort(matched, kind="stable")
-        matched, dists, prefixes = matched[order], dists[order], prefixes[order]
+        total = int(total)
+        if total <= max_matches or max_matches >= dev.chars.shape[0]:
+            break
+        while max_matches < total:
+            max_matches *= 4
+    sel_ids = np.asarray(sel_ids)
+    keep = (sel_ids >= 0) & (sel_ids < n)
+    matched = sel_ids[keep].astype(np.int64)
+    dists = np.asarray(sel_dist)[keep].astype(np.int64)
+    prefixes = np.asarray(sel_prefix)[keep]
+    order = np.argsort(matched, kind="stable")
+    matched, dists, prefixes = matched[order], dists[order], prefixes[order]
 
     # host fallback for terms longer than the sweep width
     long_ids = dictionary.long_term_ids()
