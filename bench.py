@@ -78,6 +78,20 @@ def main() -> None:
     backend = jax.default_backend()
     log(f"backend: {backend}, devices: {jax.devices()}")
 
+    # host-link health diagnostic (the tunnel's round-trip latency bounds all
+    # sequential-dispatch metrics)
+    link_rt_ms = 0.0
+    if backend != "cpu":
+        import jax.numpy as _jnp
+
+        probe = _jnp.zeros(8)
+        probe.block_until_ready()
+        t_probe = time.perf_counter()
+        for _ in range(10):
+            float(_jnp.sum(probe))
+        link_rt_ms = (time.perf_counter() - t_probe) / 10 * 1e3
+        log(f"link round-trip: {link_rt_ms:.2f} ms")
+
     t0 = time.time()
     corpus, vocab = build_corpus(N_DOCS)
     log(f"corpus generated in {time.time() - t0:.1f}s ({N_DOCS} docs)")
@@ -297,6 +311,7 @@ def main() -> None:
             "fuzzy_d2_p99_ms": round(percentile(lat_f, 99) * 1e3, 3),
             "highlight_qps": round(hl_qps, 1),
             "index_build_mb_per_s": round(pers.bytes_indexed / build_s / 1e6, 2),
+            "link_round_trip_ms": round(link_rt_ms, 3),
         },
     }
     print(json.dumps(result))

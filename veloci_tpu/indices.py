@@ -291,8 +291,14 @@ class TermDictionary:
         return self._char_matrix, self._char_lengths
 
     def long_term_ids(self) -> List[int]:
-        """Ids of terms longer (in chars) than MAX_TERM_CHARS."""
-        return [i for i, lo in enumerate(self._lower) if len(lo) > MAX_TERM_CHARS]
+        """Ids of terms longer (in chars) than MAX_TERM_CHARS (cached)."""
+        cached = getattr(self, "_long_ids_cache", None)
+        if cached is None:
+            cached = [
+                i for i, t in enumerate(self.terms) if len(t) > MAX_TERM_CHARS
+            ]
+            self._long_ids_cache = cached
+        return cached
 
     # --- persistence ------------------------------------------------------
     def to_arrays(self) -> Dict[str, np.ndarray]:

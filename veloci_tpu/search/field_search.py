@@ -77,7 +77,7 @@ def _match_fuzzy_device(persistence, field, lower_term, distance, starts_with):
         and not starts_with
         and distance <= 4
     )
-    max_matches = 1024
+    max_matches = 256
     while True:
         mm = min(max_matches, dev.chars.shape[0])
         if use_banded:
