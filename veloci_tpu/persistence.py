@@ -49,21 +49,76 @@ _MANIFEST = "metaData.json"
 _DOCSTORE = "docs.bin"
 
 
-@dataclass
 class DeviceField:
-    """HBM-resident arrays for one searchable field (built lazily)."""
+    """HBM-resident arrays for one searchable field.
 
-    # fuzzy sweep inputs
-    chars: object  # jnp [N_pad, MAX_TERM_CHARS] uint16 (lowercased codepoints)
-    chars_t: object  # jnp [MAX_TERM_CHARS, N_pad] uint16 (for the Pallas sweep)
-    lengths: object  # jnp [N_pad] int32
-    num_terms: int
-    # anchor-score postings (token_id -> (anchor, score/100))
-    offsets: object  # jnp [num_keys_pad + 1] int32
-    anchors: object  # jnp [nnz_pad] int32
-    scores01: object  # jnp [nnz_pad] float32  (u16 score / 100)
-    host_offsets: np.ndarray  # for capacity computation on host
-    num_score_keys: int
+    Every component uploads LAZILY on first access — e.g. the transposed
+    char matrix (Pallas sweep) and the row-major one (XLA sweep) are each
+    only paid for when that code path runs.
+    """
+
+    def __init__(
+        self,
+        chars_host: np.ndarray,
+        lengths_host: np.ndarray,
+        num_terms: int,
+        offsets_host,
+        anchors_host,
+        scores01_host,
+        host_offsets: np.ndarray,
+        num_score_keys: int,
+    ) -> None:
+        self._chars_host = chars_host
+        self._lengths_host = lengths_host
+        self.num_terms = num_terms
+        self._offsets_host = offsets_host
+        self._anchors_host = anchors_host
+        self._scores01_host = scores01_host
+        self.host_offsets = host_offsets
+        self.num_score_keys = num_score_keys
+        self._dev: Dict[str, object] = {}
+        self._has_postings = offsets_host is not None
+
+    def _up(self, key: str, build):
+        arr = self._dev.get(key)
+        if arr is None:
+            import jax.numpy as jnp
+
+            arr = jnp.asarray(build())
+            self._dev[key] = arr
+        return arr
+
+    @property
+    def chars(self):
+        return self._up("chars", lambda: self._chars_host)
+
+    @property
+    def chars_t(self):
+        return self._up(
+            "chars_t", lambda: np.ascontiguousarray(self._chars_host.T)
+        )
+
+    @property
+    def lengths(self):
+        return self._up("lengths", lambda: self._lengths_host)
+
+    @property
+    def offsets(self):
+        if not self._has_postings:
+            return None
+        return self._up("offsets", lambda: self._offsets_host)
+
+    @property
+    def anchors(self):
+        if not self._has_postings:
+            return None
+        return self._up("anchors", lambda: self._anchors_host)
+
+    @property
+    def scores01(self):
+        if not self._has_postings:
+            return None
+        return self._up("scores01", lambda: self._scores01_host)
 
 
 def _enc(name: str) -> str:
@@ -346,25 +401,23 @@ class Persistence:
             offsets_p[: nk + 1] = host_offsets
             offsets_p[nk + 1 :] = host_offsets[-1]
             dev = DeviceField(
-                chars=jnp.asarray(chars_p),
-                chars_t=jnp.asarray(np.ascontiguousarray(chars_p.T)),
-                lengths=jnp.asarray(lens_p),
+                chars_host=chars_p,
+                lengths_host=lens_p,
                 num_terms=n,
-                offsets=jnp.asarray(offsets_p),
-                anchors=jnp.asarray(anchors_p),
-                scores01=jnp.asarray(scores_p),
+                offsets_host=offsets_p,
+                anchors_host=anchors_p,
+                scores01_host=scores_p,
                 host_offsets=host_offsets,
                 num_score_keys=nk,
             )
         else:
             dev = DeviceField(
-                chars=jnp.asarray(chars_p),
-                chars_t=jnp.asarray(np.ascontiguousarray(chars_p.T)),
-                lengths=jnp.asarray(lens_p),
+                chars_host=chars_p,
+                lengths_host=lens_p,
                 num_terms=n,
-                offsets=None,
-                anchors=None,
-                scores01=None,
+                offsets_host=None,
+                anchors_host=None,
+                scores01_host=None,
                 host_offsets=np.zeros(1, dtype=np.int64),
                 num_score_keys=0,
             )
