@@ -140,3 +140,148 @@ def test_sharded_fuzzy_match(pers):
         if levenshtein_distance_host(query, t.lower()) <= 1
     }
     assert got == expected
+
+
+@pytest.fixture(scope="module")
+def pers2f():
+    """Two searchable fields sharing vocabulary (generator-style expansion)."""
+    rng = np.random.default_rng(7)
+    words = [f"w{i:03d}" for i in range(40)]
+    docs = []
+    for i in range(64):
+        docs.append(
+            {
+                "title": " ".join(rng.choice(words, size=4)),
+                "body": " ".join(rng.choice(words, size=6)),
+            }
+        )
+    nd = "\n".join(json.dumps(d) for d in docs)
+    return Persistence.create_from_str(nd, "{}")
+
+
+def test_multi_field_fused_fast_path(pers2f, monkeypatch):
+    """Multi-field OR through the combined-postings fused path must match
+    the generic tree evaluation (same hits, same scores, same order)."""
+    import importlib
+
+    ex = importlib.import_module("veloci_tpu.search.executor")
+    from veloci_tpu import Request
+
+    def req_for(term):
+        return Request.from_dict(
+            {
+                "search_req": {
+                    "or": {
+                        "queries": [
+                            {"search": {"terms": [term], "path": "title"}},
+                            {"search": {"terms": [term], "path": "body"}},
+                        ]
+                    }
+                },
+                "top": 10,
+            }
+        )
+
+    for term in ["w001", "w013", "w030", "zzz"]:
+        monkeypatch.setattr(ex, "SMALL_DOCS", 1 << 30)
+        slow = ex.search(req_for(term), pers2f)
+        monkeypatch.setattr(ex, "SMALL_DOCS", 1)
+        fast = ex._try_fast_path(req_for(term), pers2f, 10)
+        if term == "zzz":
+            assert fast is None or fast.num_hits == 0
+            continue
+        assert fast is not None
+        assert fast.num_hits == slow.num_hits
+        assert [(h.id, round(h.score, 4)) for h in fast.data] == [
+            (h.id, round(h.score, 4)) for h in slow.data
+        ]
+
+
+def test_multi_field_fused_distinct_terms(pers2f, monkeypatch):
+    """OR over two DIFFERENT terms across two fields — exercises slot
+    assignment (distinct^2 union boost) in the combined path."""
+    import importlib
+
+    ex = importlib.import_module("veloci_tpu.search.executor")
+    from veloci_tpu import Request
+
+    req_dict = {
+        "search_req": {
+            "or": {
+                "queries": [
+                    {"search": {"terms": ["w001"], "path": "title"}},
+                    {"search": {"terms": ["w002"], "path": "title"}},
+                    {"search": {"terms": ["w001"], "path": "body"}},
+                    {"search": {"terms": ["w002"], "path": "body"}},
+                ]
+            }
+        },
+        "top": 20,
+    }
+    monkeypatch.setattr(ex, "SMALL_DOCS", 1 << 30)
+    slow = ex.search(Request.from_dict(req_dict), pers2f)
+    monkeypatch.setattr(ex, "SMALL_DOCS", 1)
+    fast = ex._try_fast_path(Request.from_dict(req_dict), pers2f, 20)
+    assert fast is not None
+    assert fast.num_hits == slow.num_hits
+    assert [(h.id, round(h.score, 4)) for h in fast.data] == [
+        (h.id, round(h.score, 4)) for h in slow.data
+    ]
+
+
+def test_search_batch_multi_field_and_multi_term(pers2f, monkeypatch):
+    """Batched path handles multi-field and multi-distinct-term ORs in the
+    fused dispatch and still matches individual searches."""
+    import importlib
+
+    batch_mod = importlib.import_module("veloci_tpu.search.batch")
+    ex = importlib.import_module("veloci_tpu.search.executor")
+    monkeypatch.setattr(batch_mod, "SMALL_DOCS", 1)
+    monkeypatch.setattr(ex, "SMALL_DOCS", 1)
+
+    from veloci_tpu import Request
+
+    reqs = [
+        # single-field single-term
+        Request.from_dict(
+            {"search_req": {"search": {"terms": ["w001"], "path": "title"}}}
+        ),
+        # multi-field single-term (generator expansion)
+        Request.from_dict(
+            {
+                "search_req": {
+                    "or": {
+                        "queries": [
+                            {"search": {"terms": ["w013"], "path": "title"}},
+                            {"search": {"terms": ["w013"], "path": "body"}},
+                        ]
+                    }
+                }
+            }
+        ),
+        # multi-field multi-term (distinct^2 union across fields)
+        Request.from_dict(
+            {
+                "search_req": {
+                    "or": {
+                        "queries": [
+                            {"search": {"terms": ["w001"], "path": "title"}},
+                            {"search": {"terms": ["w002"], "path": "body"}},
+                        ]
+                    }
+                },
+                "top": 20,
+            }
+        ),
+        # miss
+        Request.from_dict(
+            {"search_req": {"search": {"terms": ["zzz"], "path": "title"}}}
+        ),
+    ]
+    batched = batch_mod.search_batch(reqs, pers2f)
+    for req, res in zip(reqs, batched):
+        single = ex.search(req, pers2f)
+        assert res.num_hits == single.num_hits
+        assert [(h.id, round(h.score, 4)) for h in res.data] == [
+            (h.id, round(h.score, 4)) for h in single.data
+        ]

@@ -16,7 +16,12 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
-__all__ = ["exact_search_topk", "union_search_topk", "batched_search_topk"]
+__all__ = [
+    "exact_search_topk",
+    "union_search_topk",
+    "batched_search_topk",
+    "batched_union_search_topk",
+]
 
 
 @partial(jax.jit, static_argnames=("capacity", "num_docs", "k"))
@@ -131,3 +136,30 @@ def union_search_topk(
     scores, ids = jax.lax.top_k(dense, k)
     num_hits = jnp.sum(dense > 0, dtype=jnp.int32)
     return ids, scores, num_hits
+
+
+@partial(jax.jit, static_argnames=("capacity", "num_docs", "k", "num_slots"))
+def batched_union_search_topk(
+    offsets: jax.Array,
+    anchors: jax.Array,
+    scores01: jax.Array,
+    term_ids: jax.Array,  # [Q, T_pad] int32 (pad -1)
+    term_scores: jax.Array,  # [Q, T_pad] f32
+    term_slots: jax.Array,  # [Q, T_pad] int32
+    capacity: int,
+    num_docs: int,
+    k: int,
+    num_slots: int,
+):
+    """Batched multi-term OR: the full union semantics (per-distinct-term max,
+    distinct^2 boost) vmapped over a query batch — the serving kernel behind
+    `search_batch` for generator-style queries that OR one term across many
+    fields (term ids are then GLOBAL ids into the combined-field CSR)."""
+
+    def one(tids, tscores, tslots):
+        return union_search_topk(
+            offsets, anchors, scores01, tids, tscores, tslots,
+            capacity=capacity, num_docs=num_docs, k=k, num_slots=num_slots,
+        )
+
+    return jax.vmap(one)(term_ids, term_scores, term_slots)

@@ -424,6 +424,60 @@ class Persistence:
         self._device_fields[field] = dev
         return dev
 
+    def device_combined(self):
+        """All searchable fields' anchor-score postings concatenated into ONE
+        global-key CSR on device. A multi-field OR (the search-query
+        generator's expansion of a term across every field) then fuses into
+        a single `union_search_topk` dispatch with global term ids
+        ``key_base[field] + token_id`` — instead of one program per field.
+        """
+        cached = self._device_fields.get("\x00combined")
+        if cached is not None:
+            return cached
+        suffix = TEXTINDEX + TO_ANCHOR_ID_SCORE
+        parts = []
+        for path in sorted(self.anchor_scores):
+            if path.endswith(suffix):
+                parts.append((path[: -len(suffix)], self.anchor_scores[path]))
+        if not parts:
+            return None
+        key_base: Dict[str, Tuple[int, int]] = {}
+        off_parts, anc_parts, sc_parts = [], [], []
+        nnz_base = 0
+        kbase = 0
+        for field, store in parts:
+            ho = np.asarray(store.offsets, dtype=np.int64)
+            key_base[field] = (kbase, store.num_keys)
+            off_parts.append(ho[:-1] + nnz_base)
+            nnz_base += int(ho[-1])
+            kbase += store.num_keys
+            anc_parts.append(store.anchors)
+            sc_parts.append(store.scores)
+        off_parts.append(np.array([nnz_base, nnz_base], dtype=np.int64))
+        host_offsets = np.concatenate(off_parts)  # [kbase + 2] int64
+        assert nnz_base < (1 << 31)
+        nnz_pad = _round_up(max(nnz_base, 8), 128)
+        anchors_p = np.full(nnz_pad, self.num_docs, dtype=np.int32)
+        scores_p = np.zeros(nnz_pad, dtype=np.float32)
+        if nnz_base:
+            anchors_p[:nnz_base] = np.concatenate(anc_parts)
+            scores_p[:nnz_base] = np.concatenate(sc_parts).astype(
+                np.float32
+            ) / np.float32(100.0)
+        dev = DeviceField(
+            chars_host=np.zeros((8, 1), dtype=np.uint16),
+            lengths_host=np.zeros(8, dtype=np.int32),
+            num_terms=0,
+            offsets_host=host_offsets.astype(np.int32),
+            anchors_host=anchors_p,
+            scores01_host=scores_p,
+            host_offsets=host_offsets,
+            num_score_keys=kbase,
+        )
+        dev.key_base = key_base
+        self._device_fields["\x00combined"] = dev
+        return dev
+
     # ---------------------------------------------------------------- report
     def heap_size_report(self) -> str:
         """Index size table (reference persistence.rs:412-447)."""

@@ -1,7 +1,9 @@
 """True batched serving: many requests -> one device dispatch.
 
 `search_batch` partitions a request batch into (a) fast-path-eligible exact
-requests, executed as ONE vmapped XLA program (`batched_search_topk`), and
+requests — single- or multi-field, single- or multi-term ORs — executed as
+vmapped XLA programs over the COMBINED global-key postings
+(`batched_union_search_topk`, grouped by distinct-term-count bucket), and
 (b) everything else, executed individually. This is the API behind the
 server's ``/search_batch`` route — the TPU-native replacement for the
 reference's per-request thread pool.
@@ -20,9 +22,11 @@ from .result import Hit, SearchResult
 
 __all__ = ["search_batch"]
 
+_MAX_SLOTS = 8  # distinct-term ORs beyond this fall back per request
 
-def _eligible(request: Request, persistence) -> Optional[Tuple[str, list]]:
-    """Single-field exact fast-path eligibility -> (field, leaves) or None."""
+
+def _eligible(request: Request, persistence) -> Optional[list]:
+    """Exact fast-path eligibility -> leaf parts, or None."""
     if persistence.num_docs < SMALL_DOCS:
         return None
     if any(
@@ -50,7 +54,6 @@ def _eligible(request: Request, persistence) -> Optional[Tuple[str, list]]:
         leaves = [q.part for q in node.queries]
     else:
         return None
-    fields = set()
     for part in leaves:
         if (
             (part.levenshtein_distance or 0) != 0
@@ -64,61 +67,74 @@ def _eligible(request: Request, persistence) -> Optional[Tuple[str, list]]:
             or part.ignore_case is False
         ):
             return None
-        f = part.path
-        if f.endswith(TEXTINDEX):
-            f = f[: -len(TEXTINDEX)]
-        fields.add(f)
-    if len(fields) != 1:
-        return None
-    field = next(iter(fields))
-    if persistence.device_field(field).offsets is None:
-        return None
-    return field, leaves
+    return leaves
+
+
+def _slot_bucket(ns: int) -> int:
+    b = 1
+    while b < ns:
+        b *= 2
+    return b
 
 
 def search_batch(requests: List[Request], persistence) -> List[SearchResult]:
-    """Answer a batch of requests; fast-path-eligible ones share one dispatch."""
+    """Answer a batch of requests; fast-path-eligible ones share one dispatch
+    per distinct-term-count bucket (usually just one)."""
     import time
 
     import jax.numpy as jnp
 
     from ..ops.postings import bucket_size
-    from ..ops.search_step import batched_search_topk
+    from ..ops.search_step import batched_union_search_topk
 
     start = time.time_ns()
     results: List[Optional[SearchResult]] = [None] * len(requests)
 
-    # group eligible requests per field
+    comb = persistence.device_combined() if persistence.num_docs >= SMALL_DOCS else None
+
+    # group eligible requests by distinct-term-count bucket (static num_slots)
     groups: dict = {}
     for qi, req in enumerate(requests):
-        el = _eligible(req, persistence)
-        if el is None:
+        leaves = _eligible(req, persistence) if comb is not None else None
+        if leaves is None:
             results[qi] = search(req, persistence)
-        else:
-            field, leaves = el
-            groups.setdefault(field, []).append((qi, req, leaves))
+            continue
+        term_strings = sorted({p.terms[0] for p in leaves})
+        slots = {t: i for i, t in enumerate(term_strings)}
+        ns = len(term_strings)
+        gtids: List[Tuple[int, float, int]] = []  # (global_tid, score, slot)
+        ok = ns <= _MAX_SLOTS
+        for part in leaves:
+            if not ok:
+                break
+            f = part.path
+            if f.endswith(TEXTINDEX):
+                f = f[: -len(TEXTINDEX)]
+            kb = comb.key_base.get(f)
+            if kb is None:
+                ok = False
+                break
+            base, nk = kb
+            boost = part.boost if part.boost is not None else 1.0
+            score = float(np.float32(np.float32(10.0) * np.float32(boost)))
+            for tid in persistence.get_dictionary(f).get_ignore_case(part.terms[0]):
+                if tid < nk:
+                    gtids.append((base + tid, score, slots[part.terms[0]]))
+        if not ok:
+            results[qi] = search(req, persistence)
+            continue
+        groups.setdefault(_slot_bucket(ns), []).append((qi, req, gtids))
 
-    for field, entries in groups.items():
-        dev = persistence.device_field(field)
-        dictionary = persistence.get_dictionary(field)
-        ho = dev.host_offsets
-        num_docs = persistence.num_docs
-
-        per_query_tids = []
+    num_docs = persistence.num_docs
+    for num_slots, entries in groups.items():
+        ho = comb.host_offsets
         max_terms = 1
         max_total = 1
         max_k = 1
-        for qi, req, leaves in entries:
-            tids = []
-            for part in leaves:
-                for tid in dictionary.get_ignore_case(part.terms[0]):
-                    if tid < dev.num_score_keys:
-                        boost = part.boost if part.boost is not None else 1.0
-                        tids.append((tid, np.float32(10.0) * np.float32(boost)))
-            per_query_tids.append(tids)
-            max_terms = max(max_terms, len(tids))
+        for qi, req, gtids in entries:
+            max_terms = max(max_terms, len(gtids))
             max_total = max(
-                max_total, sum(int(ho[t + 1] - ho[t]) for t, _s in tids)
+                max_total, sum(int(ho[g + 1] - ho[g]) for g, _s, _sl in gtids)
             )
             top = req.top if req.top is not None else 10
             max_k = max(max_k, top + (req.skip or 0))
@@ -129,31 +145,29 @@ def search_batch(requests: List[Request], persistence) -> List[SearchResult]:
         q = len(entries)
         tid_arr = np.full((q, t_pad), -1, dtype=np.int32)
         ts_arr = np.zeros((q, t_pad), dtype=np.float32)
-        for row, tids in enumerate(per_query_tids):
-            for j, (tid, sc) in enumerate(tids[:t_pad]):
-                tid_arr[row, j] = tid
+        sl_arr = np.zeros((q, t_pad), dtype=np.int32)
+        for row, (_qi, _req, gtids) in enumerate(entries):
+            for j, (g, sc, sl) in enumerate(gtids[:t_pad]):
+                tid_arr[row, j] = g
                 ts_arr[row, j] = sc
-        ids_b, scores_b, hits_b = batched_search_topk(
-            dev.offsets,
-            dev.anchors,
-            dev.scores01,
+                sl_arr[row, j] = sl
+        ids_b, scores_b, hits_b = batched_union_search_topk(
+            comb.offsets,
+            comb.anchors,
+            comb.scores01,
             jnp.asarray(tid_arr),
             jnp.asarray(ts_arr),
+            jnp.asarray(sl_arr),
             capacity=capacity,
             num_docs=num_docs,
             k=k_eff,
+            num_slots=num_slots,
         )
         ids_b = np.asarray(ids_b)
         scores_b = np.asarray(scores_b)
         hits_b = np.asarray(hits_b)
 
-        for row, (qi, req, leaves) in enumerate(entries):
-            # NB the batched kernel scores every query as a union with ONE
-            # term slot per matched dictionary term; for multi-distinct-term
-            # ORs fall back per request (rare in batch serving)
-            if len({p.terms[0] for p in leaves}) > 1:
-                results[qi] = search(req, persistence)
-                continue
+        for row, (qi, req, _gtids) in enumerate(entries):
             ids = ids_b[row]
             scores = scores_b[row]
             mask = scores > 0
@@ -162,6 +176,17 @@ def search_batch(requests: List[Request], persistence) -> List[SearchResult]:
             ids, scores = ids[order], scores[order]
             top = req.top if req.top is not None else 10
             skip = req.skip or 0
+            want = top + skip
+            if (
+                len(ids) == k_eff
+                and k_eff < num_docs
+                and want > 0
+                and len(ids) > want
+                and scores[-1] == scores[want - 1]
+            ):
+                # ties straddle the overfetch boundary — generic path decides
+                results[qi] = search(req, persistence)
+                continue
             res = SearchResult()
             res.num_hits = int(hits_b[row])
             window = list(zip(ids, scores))[skip : skip + top]

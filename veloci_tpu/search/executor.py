@@ -363,28 +363,36 @@ def _try_fast_path(request: Request, persistence, top: int) -> Optional[SearchRe
             score = _F32(score * _F32(part.boost))
         for tid in dictionary.get_ignore_case(part.terms[0]):
             tid_list.append((field, tid, float(score), slots[part.terms[0]]))
-    if len(fields) != 1:
-        return None  # multi-field fusion needs per-field postings; generic path
-    field = next(iter(fields))
-    dev = persistence.device_field(field)
+    if len(fields) == 1:
+        field = next(iter(fields))
+        dev = persistence.device_field(field)
+        base_of = {field: (0, dev.num_score_keys)}
+    else:
+        # multi-field OR: fuse over the combined global-key postings
+        dev = persistence.device_combined()
+        if dev is None or any(f not in dev.key_base for f in fields):
+            return None
+        base_of = dev.key_base
     if dev.offsets is None:
         return None
 
     num_docs = persistence.num_docs
     ho = dev.host_offsets
-    total = sum(
-        int(ho[t + 1] - ho[t]) for _f, t, _s, _sl in tid_list if t < dev.num_score_keys
-    )
+    gtid_list = []  # (global_tid, score, slot)
+    for f, tid, sc, sl in tid_list:
+        base, nk = base_of[f]
+        if tid < nk:
+            gtid_list.append((base + tid, sc, sl))
+    total = sum(int(ho[g + 1] - ho[g]) for g, _s, _sl in gtid_list)
     capacity = bucket_size(max(total, 1))
-    t_pad = bucket_size(max(len(tid_list), 1), 8)
+    t_pad = bucket_size(max(len(gtid_list), 1), 8)
     term_ids = np.full(t_pad, -1, dtype=np.int32)
     term_scores = np.zeros(t_pad, dtype=np.float32)
     term_slots = np.zeros(t_pad, dtype=np.int32)
-    for j, (_f, tid, sc, sl) in enumerate(tid_list[:t_pad]):
-        if tid < dev.num_score_keys:
-            term_ids[j] = tid
-            term_scores[j] = sc
-            term_slots[j] = sl
+    for j, (g, sc, sl) in enumerate(gtid_list[:t_pad]):
+        term_ids[j] = g
+        term_scores[j] = sc
+        term_slots[j] = sl
     k_eff = min(num_docs, top + 64)
     ids, scores, num_hits = union_search_topk(
         dev.offsets,
