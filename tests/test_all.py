@@ -862,3 +862,26 @@ def test_should_or_connect_search_and_boost_anchor(pers):
         },
     ).data
     assert hits[0].doc["commonness"] == 20
+
+
+def test_log10_boost_explained_dual_entries(pers):
+    """Log10 boosts emit TWO Boost explain entries: the log10 factor, then
+    the final post-boost score (reference apply_boost,
+    boost.rs:292-309 + :371-374)."""
+    import math
+
+    res = run(
+        pers,
+        {
+            "search_req": {"search": {"terms": ["意慾"], "path": "kanji[].text"}},
+            "boost": [{"path": "commonness", "boost_fun": "Log10", "param": 1}],
+            "explain": True,
+        },
+    )
+    hit = res.data[0]
+    assert hit.doc["commonness"] == 500
+    boosts = [e["Boost"] for e in hit.explain if "Boost" in e]
+    assert len(boosts) == 2
+    factor, final = boosts
+    assert abs(factor - math.log10(501)) < 1e-4
+    assert abs(final - hit.hit.score) < 1e-5

@@ -207,7 +207,16 @@ def _eval_scores(ctx: _Ctx, node: SearchRequest, boosts):
             old = dense = _to_host(dense)
             dense = boost_mod.apply_anchor_boost_values(dense, anchors, bvals, b1n)
             if ctx.explain:
-                ctx.boost_log.append(((old > 0) & (dense != old), dense.copy()))
+                entries = [dense.copy()]
+                if b1n.boost_fun == "Log10":
+                    # reference pushes the log10 factor BEFORE the final
+                    # score for Log10 (boost.rs:292-309 + :371-374)
+                    with np.errstate(divide="ignore", invalid="ignore"):
+                        fac = np.where(
+                            old > 0, dense / np.maximum(old, _F32(1e-30)), _F32(0.0)
+                        ).astype(_F32)
+                    entries.insert(0, fac)
+                ctx.boost_log.append(((old > 0) & (dense != old), entries))
         return dense, part.terms[0], part.path, enode
 
     # merge node-level option boosts (merge_vec, execution_plan.rs:268-275)
@@ -478,7 +487,18 @@ def search(request: Request, persistence) -> SearchResult:
         old = dense = _to_host(dense)
         dense = boost_mod.apply_boost_dense(dense, vals, present, b)
         if ctx.explain:
-            ctx.boost_log.append(((old > 0) & (dense != old), dense.copy()))
+            entries = [dense.copy()]
+            if b.boost_fun == "Log10":
+                # dual Log10 explain entries: factor then final score
+                # (reference apply_boost, boost.rs:292-309 + :371-374)
+                param = _F32(b.param or 0.0)
+                bvfull = np.zeros(len(old), dtype=_F32)
+                m = min(len(old), len(vals))
+                bvfull[:m] = vals[:m]
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    fac = np.log10(bvfull + param, dtype=_F32)
+                entries.insert(0, fac)
+            ctx.boost_log.append(((old > 0) & (dense != old), entries))
 
     # phrase boosts (plan_steps.rs:237-283)
     if request.phrase_boosts:

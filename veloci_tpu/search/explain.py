@@ -119,17 +119,21 @@ def collect_explain(
 ) -> Dict[int, List[dict]]:
     """Explain entries for the given hit anchors.
 
-    ``boost_log`` holds (applied_mask, entry_values) pairs recorded by the
-    executor for each boost application, appended after the tree entries.
+    ``boost_log`` holds (applied_mask, [entry_values...]) pairs recorded by
+    the executor for each boost application, appended after the tree entries
+    (two value arrays for Log10: factor then final score).
     """
     out: Dict[int, List[dict]] = {}
     if root is None:
         return out
     for anchor in anchors:
         entries = root.collect(ctx, int(anchor))
-        for mask, values in boost_log:
+        for mask, values_list in boost_log:
             a = int(anchor)
             if a < len(mask) and mask[a]:
-                entries.append({"Boost": float(values[a])})
+                # one Boost entry per recorded value (Log10 records the
+                # factor AND the final score, boost.rs:292-309 + :371-374)
+                for values in values_list:
+                    entries.append({"Boost": float(values[a])})
         out[int(anchor)] = entries
     return out
