@@ -626,6 +626,126 @@ void finalize_path(PathState& ps) {
 
 }  // namespace
 
+
+// ---------------------------------------------------------------------------
+// Block codec: LZ4-format-style byte LZ (token = lit-nibble|match-nibble,
+// 255-run length extension, 16-bit LE match offset, min match 4). Same
+// latency class as the reference's LZ4 doc-store blocks
+// (doc_store/src/lib.rs:131-149) without an external dependency. The format
+// is ours end-to-end (DocStoreWriter/DocLoader are the only producers and
+// consumers); the decoder is fully bounds-checked.
+namespace vlz {
+
+static inline uint32_t read32(const uint8_t* p) {
+    uint32_t v;
+    memcpy(&v, p, 4);
+    return v;
+}
+static inline uint32_t hash32(uint32_t v) { return (v * 2654435761u) >> 16; }
+
+static int64_t compress(const uint8_t* src, int64_t n, uint8_t* dst, int64_t cap) {
+    if (n < 0 || n > INT32_MAX) return -1;
+    int64_t op = 0;
+    auto emit_run = [&](int64_t len) -> bool {
+        while (len >= 255) {
+            if (op >= cap) return false;
+            dst[op++] = 255;
+            len -= 255;
+        }
+        if (op >= cap) return false;
+        dst[op++] = (uint8_t)len;
+        return true;
+    };
+    std::vector<int32_t> table((size_t)1 << 16, -1);
+    int64_t ip = 0, anchor = 0;
+    const int64_t mflimit = n - 12;
+    while (ip <= mflimit && ip >= 0) {
+        uint32_t h = hash32(read32(src + ip));
+        int64_t cand = table[h];
+        table[h] = (int32_t)ip;
+        if (cand >= 0 && ip - cand <= 65535 && read32(src + cand) == read32(src + ip)) {
+            int64_t mlen = 4;
+            while (ip + mlen < n - 5 && src[cand + mlen] == src[ip + mlen]) mlen++;
+            int64_t lit = ip - anchor;
+            if (op >= cap) return -1;
+            int64_t tok_pos = op++;
+            uint8_t t_lit = lit >= 15 ? 15 : (uint8_t)lit;
+            uint8_t t_ml = (mlen - 4) >= 15 ? 15 : (uint8_t)(mlen - 4);
+            dst[tok_pos] = (uint8_t)((t_lit << 4) | t_ml);
+            if (lit >= 15 && !emit_run(lit - 15)) return -1;
+            if (op + lit > cap) return -1;
+            memcpy(dst + op, src + anchor, (size_t)lit);
+            op += lit;
+            if (op + 2 > cap) return -1;
+            uint16_t off = (uint16_t)(ip - cand);
+            dst[op++] = (uint8_t)(off & 0xff);
+            dst[op++] = (uint8_t)(off >> 8);
+            if ((mlen - 4) >= 15 && !emit_run(mlen - 4 - 15)) return -1;
+            ip += mlen;
+            anchor = ip;
+            if (ip - 2 > 0 && ip - 2 <= mflimit)
+                table[hash32(read32(src + ip - 2))] = (int32_t)(ip - 2);
+        } else {
+            ip++;
+        }
+    }
+    int64_t lit = n - anchor;
+    if (op >= cap) return -1;
+    uint8_t t_lit = lit >= 15 ? 15 : (uint8_t)lit;
+    dst[op++] = (uint8_t)(t_lit << 4);
+    if (lit >= 15 && !emit_run(lit - 15)) return -1;
+    if (op + lit > cap) return -1;
+    memcpy(dst + op, src + anchor, (size_t)lit);
+    op += lit;
+    return op;
+}
+
+static int64_t decompress(const uint8_t* src, int64_t n, uint8_t* dst, int64_t cap) {
+    int64_t ip = 0, op = 0;
+    while (ip < n) {
+        uint8_t token = src[ip++];
+        int64_t lit = token >> 4;
+        if (lit == 15) {
+            uint8_t b;
+            do {
+                if (ip >= n) return -1;
+                b = src[ip++];
+                lit += b;
+            } while (b == 255);
+        }
+        if (ip + lit > n || op + lit > cap) return -1;
+        memcpy(dst + op, src + ip, (size_t)lit);
+        ip += lit;
+        op += lit;
+        if (ip >= n) break;  // final sequence carries literals only
+        if (ip + 2 > n) return -1;
+        int64_t off = (int64_t)src[ip] | ((int64_t)src[ip + 1] << 8);
+        ip += 2;
+        if (off == 0 || off > op) return -1;
+        int64_t mlen = token & 15;
+        if (mlen == 15) {
+            uint8_t b;
+            do {
+                if (ip >= n) return -1;
+                b = src[ip++];
+                mlen += b;
+            } while (b == 255);
+        }
+        mlen += 4;
+        if (op + mlen > cap) return -1;
+        const uint8_t* m = dst + op - off;
+        if (off >= mlen) {
+            memcpy(dst + op, m, (size_t)mlen);
+        } else {
+            for (int64_t i = 0; i < mlen; i++) dst[op + i] = m[i];
+        }
+        op += mlen;
+    }
+    return op;
+}
+
+}  // namespace vlz
+
 extern "C" {
 
 void* vl_index_ndjson(const char* data, int64_t len, PathConfigCb cb) {
@@ -744,6 +864,15 @@ const uint32_t* vl_id_parent(void* r, int32_t p) {
 }
 const uint32_t* vl_id_anchor(void* r, int32_t p) {
     return ((IndexResult*)r)->id_paths[p]->anchor_id.data();
+}
+
+
+int64_t vl_lz_bound(int64_t n) { return n + n / 255 + 16; }
+int64_t vl_lz_compress(const uint8_t* src, int64_t n, uint8_t* dst, int64_t cap) {
+    return vlz::compress(src, n, dst, cap);
+}
+int64_t vl_lz_decompress(const uint8_t* src, int64_t n, uint8_t* dst, int64_t cap) {
+    return vlz::decompress(src, n, dst, cap);
 }
 
 void vl_free(void* r) { delete (IndexResult*)r; }

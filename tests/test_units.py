@@ -294,3 +294,55 @@ def test_sweep_select_overflow_growth():
         pers,
     )
     assert res.num_hits == 3000  # every doc matches within d=1
+
+
+def test_lz_codec_roundtrip():
+    """Native LZ block codec: roundtrip on text, runs, and random bytes."""
+    import random
+
+    from veloci_tpu.native import lz_available, lz_compress, lz_decompress
+
+    if not lz_available():
+        import pytest
+
+        pytest.skip("native codec unavailable")
+    random.seed(1234)
+    cases = [
+        b"",
+        b"x",
+        b"abcd" * 5000,
+        bytes(random.getrandbits(8) for _ in range(20000)),
+        ("der die das " * 2000).encode(),
+        bytes(range(256)) * 100,
+    ]
+    for data in cases:
+        comp = lz_compress(data)
+        assert comp is not None
+        assert lz_decompress(comp, len(data)) == data
+
+
+def test_doc_store_codecs_interop(tmp_path, monkeypatch):
+    """Blobs written with either codec load identically; legacy is rejected
+    only when the magic is wrong."""
+    import json
+
+    from veloci_tpu.doc_store import DocLoader, DocStoreWriter
+
+    docs = [json.dumps({"t": f"doc {i} " + "pad " * (i % 37)}) for i in range(4000)]
+
+    blobs = {}
+    for codec in ("zlib", "lz"):
+        monkeypatch.setenv("VELOCI_DOCSTORE_CODEC", codec)
+        w = DocStoreWriter()
+        for d in docs:
+            w.add_doc(d)
+        blobs[codec] = w.finish()
+
+    for codec, blob in blobs.items():
+        loader = DocLoader(blob)
+        assert loader.num_docs == len(docs)
+        for i in (0, 1, 999, 2500, 3999):
+            assert loader.get_doc(i) == docs[i]
+
+    # lz blocks should be tagged as such
+    assert blobs["lz"] != blobs["zlib"]

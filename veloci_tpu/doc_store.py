@@ -1,36 +1,53 @@
 """Compressed document store.
 
 Documents are concatenated into ~16 KB blocks, each block compressed
-independently, with a block index of ``(first_doc_id, block_start, block_end,
-num_docs)`` plus per-block doc offsets, enabling O(log blocks) random access.
+independently, with a block index of ``(first_doc_id, block_start, block_end)``
+plus per-block doc offsets, enabling O(log blocks) random access.
 
 Reference: doc_store/src/lib.rs (`DocStoreWriter` 84-166 / `DocLoader` 11-62,
-FLUSH_THRESHOLD=16384 at :7). The reference compresses with LZ4; we use zlib
-level 1 (stdlib; similar block-decode latency class at this block size) — the
-format is ours, not byte compatible.
+FLUSH_THRESHOLD=16384 at :7). The reference compresses with LZ4; blocks here
+use the native C++ LZ4-style codec (native/indexer.cpp `vlz`) when available
+and zlib level 1 otherwise — the container format is ours, not byte
+compatible. Each block records its codec, so blobs mix freely and load
+anywhere.
 """
 
 from __future__ import annotations
 
 import io
+import os
 import zlib
 from typing import Iterable, List, Optional, Tuple
 
 import numpy as np
 
+from .native import lz_available, lz_compress, lz_decompress
+
 __all__ = ["DocStoreWriter", "DocLoader", "FLUSH_THRESHOLD"]
 
 FLUSH_THRESHOLD = 16_384
-_MAGIC = b"VTDS"
+_MAGIC_V1 = b"VTDS"  # legacy: zlib-only blocks, no codec byte
+_MAGIC = b"VTD2"
 _LEVEL = 1
+_CODEC_ZLIB = 0
+_CODEC_LZ = 1
+
+
+def _pick_codec() -> int:
+    forced = os.environ.get("VELOCI_DOCSTORE_CODEC")
+    if forced == "zlib":
+        return _CODEC_ZLIB
+    if forced == "lz":
+        return _CODEC_LZ
+    return _CODEC_LZ if lz_available() else _CODEC_ZLIB
 
 
 class DocStoreWriter:
     """Streaming writer; append docs, then `finish()` -> bytes.
 
-    Blocks are compressed in parallel at `finish()` — zlib releases the GIL,
-    so a thread pool gets real speedup (the reference compresses inline on
-    one thread, doc_store/src/lib.rs:131-149).
+    Blocks are compressed in parallel at `finish()` — both zlib and the
+    native codec release the GIL, so a thread pool gets real speedup (the
+    reference compresses inline on one thread, doc_store/src/lib.rs:131-149).
     """
 
     def __init__(self) -> None:
@@ -68,19 +85,32 @@ class DocStoreWriter:
             self._flush_block()
         from concurrent.futures import ThreadPoolExecutor
 
+        codec = _pick_codec()
+
+        def compress_one(payload: bytes) -> Tuple[int, bytes]:
+            if codec == _CODEC_LZ:
+                comp = lz_compress(payload)
+                if comp is not None:
+                    return _CODEC_LZ, comp
+            return _CODEC_ZLIB, zlib.compress(payload, _LEVEL)
+
         if len(self._raw_blocks) > 8:
             with ThreadPoolExecutor(max_workers=8) as pool:
                 compressed = list(
-                    pool.map(lambda b: zlib.compress(b[2], _LEVEL), self._raw_blocks)
+                    pool.map(lambda b: compress_one(b[2]), self._raw_blocks)
                 )
         else:
-            compressed = [zlib.compress(b[2], _LEVEL) for b in self._raw_blocks]
+            compressed = [compress_one(b[2]) for b in self._raw_blocks]
 
         out = io.BytesIO()
         index_rows = []
-        for (first_id, noffsets, _payload), comp in zip(self._raw_blocks, compressed):
+        for (first_id, noffsets, payload), (ccodec, comp) in zip(
+            self._raw_blocks, compressed
+        ):
             start = out.tell()
+            out.write(bytes([ccodec]))
             out.write(noffsets.to_bytes(4, "little"))
+            out.write(len(payload).to_bytes(4, "little"))
             out.write(comp)
             index_rows.append((first_id, start, out.tell()))
         index = np.array(index_rows, dtype=np.uint64).reshape(-1, 3)
@@ -99,7 +129,9 @@ class DocLoader:
     """Random access reader over the bytes produced by DocStoreWriter."""
 
     def __init__(self, data: bytes) -> None:
-        assert data[-4:] == _MAGIC, "not a doc store blob"
+        magic = data[-4:]
+        assert magic in (_MAGIC, _MAGIC_V1), "not a doc store blob"
+        self._v1 = magic == _MAGIC_V1
         self.num_docs = int.from_bytes(data[-12:-4], "little")
         index_size = int.from_bytes(data[-20:-12], "little")
         index_start = len(data) - 20 - index_size
@@ -115,8 +147,18 @@ class DocLoader:
         if self._cache_block == block and self._cache is not None:
             return self._cache
         first_id, start, end = (int(x) for x in self._index[block])
-        noffsets = int.from_bytes(self._data[start : start + 4], "little")
-        payload = zlib.decompress(self._data[start + 4 : end])
+        if self._v1:
+            noffsets = int.from_bytes(self._data[start : start + 4], "little")
+            payload = zlib.decompress(self._data[start + 4 : end])
+        else:
+            codec = self._data[start]
+            noffsets = int.from_bytes(self._data[start + 1 : start + 5], "little")
+            raw_size = int.from_bytes(self._data[start + 5 : start + 9], "little")
+            comp = self._data[start + 9 : end]
+            if codec == _CODEC_LZ:
+                payload = lz_decompress(comp, raw_size)
+            else:
+                payload = zlib.decompress(comp)
         offsets = np.frombuffer(payload[: noffsets * 4], dtype=np.uint32)
         raw = payload[noffsets * 4 :]
         self._cache_block = block

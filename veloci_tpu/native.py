@@ -18,7 +18,15 @@ from typing import Dict, List, Optional
 
 import numpy as np
 
-__all__ = ["native_available", "index_ndjson", "NativePath", "NativeIdPath"]
+__all__ = [
+    "native_available",
+    "index_ndjson",
+    "NativePath",
+    "NativeIdPath",
+    "lz_available",
+    "lz_compress",
+    "lz_decompress",
+]
 
 _LIB: Optional[ctypes.CDLL] = None
 _LIB_TRIED = False
@@ -135,6 +143,17 @@ def _load() -> Optional[ctypes.CDLL]:
         ctypes.POINTER(ctypes.c_char_p),
     ]
     lib.vl_free.restype = None
+    for name in ("vl_lz_compress", "vl_lz_decompress"):
+        fn = getattr(lib, name)
+        fn.restype = ctypes.c_int64
+        fn.argtypes = [
+            ctypes.c_char_p,
+            ctypes.c_int64,
+            ctypes.c_char_p,
+            ctypes.c_int64,
+        ]
+    lib.vl_lz_bound.restype = ctypes.c_int64
+    lib.vl_lz_bound.argtypes = [ctypes.c_int64]
     lib.vl_free.argtypes = [ctypes.c_void_p]
     _LIB = lib
     return _LIB
@@ -276,3 +295,33 @@ def index_ndjson(data: str, get_path_config) -> tuple:
         return num_docs, paths, id_paths
     finally:
         lib.vl_free(handle)
+
+
+# ------------------------------------------------------------------ LZ codec
+def lz_available() -> bool:
+    lib = _load()
+    return lib is not None and hasattr(lib, "vl_lz_compress")
+
+
+def lz_compress(data: bytes) -> Optional[bytes]:
+    """Compress with the native LZ4-style block codec; None if unavailable."""
+    lib = _load()
+    if lib is None:
+        return None
+    cap = int(lib.vl_lz_bound(len(data)))
+    dst = ctypes.create_string_buffer(cap)
+    n = lib.vl_lz_compress(data, len(data), dst, cap)
+    if n <= 0:
+        return None
+    return dst.raw[:n]
+
+
+def lz_decompress(data: bytes, raw_size: int) -> bytes:
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native LZ codec unavailable for decompression")
+    dst = ctypes.create_string_buffer(max(raw_size, 1))
+    n = lib.vl_lz_decompress(data, len(data), dst, raw_size)
+    if n != raw_size:
+        raise ValueError(f"corrupt LZ block (got {n}, want {raw_size})")
+    return dst.raw[:raw_size]
