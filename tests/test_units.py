@@ -346,3 +346,65 @@ def test_doc_store_codecs_interop(tmp_path, monkeypatch):
 
     # lz blocks should be tagged as such
     assert blobs["lz"] != blobs["zlib"]
+
+
+def test_spill_sorter_matches_argsort():
+    """External sort (tiny chunks, many runs) == stable in-RAM argsort."""
+    import numpy as np
+
+    from veloci_tpu.spill import SpillSorter
+
+    rng = np.random.default_rng(3)
+    keys = rng.integers(0, 50, size=30_000, dtype=np.uint64)  # heavy duplicates
+    vals = np.arange(30_000, dtype=np.uint64)  # payload encodes input order
+    with SpillSorter(chunk_items=1024) as s:
+        # feed in uneven slices
+        i = 0
+        for sz in (100, 5000, 1, 24899):
+            s.add(keys[i : i + sz], vals[i : i + sz])
+            i += sz
+        k, v = s.finish()
+        order = np.argsort(keys, kind="stable")
+        np.testing.assert_array_equal(np.asarray(k), keys[order])
+        np.testing.assert_array_equal(np.asarray(v), vals[order])
+
+
+def test_spill_sorter_single_key():
+    """A single key dominating whole blocks exercises the drain path."""
+    import numpy as np
+
+    from veloci_tpu.spill import SpillSorter
+
+    keys = np.full(10_000, 7, dtype=np.uint64)
+    keys[:3] = [1, 2, 3]
+    keys[-2:] = [9, 11]
+    vals = np.arange(10_000, dtype=np.uint64)
+    with SpillSorter(chunk_items=1500) as s:
+        s.add(keys, vals)
+        k, v = s.finish()
+        order = np.argsort(keys, kind="stable")
+        np.testing.assert_array_equal(np.asarray(k), keys[order])
+        np.testing.assert_array_equal(np.asarray(v), vals[order])
+
+
+def test_spill_build_parity(monkeypatch):
+    """Anchor-score packing through the spill path is bit-identical to the
+    in-RAM path."""
+    import numpy as np
+
+    from veloci_tpu import create as create_mod
+    from tests.corpus import TEST_CONFIG, data_ndjson
+
+    built_ram = create_mod.create_indices_from_str(data_ndjson(), TEST_CONFIG)
+    monkeypatch.setattr(create_mod._spill(), "SPILL_PAIRS", 1)
+    monkeypatch.setattr(create_mod._spill(), "_BLOCK", 64)
+    try:
+        built_spill = create_mod.create_indices_from_str(data_ndjson(), TEST_CONFIG)
+    finally:
+        pass
+    assert built_ram.anchor_scores.keys() == built_spill.anchor_scores.keys()
+    for key, a in built_ram.anchor_scores.items():
+        b = built_spill.anchor_scores[key]
+        np.testing.assert_array_equal(a.offsets, b.offsets)
+        np.testing.assert_array_equal(a.anchors, b.anchors)
+        np.testing.assert_array_equal(a.scores, b.scores)

@@ -455,6 +455,33 @@ def _num_keys(keys: List[int]) -> int:
     return (max(keys) + 1) if keys else 0
 
 
+def _spill():
+    from . import spill
+
+    return spill
+
+
+def _group_dedup_combo(k_sorted: np.ndarray, v_sorted: np.ndarray):
+    """Group a sorted combined-key stream (token<<32|anchor, score): per-group
+    max score + min(count,5) bonus when count>1 (create.rs:418-448). Works
+    directly on memmap-backed runs — only group-sized arrays materialise."""
+    if not len(k_sorted):
+        e = np.empty(0, dtype=np.int64)
+        return e, e.astype(np.uint32), np.empty(0, dtype=np.uint32)
+    new_group = np.ones(len(k_sorted), dtype=bool)
+    new_group[1:] = k_sorted[1:] != k_sorted[:-1]
+    starts = np.flatnonzero(new_group)
+    group_max = np.maximum.reduceat(v_sorted, starts).astype(np.uint32)
+    counts = np.diff(np.append(starts, len(k_sorted)))
+    bonus = np.minimum(counts, 5).astype(np.uint32)
+    bonus = np.where(counts > 1, bonus, 0).astype(np.uint32)
+    final = group_max + bonus
+    g_keys = np.asarray(k_sorted[starts])
+    g_ids = (g_keys >> np.uint64(32)).astype(np.int64)
+    g_anchors = (g_keys & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+    return g_ids, g_anchors, final
+
+
 def _pack_anchor_scores(
     tuples: Tuple[List[int], List[int], List[int], List[int], List[int]],
 ) -> AnchorScoreCsr:
@@ -482,28 +509,44 @@ def _pack_anchor_scores(
             pos[tok_mask], occ[tok_mask], ntok[tok_mask], False
         )
 
-    if len(ids) and int(ids.max()) < (1 << 31) and int(anchors.max()) < (1 << 32):
-        # combined-key argsort: one int64 key beats a 2-key lexsort
-        combo = (ids << np.int64(32)) | anchors
-        order = np.argsort(combo, kind="stable")
+    n = len(ids)
+    small_keys = n and int(ids.max()) < (1 << 31) and int(anchors.max()) < (1 << 32)
+    if small_keys and n > _spill().SPILL_PAIRS:
+        # external sort: spill sorted runs to disk, merge as memmap streams
+        # (reference BufferedIndexWriter, buffered_index_writer/src/lib.rs)
+        with _spill().SpillSorter() as sorter:
+            combo_u = (ids.astype(np.uint64) << np.uint64(32)) | anchors.astype(
+                np.uint64
+            )
+            sorter.add(combo_u, scores.astype(np.uint64))
+            del combo_u
+            k_sorted, v_sorted = sorter.finish()
+            g_ids, g_anchors, final = _group_dedup_combo(k_sorted, v_sorted)
     else:
-        order = np.lexsort((anchors, ids))
-    ids, anchors, scores = ids[order], anchors[order], scores[order]
-    if len(ids):
-        new_group = np.ones(len(ids), dtype=bool)
-        new_group[1:] = (ids[1:] != ids[:-1]) | (anchors[1:] != anchors[:-1])
-        starts = np.flatnonzero(new_group)
-        group_max = np.maximum.reduceat(scores, starts) if len(starts) else scores[:0]
-        counts = np.diff(np.append(starts, len(ids)))
-        bonus = np.minimum(counts, 5).astype(np.uint32)
-        bonus = np.where(counts > 1, bonus, 0).astype(np.uint32)
-        final = group_max + bonus
-        g_ids = ids[starts]
-        g_anchors = anchors[starts].astype(np.uint32)
-    else:
-        final = scores
-        g_ids = ids
-        g_anchors = anchors.astype(np.uint32)
+        if small_keys:
+            # combined-key argsort: one int64 key beats a 2-key lexsort
+            combo = (ids << np.int64(32)) | anchors
+            order = np.argsort(combo, kind="stable")
+        else:
+            order = np.lexsort((anchors, ids))
+        ids, anchors, scores = ids[order], anchors[order], scores[order]
+        if len(ids):
+            new_group = np.ones(len(ids), dtype=bool)
+            new_group[1:] = (ids[1:] != ids[:-1]) | (anchors[1:] != anchors[:-1])
+            starts = np.flatnonzero(new_group)
+            group_max = (
+                np.maximum.reduceat(scores, starts) if len(starts) else scores[:0]
+            )
+            counts = np.diff(np.append(starts, len(ids)))
+            bonus = np.minimum(counts, 5).astype(np.uint32)
+            bonus = np.where(counts > 1, bonus, 0).astype(np.uint32)
+            final = group_max + bonus
+            g_ids = ids[starts]
+            g_anchors = anchors[starts].astype(np.uint32)
+        else:
+            final = scores
+            g_ids = ids
+            g_anchors = anchors.astype(np.uint32)
 
     nkeys = int(g_ids.max()) + 1 if len(g_ids) else 0
     counts_per_key = np.bincount(g_ids, minlength=nkeys) if len(g_ids) else np.zeros(0)
