@@ -285,3 +285,60 @@ def test_search_batch_multi_field_and_multi_term(pers2f, monkeypatch):
         assert [(h.id, round(h.score, 4)) for h in res.data] == [
             (h.id, round(h.score, 4)) for h in single.data
         ]
+
+
+def test_and_fused_fast_path(pers2f, monkeypatch):
+    """Flat AND (single- and multi-field) through the fused intersect kernel
+    matches the generic tree evaluation."""
+    import importlib
+
+    ex = importlib.import_module("veloci_tpu.search.executor")
+    from veloci_tpu import Request
+
+    cases = [
+        # single-field AND of two terms
+        {
+            "search_req": {
+                "and": {
+                    "queries": [
+                        {"search": {"terms": ["w001"], "path": "title"}},
+                        {"search": {"terms": ["w002"], "path": "title"}},
+                    ]
+                }
+            },
+            "top": 20,
+        },
+        # cross-field AND (same term must appear in both fields)
+        {
+            "search_req": {
+                "and": {
+                    "queries": [
+                        {"search": {"terms": ["w005"], "path": "title"}},
+                        {"search": {"terms": ["w005"], "path": "body"}},
+                    ]
+                }
+            },
+            "top": 20,
+        },
+        # AND with a missing term -> no hits
+        {
+            "search_req": {
+                "and": {
+                    "queries": [
+                        {"search": {"terms": ["w001"], "path": "title"}},
+                        {"search": {"terms": ["zzz"], "path": "title"}},
+                    ]
+                }
+            },
+        },
+    ]
+    for case in cases:
+        monkeypatch.setattr(ex, "SMALL_DOCS", 1 << 30)
+        slow = ex.search(Request.from_dict(case), pers2f)
+        monkeypatch.setattr(ex, "SMALL_DOCS", 1)
+        fast = ex._try_fast_path(Request.from_dict(case), pers2f, case.get("top", 10))
+        assert fast is not None
+        assert fast.num_hits == slow.num_hits
+        assert [(h.id, round(h.score, 4)) for h in fast.data] == [
+            (h.id, round(h.score, 4)) for h in slow.data
+        ]

@@ -21,6 +21,7 @@ __all__ = [
     "union_search_topk",
     "batched_search_topk",
     "batched_union_search_topk",
+    "intersect_search_topk",
 ]
 
 
@@ -163,3 +164,50 @@ def batched_union_search_topk(
         )
 
     return jax.vmap(one)(term_ids, term_scores, term_slots)
+
+
+@partial(jax.jit, static_argnames=("capacity", "num_docs", "k", "num_slots"))
+def intersect_search_topk(
+    offsets: jax.Array,
+    anchors: jax.Array,
+    scores01: jax.Array,
+    term_ids: jax.Array,  # [T_pad] int32 (pad -1); may be GLOBAL combined ids
+    term_scores: jax.Array,  # [T_pad] f32
+    term_slots: jax.Array,  # [T_pad] int32 — one slot per AND leaf
+    capacity: int,
+    num_docs: int,
+    k: int,
+    num_slots: int,
+):
+    """Multi-leaf AND: per-leaf max, keep anchors hit by EVERY leaf, score =
+    sum over leaves — intersect_hits_score (set_op.rs:368-448) as one fused
+    program."""
+    t_pad = term_ids.shape[0]
+    valid = term_ids >= 0
+    safe = jnp.where(valid, term_ids, 0)
+    starts = offsets[safe]
+    counts = jnp.where(valid, offsets[safe + 1] - starts, 0)
+    out_starts = jnp.concatenate(
+        [jnp.zeros(1, dtype=jnp.int32), jnp.cumsum(counts, dtype=jnp.int32)]
+    )
+    total = out_starts[t_pad]
+    idx = jnp.arange(capacity, dtype=jnp.int32)
+    seg = jnp.minimum(
+        jnp.searchsorted(out_starts[1:], idx, side="right").astype(jnp.int32),
+        t_pad - 1,
+    )
+    in_range = idx < total
+    src = jnp.where(in_range, starts[seg] + (idx - out_starts[seg]), 0)
+    a = jnp.where(in_range, anchors[src], num_docs)
+    s = jnp.where(in_range, scores01[src] * term_scores[seg], -jnp.inf)
+    slot = term_slots[seg]
+    plane = slot * (num_docs + 1) + a
+    per_slot = jax.ops.segment_max(
+        s, plane, num_segments=num_slots * (num_docs + 1)
+    ).reshape(num_slots, num_docs + 1)[:, :num_docs]
+    per_slot = jnp.where(jnp.isfinite(per_slot), per_slot, 0.0)
+    all_hit = jnp.all(per_slot > 0, axis=0)
+    dense = jnp.where(all_hit, jnp.sum(per_slot, axis=0), 0.0)
+    scores, ids = jax.lax.top_k(dense, k)
+    num_hits = jnp.sum(dense > 0, dtype=jnp.int32)
+    return ids, scores, num_hits

@@ -328,12 +328,14 @@ def _try_fast_path(request: Request, persistence, top: int) -> Optional[SearchRe
     if persistence.num_docs < SMALL_DOCS:
         return None  # host execution path is faster at this size
     node = request.search_req
+    is_and = False
     if node.kind == SearchRequest.SEARCH:
         leaves = [node.part]
-    elif node.kind == SearchRequest.OR and all(
+    elif node.kind in (SearchRequest.OR, SearchRequest.AND) and all(
         q.kind == SearchRequest.SEARCH for q in node.queries
     ):
         leaves = [q.part for q in node.queries]
+        is_and = node.kind == SearchRequest.AND
     else:
         return None
     for part in leaves:
@@ -351,17 +353,20 @@ def _try_fast_path(request: Request, persistence, top: int) -> Optional[SearchRe
             return None
 
     from ..ops.postings import bucket_size
-    from ..ops.search_step import union_search_topk
+    from ..ops.search_step import intersect_search_topk, union_search_topk
     from .field_search import get_default_score_for_distance
 
     import jax.numpy as jnp
 
-    # host term lookup + slot assignment (slot = distinct term string)
+    # host term lookup + slot assignment: OR groups by distinct term string
+    # (set_op.rs:87-220); AND keeps one slot per leaf (set_op.rs:368-448,
+    # every child contributes to the sum even when terms repeat)
     term_strings = sorted({p.terms[0] for p in leaves})
     slots = {t: i for i, t in enumerate(term_strings)}
+    num_slots = len(leaves) if is_and else len(term_strings)
     tid_list: List[Tuple[str, int, float, int]] = []  # (field, tid, score, slot)
     fields = set()
-    for part in leaves:
+    for li, part in enumerate(leaves):
         field = part.path
         if field.endswith(TEXTINDEX):
             field = field[: -len(TEXTINDEX)]
@@ -370,8 +375,9 @@ def _try_fast_path(request: Request, persistence, top: int) -> Optional[SearchRe
         score = _F32(10.0)  # exact: distance 0 -> 2/0.2
         if part.boost is not None:
             score = _F32(score * _F32(part.boost))
+        slot = li if is_and else slots[part.terms[0]]
         for tid in dictionary.get_ignore_case(part.terms[0]):
-            tid_list.append((field, tid, float(score), slots[part.terms[0]]))
+            tid_list.append((field, tid, float(score), slot))
     if len(fields) == 1:
         field = next(iter(fields))
         dev = persistence.device_field(field)
@@ -403,7 +409,8 @@ def _try_fast_path(request: Request, persistence, top: int) -> Optional[SearchRe
         term_scores[j] = sc
         term_slots[j] = sl
     k_eff = min(num_docs, top + 64)
-    ids, scores, num_hits = union_search_topk(
+    step = intersect_search_topk if is_and else union_search_topk
+    ids, scores, num_hits = step(
         dev.offsets,
         dev.anchors,
         dev.scores01,
@@ -413,7 +420,7 @@ def _try_fast_path(request: Request, persistence, top: int) -> Optional[SearchRe
         capacity=capacity,
         num_docs=num_docs,
         k=k_eff,
-        num_slots=max(len(term_strings), 1),
+        num_slots=max(num_slots, 1),
     )
     ids = np.asarray(ids)
     scores = np.asarray(scores)
