@@ -79,17 +79,30 @@ def main() -> None:
     log(f"backend: {backend}, devices: {jax.devices()}")
 
     # host-link health diagnostic (the tunnel's round-trip latency bounds all
-    # sequential-dispatch metrics)
+    # sequential-dispatch metrics). The tunnel intermittently degrades to
+    # multi-second round-trips and recovers on its own; wait (bounded) for a
+    # healthy link before measuring so the numbers reflect the engine, not a
+    # transient infra stall. BENCH_LINK_WAIT_S=0 disables the wait.
     link_rt_ms = 0.0
     if backend != "cpu":
         import jax.numpy as _jnp
 
-        probe = _jnp.zeros(8)
-        probe.block_until_ready()
-        t_probe = time.perf_counter()
-        for _ in range(10):
-            float(_jnp.sum(probe))
-        link_rt_ms = (time.perf_counter() - t_probe) / 10 * 1e3
+        def _probe_link() -> float:
+            probe = _jnp.zeros(8)
+            probe.block_until_ready()
+            t_probe = time.perf_counter()
+            for _ in range(10):
+                float(_jnp.sum(probe))
+            return (time.perf_counter() - t_probe) / 10 * 1e3
+
+        wait_budget = float(os.environ.get("BENCH_LINK_WAIT_S", "300"))
+        healthy_ms = float(os.environ.get("BENCH_LINK_HEALTHY_MS", "5"))
+        deadline = time.time() + wait_budget
+        link_rt_ms = _probe_link()
+        while link_rt_ms > healthy_ms and time.time() < deadline:
+            log(f"link degraded ({link_rt_ms:.2f} ms round-trip); waiting...")
+            time.sleep(20)
+            link_rt_ms = _probe_link()
         log(f"link round-trip: {link_rt_ms:.2f} ms")
 
     t0 = time.time()
