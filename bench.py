@@ -198,19 +198,34 @@ def main() -> None:
         dev.offsets, dev.anchors, dev.scores01, bt, bs,
         capacity=capacity, num_docs=num_docs, k=TOP_K,
     )[0].block_until_ready()
-    # throughput mode pipelines dispatches (single sync at the end) so a
-    # high-latency host link doesn't serialise the measurement
-    reps = 10
+    # throughput mode runs the rep loop ON DEVICE (`lax.scan`): one dispatch,
+    # one sync, so even a degraded host link (30 ms+ round-trips, paid per
+    # dispatch through the tunnel) only taxes the measurement once. The scan
+    # carry feeds a ~1e-12 score perturbation into each iteration so XLA
+    # cannot hoist the loop-invariant body.
+    from functools import partial as _partial
+
+    @_partial(jax.jit, static_argnames=("reps",))
+    def _bench_pipeline(offsets, anchors, scores01, bt_, bs_, reps):
+        def body(carry, _):
+            _ids, scores_, _nh = batched_search_topk(
+                offsets, anchors, scores01, bt_, bs_ * (1.0 + carry),
+                capacity=capacity, num_docs=num_docs, k=TOP_K,
+            )
+            return scores_[0, 0] * jnp.float32(1e-12), None
+
+        carry, _ = jax.lax.scan(body, jnp.float32(0.0), None, length=reps)
+        return carry
+
+    # depth scales with link latency: compute must dominate the single sync
+    reps = min(20_000, max(100, int(link_rt_ms * 300)))
+    _bench_pipeline(
+        dev.offsets, dev.anchors, dev.scores01, bt, bs, reps=reps
+    ).block_until_ready()  # compile
     best = 0.0
     for _attempt in range(2):
         t_start = time.perf_counter()
-        out = None
-        for _ in range(reps):
-            out = batched_search_topk(
-                dev.offsets, dev.anchors, dev.scores01, bt, bs,
-                capacity=capacity, num_docs=num_docs, k=TOP_K,
-            )
-        out[0].block_until_ready()
+        float(_bench_pipeline(dev.offsets, dev.anchors, dev.scores01, bt, bs, reps=reps))
         best = max(best, reps * len(exact_terms) / (time.perf_counter() - t_start))
     qps_batched = best
     log(f"[{backend}] exact batched ({len(exact_terms)}/batch): {qps_batched:.0f} QPS")
