@@ -217,16 +217,30 @@ def main() -> None:
         carry, _ = jax.lax.scan(body, jnp.float32(0.0), None, length=reps)
         return carry
 
-    # depth scales with link latency: compute must dominate the single sync
-    reps = min(20_000, max(100, int(link_rt_ms * 300)))
-    _bench_pipeline(
-        dev.offsets, dev.anchors, dev.scores01, bt, bs, reps=reps
-    ).block_until_ready()  # compile
+    # depth adapts: escalate until device time dominates the single sync,
+    # but stop early on a slow (contended) device — long on-device loops can
+    # trip its execution watchdog, and a failed run must not kill the bench
     best = 0.0
-    for _attempt in range(2):
-        t_start = time.perf_counter()
-        float(_bench_pipeline(dev.offsets, dev.anchors, dev.scores01, bt, bs, reps=reps))
-        best = max(best, reps * len(exact_terms) / (time.perf_counter() - t_start))
+    reps = 20
+    while True:
+        try:
+            _bench_pipeline(
+                dev.offsets, dev.anchors, dev.scores01, bt, bs, reps=reps
+            ).block_until_ready()  # compile
+            t_start = time.perf_counter()
+            float(
+                _bench_pipeline(
+                    dev.offsets, dev.anchors, dev.scores01, bt, bs, reps=reps
+                )
+            )
+            wall = time.perf_counter() - t_start
+        except Exception as exc:  # device fault: keep the last good number
+            log(f"batched pipeline failed at reps={reps}: {type(exc).__name__}")
+            break
+        best = max(best, reps * len(exact_terms) / wall)
+        if wall > 0.5 or reps >= 20_000:
+            break
+        reps *= 8
     qps_batched = best
     log(f"[{backend}] exact batched ({len(exact_terms)}/batch): {qps_batched:.0f} QPS")
 
