@@ -412,3 +412,47 @@ def test_fuzzy_fast_path_overflow_falls_back(pers2f, monkeypatch):
         monkeypatch.setattr(ex, "SMALL_DOCS", 1 << 30)
         slow = ex.search(req, pers2f)
         assert res.num_hits == slow.num_hits
+
+
+def test_search_batch_fuzzy_group(pers2f, monkeypatch):
+    """Fuzzy requests in a batch run through the vmapped fused program and
+    match individual searches."""
+    import importlib
+
+    batch_mod = importlib.import_module("veloci_tpu.search.batch")
+    ex = importlib.import_module("veloci_tpu.search.executor")
+    monkeypatch.setattr(batch_mod, "SMALL_DOCS", 1)
+    monkeypatch.setattr(ex, "SMALL_DOCS", 1)
+
+    from veloci_tpu import Request
+
+    def fz(term, d=1, path="title"):
+        return Request.from_dict(
+            {
+                "search_req": {
+                    "search": {
+                        "terms": [term],
+                        "path": path,
+                        "levenshtein_distance": d,
+                    }
+                },
+                "top": 15,
+            }
+        )
+
+    reqs = [
+        fz("w001", 1),
+        fz("w0x7", 2),
+        fz("w013", 1, path="body"),
+        # exact rides alongside in the same batch
+        Request.from_dict(
+            {"search_req": {"search": {"terms": ["w002"], "path": "title"}}}
+        ),
+    ]
+    batched = batch_mod.search_batch(reqs, pers2f)
+    for req, res in zip(reqs, batched):
+        single = ex.search(req, pers2f)
+        assert res.num_hits == single.num_hits
+        assert [(h.id, round(h.score, 4)) for h in res.data] == [
+            (h.id, round(h.score, 4)) for h in single.data
+        ]

@@ -21,7 +21,7 @@ from .levenshtein import MAX_QUERY_CHARS
 
 _BIG = 1 << 20
 
-__all__ = ["fuzzy_search_topk"]
+__all__ = ["fuzzy_search_topk", "batched_fuzzy_search_topk"]
 
 
 def _sweep(term_chars, term_lens, query, query_len):
@@ -112,3 +112,35 @@ def fuzzy_search_topk(
     scores, ids = jax.lax.top_k(dense, k)
     num_hits = jnp.sum(dense > 0, dtype=jnp.int32)
     return ids, scores, num_hits, total_matches
+
+
+@partial(
+    jax.jit,
+    static_argnames=("max_terms", "capacity", "num_docs", "k"),
+)
+def batched_fuzzy_search_topk(
+    term_chars: jax.Array,  # [N_pad, L] uint16
+    term_lens: jax.Array,  # [N_pad] int32
+    queries: jax.Array,  # [Q, MAX_QUERY_CHARS] uint16
+    query_lens: jax.Array,  # [Q] int32
+    distances: jax.Array,  # [Q] int32
+    offsets: jax.Array,
+    anchors: jax.Array,
+    scores01: jax.Array,
+    max_terms: int,
+    capacity: int,
+    num_docs: int,
+    k: int,
+):
+    """A batch of fuzzy queries in ONE dispatch (vmapped fuzzy_search_topk).
+
+    DP state is [Q, N, L+1] i32 — callers chunk the batch so it stays within
+    a fixed HBM budget (see search/batch.py)."""
+
+    def one(q, ql, d):
+        return fuzzy_search_topk(
+            term_chars, term_lens, q, ql, d, offsets, anchors, scores01,
+            max_terms=max_terms, capacity=capacity, num_docs=num_docs, k=k,
+        )
+
+    return jax.vmap(one)(queries, query_lens, distances)

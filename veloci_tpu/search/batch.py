@@ -17,7 +17,7 @@ import numpy as np
 
 from ..create import TEXTINDEX
 from ..query.request import Request, SearchRequest
-from .executor import SMALL_DOCS, search
+from .executor import SMALL_DOCS, _fuzzy_fast_eligible, search
 from .result import Hit, SearchResult
 
 __all__ = ["search_batch"]
@@ -94,10 +94,16 @@ def search_batch(requests: List[Request], persistence) -> List[SearchResult]:
 
     # group eligible requests by distinct-term-count bucket (static num_slots)
     groups: dict = {}
+    fuzzy_groups: dict = {}  # field -> [(qi, req, term, distance)]
     for qi, req in enumerate(requests):
         leaves = _eligible(req, persistence) if comb is not None else None
         if leaves is None:
-            results[qi] = search(req, persistence)
+            fz = _fuzzy_fast_eligible(req, persistence)
+            if fz is not None:
+                field, term, distance = fz
+                fuzzy_groups.setdefault(field, []).append((qi, req, term, distance))
+            else:
+                results[qi] = search(req, persistence)
             continue
         term_strings = sorted({p.terms[0] for p in leaves})
         slots = {t: i for i, t in enumerate(term_strings)}
@@ -194,4 +200,86 @@ def search_batch(requests: List[Request], persistence) -> List[SearchResult]:
             res.execution_time_ns = time.time_ns() - start
             results[qi] = res
 
+    # fuzzy batches: one vmapped fused program per field chunk
+    for field, entries in fuzzy_groups.items():
+        _run_fuzzy_group(persistence, field, entries, results, start)
+
     return results  # type: ignore[return-value]
+
+
+def _run_fuzzy_group(persistence, field, entries, results, start) -> None:
+    import time
+
+    import jax.numpy as jnp
+
+    from ..ops.fuzzy_step import batched_fuzzy_search_topk
+    from ..ops.levenshtein import encode_query
+
+    dev = persistence.device_field(field)
+    num_docs = persistence.num_docs
+    max_terms = 256
+    capacity = dev.fuzzy_capacity(max_terms)
+    # chunk so the vmapped DP state ([Qc, N, L+1] i32) stays under ~256 MB
+    n_pad, l = dev._chars_host.shape
+    chunk_q = max(1, int(256e6 // max(n_pad * (l + 1) * 4, 1)))
+    for base in range(0, len(entries), chunk_q):
+        chunk = entries[base : base + chunk_q]
+        qc = len(chunk)
+        queries = np.zeros((qc, 32), dtype=np.uint16)
+        qlens = np.zeros(qc, dtype=np.int32)
+        dists = np.zeros(qc, dtype=np.int32)
+        max_k = 1
+        for row, (qi, req, term, distance) in enumerate(chunk):
+            q, qlen = encode_query(term)
+            queries[row] = q
+            qlens[row] = qlen
+            dists[row] = distance
+            top = req.top if req.top is not None else 10
+            max_k = max(max_k, top + (req.skip or 0))
+        k_eff = min(num_docs, max_k + 64)
+        ids_b, scores_b, hits_b, totals_b = batched_fuzzy_search_topk(
+            dev.chars,
+            dev.lengths,
+            jnp.asarray(queries),
+            jnp.asarray(qlens),
+            jnp.asarray(dists),
+            dev.offsets,
+            dev.anchors,
+            dev.scores01,
+            max_terms=max_terms,
+            capacity=capacity,
+            num_docs=num_docs,
+            k=k_eff,
+        )
+        ids_b = np.asarray(ids_b)
+        scores_b = np.asarray(scores_b)
+        hits_b = np.asarray(hits_b)
+        totals_b = np.asarray(totals_b)
+        for row, (qi, req, _term, _distance) in enumerate(chunk):
+            if int(totals_b[row]) > max_terms:
+                results[qi] = search(req, persistence)
+                continue
+            ids = ids_b[row]
+            scores = scores_b[row]
+            mask = scores > 0
+            ids, scores = ids[mask], scores[mask]
+            order = np.lexsort((-ids.astype(np.int64), -scores.astype(np.float64)))
+            ids, scores = ids[order], scores[order]
+            top = req.top if req.top is not None else 10
+            skip = req.skip or 0
+            want = top + skip
+            if (
+                len(ids) == k_eff
+                and k_eff < num_docs
+                and want > 0
+                and len(ids) > want
+                and scores[-1] == scores[want - 1]
+            ):
+                results[qi] = search(req, persistence)
+                continue
+            res = SearchResult()
+            res.num_hits = int(hits_b[row])
+            window = list(zip(ids, scores))[skip : skip + top]
+            res.data = [Hit(int(i), float(s)) for i, s in window]
+            res.execution_time_ns = time.time_ns() - start
+            results[qi] = res

@@ -438,12 +438,9 @@ def _try_fast_path(request: Request, persistence, top: int) -> Optional[SearchRe
     return result
 
 
-def _try_fuzzy_fast_path(
-    request: Request, persistence, top: int
-) -> Optional[SearchResult]:
-    """Fully-fused fuzzy path: ONE XLA program does the Levenshtein sweep,
-    on-device term selection, posting resolve and top-k (fuzzy_search_topk).
-    Engages for a single plain fuzzy leaf on a short-term dictionary."""
+def _fuzzy_fast_eligible(request: Request, persistence):
+    """Eligibility for the fused fuzzy path -> (field, lower_term, distance)
+    or None. Shared by search() and search_batch()."""
     if any(
         (
             request.filter,
@@ -461,7 +458,7 @@ def _try_fuzzy_fast_path(
     if persistence.num_docs < SMALL_DOCS:
         return None
     node = request.search_req
-    if node.kind != SearchRequest.SEARCH:
+    if node is None or node.kind != SearchRequest.SEARCH:
         return None
     part = node.part
     distance = part.levenshtein_distance or 0
@@ -479,7 +476,7 @@ def _try_fuzzy_fast_path(
     ):
         return None
     term = part.terms[0].lower()
-    from ..ops.levenshtein import MAX_QUERY_CHARS, encode_query
+    from ..ops.levenshtein import MAX_QUERY_CHARS
 
     if len(term) > MAX_QUERY_CHARS - 1:
         return None
@@ -495,6 +492,21 @@ def _try_fuzzy_fast_path(
     distance = min(distance, max(len(term) - 1, 0))
     if distance == 0:
         return None  # exact semantics — _try_fast_path territory
+    return field, term, distance
+
+
+def _try_fuzzy_fast_path(
+    request: Request, persistence, top: int
+) -> Optional[SearchResult]:
+    """Fully-fused fuzzy path: ONE XLA program does the Levenshtein sweep,
+    on-device term selection, posting resolve and top-k (fuzzy_search_topk).
+    Engages for a single plain fuzzy leaf on a short-term dictionary."""
+    el = _fuzzy_fast_eligible(request, persistence)
+    if el is None:
+        return None
+    field, term, distance = el
+    dev = persistence.device_field(field)
+    from ..ops.levenshtein import encode_query
 
     from ..ops.fuzzy_step import fuzzy_search_topk
 
