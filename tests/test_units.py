@@ -408,3 +408,45 @@ def test_spill_build_parity(monkeypatch):
         np.testing.assert_array_equal(a.offsets, b.offsets)
         np.testing.assert_array_equal(a.anchors, b.anchors)
         np.testing.assert_array_equal(a.scores, b.scores)
+
+
+def test_fused_banded_fuzzy_parity():
+    """fuzzy_search_topk_banded (interpret mode) == XLA-sweep fused step."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from veloci_tpu.ops.fuzzy_step import fuzzy_search_topk, fuzzy_search_topk_banded
+    from veloci_tpu.ops.levenshtein import encode_query
+
+    rng = np.random.default_rng(5)
+    words = [f"w{i:03d}" for i in range(500)] + ["hello", "help", "hells"]
+    n_pad = 1024
+    chars = np.zeros((n_pad, 32), np.uint16)
+    lens = np.zeros(n_pad, np.int32)
+    for i, w in enumerate(words):
+        for j, ch in enumerate(w[:32]):
+            chars[i, j] = ord(ch)
+        lens[i] = len(w)
+    chars_t = np.ascontiguousarray(chars.T)
+    num_docs = 2000
+    nnz = 5000
+    offs = np.zeros(n_pad + 2, np.int32)
+    offs[1 : len(words) + 1] = np.sort(rng.integers(0, nnz, len(words)))
+    offs[len(words) + 1 :] = nnz
+    offs = np.maximum.accumulate(offs)
+    anc = rng.integers(0, num_docs, nnz).astype(np.int32)
+    sc = rng.random(nnz, np.float32)
+    for term, d in [("w001", 1), ("hela", 2), ("w0x5", 2)]:
+        q, ql = encode_query(term)
+        a = fuzzy_search_topk(
+            jnp.asarray(chars), jnp.asarray(lens), jnp.asarray(q), jnp.int32(ql),
+            jnp.int32(d), jnp.asarray(offs), jnp.asarray(anc), jnp.asarray(sc),
+            max_terms=64, capacity=2048, num_docs=num_docs, k=10,
+        )
+        b = fuzzy_search_topk_banded(
+            jnp.asarray(chars_t), jnp.asarray(lens), jnp.asarray(q), jnp.int32(ql),
+            jnp.int32(d), jnp.asarray(offs), jnp.asarray(anc), jnp.asarray(sc),
+            max_terms=64, capacity=2048, num_docs=num_docs, k=10, interpret=True,
+        )
+        for x, y in zip(a, b):
+            np.testing.assert_allclose(np.asarray(x), np.asarray(y), rtol=1e-6)

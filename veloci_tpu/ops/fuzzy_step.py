@@ -21,7 +21,11 @@ from .levenshtein import MAX_QUERY_CHARS
 
 _BIG = 1 << 20
 
-__all__ = ["fuzzy_search_topk", "batched_fuzzy_search_topk"]
+__all__ = [
+    "fuzzy_search_topk",
+    "fuzzy_search_topk_banded",
+    "batched_fuzzy_search_topk",
+]
 
 
 def _sweep(term_chars, term_lens, query, query_len):
@@ -52,25 +56,12 @@ def _sweep(term_chars, term_lens, query, query_len):
     return jnp.where(valid, dist, _BIG), is_prefix & valid
 
 
-@partial(
-    jax.jit,
-    static_argnames=("max_terms", "capacity", "num_docs", "k"),
-)
-def fuzzy_search_topk(
-    term_chars: jax.Array,  # [N_pad, L] uint16
-    term_lens: jax.Array,  # [N_pad] int32
-    query: jax.Array,  # [MAX_QUERY_CHARS] uint16
-    query_len: jax.Array,  # scalar int32
-    distance: jax.Array,  # scalar int32 (max edit distance)
-    offsets: jax.Array,  # [num_keys + 2] int32
-    anchors: jax.Array,  # [nnz_pad] int32
-    scores01: jax.Array,  # [nnz_pad] f32
-    max_terms: int,
-    capacity: int,
-    num_docs: int,
-    k: int,
+def _select_resolve_topk(
+    dist, is_prefix, distance, offsets, anchors, scores01,
+    max_terms, capacity, num_docs, k,
 ):
-    dist, is_prefix = _sweep(term_chars, term_lens, query, query_len)
+    """Shared tail: match -> term score -> on-device select -> resolve ->
+    top-k. `dist` may come from the XLA sweep or the banded Pallas kernel."""
     match = dist <= distance
     total_matches = jnp.sum(match, dtype=jnp.int32)
 
@@ -112,6 +103,64 @@ def fuzzy_search_topk(
     scores, ids = jax.lax.top_k(dense, k)
     num_hits = jnp.sum(dense > 0, dtype=jnp.int32)
     return ids, scores, num_hits, total_matches
+
+
+@partial(
+    jax.jit,
+    static_argnames=("max_terms", "capacity", "num_docs", "k"),
+)
+def fuzzy_search_topk(
+    term_chars: jax.Array,  # [N_pad, L] uint16
+    term_lens: jax.Array,  # [N_pad] int32
+    query: jax.Array,  # [MAX_QUERY_CHARS] uint16
+    query_len: jax.Array,  # scalar int32
+    distance: jax.Array,  # scalar int32 (max edit distance)
+    offsets: jax.Array,  # [num_keys + 2] int32
+    anchors: jax.Array,  # [nnz_pad] int32
+    scores01: jax.Array,  # [nnz_pad] f32
+    max_terms: int,
+    capacity: int,
+    num_docs: int,
+    k: int,
+):
+    dist, is_prefix = _sweep(term_chars, term_lens, query, query_len)
+    return _select_resolve_topk(
+        dist, is_prefix, distance, offsets, anchors, scores01,
+        max_terms, capacity, num_docs, k,
+    )
+
+
+@partial(
+    jax.jit,
+    static_argnames=("max_terms", "capacity", "num_docs", "k", "interpret"),
+)
+def fuzzy_search_topk_banded(
+    chars_t: jax.Array,  # [L, N_pad] uint16 (transposed char matrix)
+    term_lens: jax.Array,  # [N_pad] int32
+    query: jax.Array,  # [MAX_QUERY_CHARS] uint16
+    query_len: jax.Array,  # scalar int32
+    distance: jax.Array,  # scalar int32 (<= 4, the kernel band)
+    offsets: jax.Array,
+    anchors: jax.Array,
+    scores01: jax.Array,
+    max_terms: int,
+    capacity: int,
+    num_docs: int,
+    k: int,
+    interpret: bool = False,
+):
+    """Fused fuzzy step over the banded Pallas sweep: exact distances within
+    the +-4 band with zero HBM DP state (the XLA sweep spills at large N),
+    then the same select/resolve/top-k tail — still ONE program."""
+    from .pallas_levenshtein import levenshtein_sweep_pallas_banded
+
+    dist, _prefix_dist, is_prefix = levenshtein_sweep_pallas_banded(
+        chars_t, term_lens, query, query_len, interpret=interpret
+    )
+    return _select_resolve_topk(
+        dist, is_prefix, distance, offsets, anchors, scores01,
+        max_terms, capacity, num_docs, k,
+    )
 
 
 @partial(

@@ -508,28 +508,52 @@ def _try_fuzzy_fast_path(
     dev = persistence.device_field(field)
     from ..ops.levenshtein import encode_query
 
-    from ..ops.fuzzy_step import fuzzy_search_topk
+    from ..ops.fuzzy_step import fuzzy_search_topk, fuzzy_search_topk_banded
 
+    import jax
     import jax.numpy as jnp
 
     num_docs = persistence.num_docs
     max_terms = 256
     q, qlen = encode_query(term)
     k_eff = min(num_docs, top + 64)
-    ids, scores, num_hits, total_matches = fuzzy_search_topk(
-        dev.chars,
-        dev.lengths,
-        jnp.asarray(q),
-        jnp.int32(qlen),
-        jnp.int32(distance),
-        dev.offsets,
-        dev.anchors,
-        dev.scores01,
-        max_terms=max_terms,
-        capacity=dev.fuzzy_capacity(max_terms),
-        num_docs=num_docs,
-        k=k_eff,
+    # the banded Pallas sweep is the TPU default (zero HBM DP state; the XLA
+    # sweep spills at large dictionaries) — same band gating as field_search
+    use_banded = (
+        _os.environ.get("VELOCI_PALLAS_SWEEP", "1") != "0"
+        and jax.default_backend() == "tpu"
+        and distance <= 4
     )
+    if use_banded:
+        ids, scores, num_hits, total_matches = fuzzy_search_topk_banded(
+            dev.chars_t,
+            dev.lengths,
+            jnp.asarray(q),
+            jnp.int32(qlen),
+            jnp.int32(distance),
+            dev.offsets,
+            dev.anchors,
+            dev.scores01,
+            max_terms=max_terms,
+            capacity=dev.fuzzy_capacity(max_terms),
+            num_docs=num_docs,
+            k=k_eff,
+        )
+    else:
+        ids, scores, num_hits, total_matches = fuzzy_search_topk(
+            dev.chars,
+            dev.lengths,
+            jnp.asarray(q),
+            jnp.int32(qlen),
+            jnp.int32(distance),
+            dev.offsets,
+            dev.anchors,
+            dev.scores01,
+            max_terms=max_terms,
+            capacity=dev.fuzzy_capacity(max_terms),
+            num_docs=num_docs,
+            k=k_eff,
+        )
     if int(total_matches) > max_terms:
         return None  # selection window clipped — generic path decides
     ids = np.asarray(ids)
