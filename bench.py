@@ -221,26 +221,45 @@ def main() -> None:
     # but stop early on a slow (contended) device — long on-device loops can
     # trip its execution watchdog, and a failed run must not kill the bench
     best = 0.0
-    reps = 20
-    while True:
-        try:
-            _bench_pipeline(
-                dev.offsets, dev.anchors, dev.scores01, bt, bs, reps=reps
-            ).block_until_ready()  # compile
+    if backend == "cpu":
+        # no host link to amortise, and XLA:CPU serialises scan bodies —
+        # a plain dispatch loop is the honest measurement here
+        reps = 5
+        while True:
             t_start = time.perf_counter()
-            float(
+            out = None
+            for _ in range(reps):
+                out = batched_search_topk(
+                    dev.offsets, dev.anchors, dev.scores01, bt, bs,
+                    capacity=capacity, num_docs=num_docs, k=TOP_K,
+                )
+            out[0].block_until_ready()
+            wall = time.perf_counter() - t_start
+            best = max(best, reps * len(exact_terms) / wall)
+            if wall > 0.5 or reps >= 5000:
+                break
+            reps *= 8
+    else:
+        reps = 20
+        while True:
+            try:
                 _bench_pipeline(
                     dev.offsets, dev.anchors, dev.scores01, bt, bs, reps=reps
+                ).block_until_ready()  # compile
+                t_start = time.perf_counter()
+                float(
+                    _bench_pipeline(
+                        dev.offsets, dev.anchors, dev.scores01, bt, bs, reps=reps
+                    )
                 )
-            )
-            wall = time.perf_counter() - t_start
-        except Exception as exc:  # device fault: keep the last good number
-            log(f"batched pipeline failed at reps={reps}: {type(exc).__name__}")
-            break
-        best = max(best, reps * len(exact_terms) / wall)
-        if wall > 0.5 or reps >= 20_000:
-            break
-        reps *= 8
+                wall = time.perf_counter() - t_start
+            except Exception as exc:  # device fault: keep the last good number
+                log(f"batched pipeline failed at reps={reps}: {type(exc).__name__}")
+                break
+            best = max(best, reps * len(exact_terms) / wall)
+            if wall > 0.5 or reps >= 20_000:
+                break
+            reps *= 8
     qps_batched = best
     log(f"[{backend}] exact batched ({len(exact_terms)}/batch): {qps_batched:.0f} QPS")
 
