@@ -260,9 +260,27 @@ class Persistence:
             "columns": self.columns,
             "store_kinds": store_kinds,
         }
+        # durability: fsync every index file, then the manifest, then the
+        # directory entry — the manifest only becomes visible once all data
+        # it references is on disk (reference sync_directory, create.rs:718,
+        # common/mod.rs:74; manifest-last at persistence.rs:363-366)
+        for f in d.iterdir():
+            if f.is_file() and f.name != _MANIFEST:
+                with open(f, "rb") as fh:
+                    os.fsync(fh.fileno())
         tmp = d / (_MANIFEST + ".tmp")
         tmp.write_text(json.dumps(manifest, ensure_ascii=False, indent=1))
+        with open(tmp, "rb") as fh:
+            os.fsync(fh.fileno())
         os.replace(tmp, d / _MANIFEST)
+        try:
+            dfd = os.open(str(d), os.O_RDONLY)
+            try:
+                os.fsync(dfd)
+            finally:
+                os.close(dfd)
+        except OSError:
+            pass  # directory fsync unsupported on some filesystems
 
     @classmethod
     def load(cls, directory: str) -> "Persistence":
