@@ -9,7 +9,7 @@ scoring, CSR packing) is numpy over the flat leaf/token tables.
 
 from __future__ import annotations
 
-from typing import Any, Dict, List, Optional
+
 
 import numpy as np
 
@@ -31,7 +31,7 @@ from .create import (
     _pack_phrase,
 )
 from .doc_store import DocStoreWriter
-from .indices import Csr, Direct, TermDictionary, csr_from_pairs, direct_from_pairs
+from .indices import TermDictionary, csr_from_pairs, direct_from_pairs
 from .native import NativeIdPath, NativePath, index_ndjson
 from .tokenizer import DEFAULT_SEPARATORS
 

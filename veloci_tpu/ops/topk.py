@@ -14,7 +14,6 @@ from functools import partial
 from typing import Tuple
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 
 __all__ = ["top_k_scores", "dense_to_hits"]

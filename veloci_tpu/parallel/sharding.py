@@ -20,7 +20,6 @@ All collectives run inside one `shard_map`-ped XLA program.
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Optional, Tuple
 
 import jax

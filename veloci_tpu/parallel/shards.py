@@ -23,7 +23,6 @@ usual distributed-IDF caveat; negligible for evenly sharded data).
 
 from __future__ import annotations
 
-import json
 from pathlib import Path
 from typing import Iterable, List, Optional, Tuple
 

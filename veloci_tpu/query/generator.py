@@ -9,11 +9,11 @@ wildcard handling, stopword filtering).
 from __future__ import annotations
 
 import re
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Dict, List, Optional, Set
 
 from ..create import TEXTINDEX
-from ..error import AllFieldsFilteredError, FieldNotFoundError, VelociError
+from ..error import AllFieldsFilteredError, FieldNotFoundError
 from ..search import stopwords as stopwords_mod
 from .parser import Options, UserAST, parse_with_opt
 from .request import (

@@ -19,7 +19,7 @@ query_parser crate:
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Callable, List, Optional, Set, Tuple
 
 from ..error import VelociError

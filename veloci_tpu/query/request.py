@@ -15,7 +15,7 @@ JSON ports directly:
 from __future__ import annotations
 
 from dataclasses import dataclass, field as dc_field
-from typing import Any, Dict, List, Optional, Tuple
+from typing import List, Optional
 
 from ..error import InvalidRequestError
 

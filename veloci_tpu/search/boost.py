@@ -10,8 +10,7 @@ semantics) and applies them to the dense score vector elementwise.
 
 from __future__ import annotations
 
-import math
-from typing import Dict, List, Optional, Tuple
+from typing import Dict, List, Tuple
 
 import numpy as np
 

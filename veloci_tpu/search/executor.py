@@ -23,8 +23,8 @@ from __future__ import annotations
 import time
 from dataclasses import dataclass
 
-from ..trace import debug_time, info_time
-from typing import Dict, List, Optional, Set, Tuple
+from ..trace import info_time
+from typing import Dict, List, Optional, Tuple
 
 import numpy as np
 
@@ -354,8 +354,6 @@ def _try_fast_path(request: Request, persistence, top: int) -> Optional[SearchRe
 
     from ..ops.postings import bucket_size
     from ..ops.search_step import intersect_search_topk, union_search_topk
-    from .field_search import get_default_score_for_distance
-
     import jax.numpy as jnp
 
     # host term lookup + slot assignment: OR groups by distinct term string

@@ -16,8 +16,8 @@ from typing import List, Tuple
 
 import numpy as np
 
-from ..create import ANCHOR_TO_TEXT_ID, PARENT_TO_VALUE_ID, TEXTINDEX
-from ..indices import Csr, Direct, EMPTY
+from ..create import ANCHOR_TO_TEXT_ID, PARENT_TO_VALUE_ID
+from ..indices import Direct, EMPTY
 from ..utils import get_steps_to_anchor
 
 __all__ = ["get_facet"]

@@ -29,7 +29,6 @@ from ..ops.levenshtein import (
     encode_query,
     levenshtein_distance_host,
     levenshtein_prefix_distance_host,
-    levenshtein_sweep,
 )
 from .result import FieldSearchResult
 

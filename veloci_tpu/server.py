@@ -21,7 +21,6 @@ rocket_server.rs:95-100) — the registry maps db name -> `Persistence`.
 from __future__ import annotations
 
 import json
-import re
 import threading
 import urllib.parse
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
