@@ -885,3 +885,216 @@ def test_log10_boost_explained_dual_entries(pers):
     factor, final = boosts
     assert abs(factor - math.log10(501)) < 1e-4
     assert abs(final - hit.hit.score) < 1e-5
+
+
+# ------------------------------------------- remaining reference test ports
+
+
+def test_and_connect_hits_different_fields_no_hit(pers):
+    res = run(
+        pers,
+        {
+            "search_req": {
+                "and": {
+                    "queries": [
+                        {"search": {"terms": ["majestät"], "path": "meanings.ger[]"}},
+                        {"search": {"terms": ["urge"], "path": "meanings.eng[]"}},
+                    ]
+                }
+            }
+        },
+    )
+    assert len(res.data) == 0
+
+
+def test_and_connect_different_fields_same_text(pers):
+    """tests.rs and_connect_hits_different_fields_same_text_alle_meine_words…"""
+    res = run(
+        pers,
+        {
+            "search_req": {
+                "and": {
+                    "queries": [
+                        {"search": {"terms": ["words"], "path": "meanings.ger[]"}},
+                        {"search": {"terms": ["1000"], "path": "ent_seq"}},
+                    ]
+                }
+            }
+        },
+    )
+    assert len(res.data) == 1
+    assert res.data[0].doc["ent_seq"] == "1000"
+
+
+def test_two_tokens_to_the_same_anchor(pers):
+    """tests.rs two_tokens_h_test_fn_the_same_anchor: both tokens of
+    'majestätischer Anblick' resolve to ONE anchor hit."""
+    res = run(
+        pers,
+        {
+            "search_req": {
+                "search": {
+                    "terms": ["majestätischer"],
+                    "path": "meanings.ger[]",
+                    "levenshtein_distance": 1,
+                }
+            }
+        },
+    )
+    assert len(res.data) == 1
+
+
+def test_boost_terms_and_from_cache(pers):
+    """tests.rs should_boost_terms_and_from_cache: repeated queries hit the
+    term-boost cache and stay deterministic."""
+    req = {
+        "search_req": {
+            "search": {
+                "terms": ["weich"],
+                "path": "meanings.ger[]",
+                "levenshtein_distance": 1,
+            }
+        },
+        "boost_term": [{"terms": ["9555"], "path": "ent_seq", "boost": 5.0}],
+    }
+    for _ in range(3):
+        res = run(pers, req)
+        assert res.data[0].doc["meanings"]["ger"][0] == "(1) 2 3 super nice weich"
+
+
+def test_prefer_short_results(pers):
+    """tests.rs should_prefer_short_results: with phrase pairs, the shorter
+    exact title ranks first."""
+    from veloci_tpu.query.generator import (
+        SearchQueryGeneratorParameters,
+        search_query,
+    )
+    from veloci_tpu import search as vsearch, search_to_result_with_doc
+
+    params = SearchQueryGeneratorParameters(
+        search_term="die erbin taschenbuch", phrase_pairs=True, explain=True
+    )
+    req = search_query(pers, params)
+    res = search_to_result_with_doc(pers, vsearch(req, pers), req.select)
+    assert res.data[0].doc["title"] == "Die Erbin"
+
+
+def test_field_search_return_terms(pers):
+    """tests.rs should_use_search_on_field_for_suggest_without_sorting_etc:
+    raw field search returns the matched term texts."""
+    from veloci_tpu.query.request import RequestSearchPart
+    from veloci_tpu.search.field_search import get_term_ids_in_field
+
+    part = RequestSearchPart.from_dict(
+        {
+            "terms": ["majes"],
+            "path": "meanings.ger[]",
+            "levenshtein_distance": 0,
+            "starts_with": True,
+        }
+    )
+    res = get_term_ids_in_field(pers, part, return_term=True)
+    assert sorted(res.terms.values()) == [
+        "Majestät",
+        "Majestät (f)",
+        "majestätischer",
+        "majestätischer Anblick (m)",
+        "majestätisches",
+        "majestätisches Aussehen (n)",
+    ]
+
+
+def test_exact_match_with_boost():
+    """tests.rs test_exact_match_with_boost: an exact match outranks many
+    partial hits even against a stronger boost column."""
+    data = "\n".join(
+        [
+            json.dumps(
+                {
+                    "definition": ["home", "family"],
+                    "traditional": "家",
+                    "commonness": 5.5318,
+                }
+            ),
+            json.dumps(
+                {
+                    "definition": [
+                        "place to return to",
+                        "home",
+                        "final destination",
+                        "ending",
+                    ],
+                    "traditional": "歸宿",
+                    "commonness": 3.1294,
+                }
+            ),
+        ]
+    )
+    config = '["commonness".boost]\nboost_type = "f32"\n'
+    p = Persistence.create_im(data, config)
+    res = run(
+        p,
+        {
+            "search_req": {
+                "search": {
+                    "terms": ["home"],
+                    "path": "definition[]",
+                    "levenshtein_distance": 0,
+                }
+            },
+            "boost": [{"path": "commonness", "boost_fun": "Log10", "param": 1}],
+        },
+    )
+    assert res.data[0].doc["traditional"] == "家"
+    assert res.data[1].doc["traditional"] == "歸宿"
+
+
+def test_prefer_exact_match_over_multi_hit():
+    """tests.rs test_prefer_exact_match_over_multi_hit."""
+    data = "\n".join(
+        [
+            json.dumps({"definition": ["home"], "traditional": "家"}),
+            json.dumps(
+                {
+                    "definition": [
+                        "to live at home",
+                        "to stay at home",
+                        "home (schooling etc)",
+                        "le home",
+                        "ok home",
+                        "so much home",
+                    ],
+                    "traditional": "居家",
+                }
+            ),
+        ]
+    )
+    p = Persistence.create_im(data, "{}")
+    res = run(
+        p,
+        {
+            "search_req": {
+                "search": {
+                    "terms": ["home"],
+                    "path": "definition[]",
+                    "levenshtein_distance": 0,
+                }
+            }
+        },
+    )
+    assert res.data[0].doc["traditional"] == "家"
+    assert res.data[1].doc["traditional"] == "居家"
+
+
+def test_create_index_from_file(tmp_path):
+    """tests.rs test_create_index_from_file."""
+    from tests.corpus import TEST_CONFIG, data_ndjson
+
+    f = tmp_path / "data.json"
+    f.write_text(data_ndjson())
+    p = Persistence.create_from_file(str(f), TEST_CONFIG)
+    res = run(
+        p,
+        {"search_req": {"search": {"terms": ["urge"], "path": "meanings.eng[]"}}},
+    )
+    assert len(res.data) == 1
