@@ -84,6 +84,27 @@ def main() -> None:
             print(f"  host: {r_host.num_hits} {[(h.id, h.score) for h in r_host.data[:5]]}")
         print(f"query {qi}: {status} ({r_dev.num_hits} hits)", flush=True)
 
+    # batched serving path vs individual searches (device)
+    batch_mod = importlib.import_module("veloci_tpu.search.batch")
+    search_batch = batch_mod.search_batch
+
+    ex.SMALL_DOCS = 1
+    batch_mod.SMALL_DOCS = 1
+    reqs = [Request.from_dict(q) for q in queries]
+    t0 = time.time()
+    batched = search_batch(reqs, pers)
+    print(f"search_batch: {len(reqs)} requests in {(time.time()-t0)*1e3:.1f} ms", flush=True)
+    for qi, (req, res) in enumerate(zip(reqs, batched)):
+        single = search(Request.from_dict(queries[qi]), pers)
+        ok = res.num_hits == single.num_hits and [
+            (h.id, round(h.score, 3)) for h in res.data
+        ] == [(h.id, round(h.score, 3)) for h in single.data]
+        if not ok:
+            failures += 1
+        print(f"batch {qi}: {'OK' if ok else 'MISMATCH'}", flush=True)
+    ex.SMALL_DOCS = 65536
+    batch_mod.SMALL_DOCS = 65536
+
     print("FAILURES:", failures, flush=True)
     assert failures == 0
 
