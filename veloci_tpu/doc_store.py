@@ -140,12 +140,19 @@ class DocLoader:
         ).reshape(-1, 3)
         self._data = data
         self._first_ids = self._index[:, 0]
-        self._cache_block: Optional[int] = None
-        self._cache: Optional[Tuple[np.ndarray, bytes]] = None
+        # small LRU of decompressed blocks: hit-list doc fetches cluster but
+        # rarely share ONE block (reference keeps none at all and pays the
+        # decompress per doc, doc_store/src/lib.rs:29-41)
+        from collections import OrderedDict
+
+        self._cache: "OrderedDict[int, Tuple[np.ndarray, bytes]]" = OrderedDict()
+        self._cache_max = 64
 
     def _load_block(self, block: int) -> Tuple[np.ndarray, bytes]:
-        if self._cache_block == block and self._cache is not None:
-            return self._cache
+        hit = self._cache.get(block)
+        if hit is not None:
+            self._cache.move_to_end(block)
+            return hit
         first_id, start, end = (int(x) for x in self._index[block])
         if self._v1:
             noffsets = int.from_bytes(self._data[start : start + 4], "little")
@@ -161,9 +168,11 @@ class DocLoader:
                 payload = zlib.decompress(comp)
         offsets = np.frombuffer(payload[: noffsets * 4], dtype=np.uint32)
         raw = payload[noffsets * 4 :]
-        self._cache_block = block
-        self._cache = (offsets, raw)
-        return self._cache
+        entry = (offsets, raw)
+        self._cache[block] = entry
+        if len(self._cache) > self._cache_max:
+            self._cache.popitem(last=False)
+        return entry
 
     def get_doc(self, doc_id: int) -> str:
         if doc_id < 0 or doc_id >= self.num_docs:
