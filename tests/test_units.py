@@ -450,3 +450,22 @@ def test_fused_banded_fuzzy_parity():
         )
         for x, y in zip(a, b):
             np.testing.assert_allclose(np.asarray(x), np.asarray(y), rtol=1e-6)
+
+
+def test_spill_phrase_parity(monkeypatch):
+    """Phrase packing through the two-pass external sort is bit-identical."""
+    import numpy as np
+
+    from veloci_tpu import create as create_mod
+    from tests.corpus import TEST_CONFIG, data_ndjson
+
+    built_ram = create_mod.create_indices_from_str(data_ndjson(), TEST_CONFIG)
+    monkeypatch.setattr(create_mod._spill(), "SPILL_PAIRS", 1)
+    built_spill = create_mod.create_indices_from_str(data_ndjson(), TEST_CONFIG)
+    assert built_ram.phrase_indices.keys() == built_spill.phrase_indices.keys()
+    assert len(built_ram.phrase_indices) > 0
+    for key, a in built_ram.phrase_indices.items():
+        b = built_spill.phrase_indices[key]
+        np.testing.assert_array_equal(a.keys, b.keys)
+        np.testing.assert_array_equal(a.offsets, b.offsets)
+        np.testing.assert_array_equal(a.values, b.values)

@@ -567,12 +567,28 @@ def _pack_phrase(tuples: Tuple[List[int], List[int], List[int]]) -> PhraseCsr:
     b = np.asarray(tuples[1], dtype=np.uint64)
     v = np.asarray(tuples[2], dtype=np.uint32)
     keys = (a << np.uint64(32)) | b
-    order = np.lexsort((v, keys))
-    keys, v = keys[order], v[order]
+    if len(keys) > _spill().SPILL_PAIRS:
+        # external lexicographic sort, LSD style: stable-sort by value first,
+        # then stable-sort by key — two SpillSorter passes with bounded RAM
+        # (the 96-bit (key, value) pair doesn't fit one combined u64 key)
+        with _spill().SpillSorter() as s1:
+            s1.add(v.astype(np.uint64), keys)
+            v1, k1 = s1.finish()
+            with _spill().SpillSorter() as s2:
+                s2.add(np.asarray(k1), np.asarray(v1))
+                k_s, v_s = s2.finish()
+                keep = np.ones(len(k_s), dtype=bool)
+                keep[1:] = (k_s[1:] != k_s[:-1]) | (v_s[1:] != v_s[:-1])
+                keys = np.asarray(k_s[keep])
+                v = np.asarray(v_s[keep]).astype(np.uint32)
+    else:
+        order = np.lexsort((v, keys))
+        keys, v = keys[order], v[order]
+        if len(keys):
+            keep = np.ones(len(keys), dtype=bool)
+            keep[1:] = (keys[1:] != keys[:-1]) | (v[1:] != v[:-1])
+            keys, v = keys[keep], v[keep]
     if len(keys):
-        keep = np.ones(len(keys), dtype=bool)
-        keep[1:] = (keys[1:] != keys[:-1]) | (v[1:] != v[:-1])
-        keys, v = keys[keep], v[keep]
         new_key = np.ones(len(keys), dtype=bool)
         new_key[1:] = keys[1:] != keys[:-1]
         starts = np.flatnonzero(new_key)
