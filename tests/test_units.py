@@ -469,3 +469,19 @@ def test_spill_phrase_parity(monkeypatch):
         np.testing.assert_array_equal(a.keys, b.keys)
         np.testing.assert_array_equal(a.offsets, b.offsets)
         np.testing.assert_array_equal(a.values, b.values)
+
+
+def test_spill_csr_from_pairs_parity(monkeypatch):
+    import numpy as np
+
+    import veloci_tpu.spill as spill_mod
+    from veloci_tpu.indices import csr_from_pairs
+
+    rng = np.random.default_rng(11)
+    keys = rng.integers(0, 200, 50_000)
+    vals = rng.integers(0, 1000, 50_000).astype(np.uint32)
+    ram = csr_from_pairs(keys, vals, 200, sort_and_dedup=True)
+    monkeypatch.setattr(spill_mod, "SPILL_PAIRS", 1)
+    sp = csr_from_pairs(keys, vals, 200, sort_and_dedup=True)
+    np.testing.assert_array_equal(ram.offsets, sp.offsets)
+    np.testing.assert_array_equal(ram.values, sp.values)

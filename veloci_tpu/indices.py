@@ -341,10 +341,21 @@ def csr_from_pairs(
     values = np.asarray(values, dtype=np.uint32)
     if sort_and_dedup:
         if len(keys) and int(keys.max()) < (1 << 31):
-            # combined-key sort: one int64 np.sort beats a 2-key lexsort
+            from .spill import SPILL_PAIRS, SpillSorter
+
             combo = (keys << np.int64(32)) | values.astype(np.int64)
-            combo = np.sort(combo)
-            combo = combo[np.concatenate([[True], combo[1:] != combo[:-1]])]
+            if len(combo) > SPILL_PAIRS:
+                # external sort (reference BufferedIndexWriter semantics)
+                with SpillSorter() as sorter:
+                    sorter.add(combo.astype(np.uint64))
+                    k_s, _ = sorter.finish()
+                    keep = np.ones(len(k_s), dtype=bool)
+                    keep[1:] = k_s[1:] != k_s[:-1]
+                    combo = np.asarray(k_s[keep]).astype(np.int64)
+            else:
+                # combined-key sort: one int64 np.sort beats a 2-key lexsort
+                combo = np.sort(combo)
+                combo = combo[np.concatenate([[True], combo[1:] != combo[:-1]])]
             keys = combo >> np.int64(32)
             values = (combo & np.int64(0xFFFFFFFF)).astype(np.uint32)
         else:

@@ -103,8 +103,10 @@ class SpillSorter:
             self._tmp = None
 
     # ------------------------------------------------------------------ add
-    def add(self, keys: np.ndarray, payloads: np.ndarray) -> None:
+    def add(self, keys: np.ndarray, payloads: Optional[np.ndarray] = None) -> None:
         keys = np.ascontiguousarray(keys, dtype=np.uint64)
+        if payloads is None:
+            payloads = keys  # key-only mode: payload mirrors the key
         payloads = np.ascontiguousarray(payloads, dtype=np.uint64)
         assert len(keys) == len(payloads)
         start = 0
