@@ -104,12 +104,26 @@ class ShardedPersistence:
         merged = SearchResult()
         all_hits: List[Tuple[float, int]] = []
         facet_acc = {}
-        for si, shard in enumerate(self.shards):
+
+        def run_shard(shard):
             sub = Request(**{**request.__dict__})
             # per-shard: fetch enough to cover global top+skip
             sub.top = top + skip
             sub.skip = None
-            res = _search(sub, shard)
+            return _search(sub, shard)
+
+        # parallel fan-out (reference searches shards on rayon threads in the
+        # vestigial Shards code, rocket_server.rs:102-108); numpy and device
+        # dispatch release the GIL so threads overlap
+        if len(self.shards) > 1:
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(max_workers=min(8, len(self.shards))) as pool:
+                shard_results = list(pool.map(run_shard, self.shards))
+        else:
+            shard_results = [run_shard(sh) for sh in self.shards]
+
+        for si, res in enumerate(shard_results):
             base = int(self.doc_bases[si])
             merged.num_hits += res.num_hits
             for h in res.data:
