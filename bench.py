@@ -291,6 +291,40 @@ def main() -> None:
         f"p99 {percentile(lat_f,99)*1e3:.2f} ms"
     )
 
+    # ---- fuzzy d=2, batched (vmapped fused program) ----------------------
+    from veloci_tpu.ops.fuzzy_step import batched_fuzzy_search_topk
+
+    fq = min(16, len(fuzzy_terms))  # DP state [Q, N, 33] i32 — keep < ~100MB
+    fqueries = np.zeros((fq, 32), dtype=np.uint16)
+    fqlens = np.zeros(fq, dtype=np.int32)
+    for row, term in enumerate(fuzzy_terms[:fq]):
+        qq, ql = encode_query(term.lower())
+        fqueries[row] = qq
+        fqlens[row] = ql
+    fdists = np.full(fq, 2, dtype=np.int32)
+    fqj, flj, fdj = jnp.asarray(fqueries), jnp.asarray(fqlens), jnp.asarray(fdists)
+    qps_fuzzy_batched = 0.0
+    try:
+        batched_fuzzy_search_topk(
+            chars, lengths, fqj, flj, fdj,
+            dev.offsets, dev.anchors, dev.scores01,
+            max_terms=128, capacity=fuzz_capacity, num_docs=num_docs, k=TOP_K,
+        )[0].block_until_ready()
+        best_fb = 0.0
+        for _ in range(3):
+            t_start = time.perf_counter()
+            out = batched_fuzzy_search_topk(
+                chars, lengths, fqj, flj, fdj,
+                dev.offsets, dev.anchors, dev.scores01,
+                max_terms=128, capacity=fuzz_capacity, num_docs=num_docs, k=TOP_K,
+            )
+            out[0].block_until_ready()
+            best_fb = max(best_fb, fq / (time.perf_counter() - t_start))
+        qps_fuzzy_batched = best_fb
+        log(f"[{backend}] fuzzy d=2 batched ({fq}/batch): {qps_fuzzy_batched:.0f} QPS")
+    except Exception as exc:
+        log(f"fuzzy batched failed: {type(exc).__name__}")
+
     # ---- gutenberg-style highlight (reference bench_jmdict.rs:41-45) -----
     # book-paragraph corpus; search + why_found highlighting end to end
     hl_qps = 0.0
@@ -370,6 +404,7 @@ def main() -> None:
             "fuzzy_d2_qps": round(qps_fuzzy, 1),
             "fuzzy_d2_p50_ms": round(percentile(lat_f, 50) * 1e3, 3),
             "fuzzy_d2_p99_ms": round(percentile(lat_f, 99) * 1e3, 3),
+            "fuzzy_d2_batched_qps": round(qps_fuzzy_batched, 1),
             "highlight_qps": round(hl_qps, 1),
             "index_build_mb_per_s": round(pers.bytes_indexed / build_s / 1e6, 2),
             "link_round_trip_ms": round(link_rt_ms, 3),
