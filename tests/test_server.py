@@ -155,3 +155,27 @@ def test_post_request_invalid_field(server):
         raise AssertionError("expected HTTPError")
     except urllib.error.HTTPError as e:
         assert e.code == 400
+
+
+def test_concurrent_requests(server):
+    """ThreadingHTTPServer serves concurrently; shared per-persistence caches
+    must stay consistent under parallel identical+distinct queries."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    paths = [
+        "/DB/search?query=hi&top=5",
+        "/DB/search?query=there&top=5",
+        "/DB/search?query=fred&top=5",
+        "/DB/suggest?query=h",
+    ] * 8
+
+    def one(path):
+        return _get(server, path)
+
+    with ThreadPoolExecutor(max_workers=8) as pool:
+        results = list(pool.map(one, paths))
+    for (status, body), path in zip(results, paths):
+        assert status == 200, path
+        payload = json.loads(body)
+        if "search" in path:
+            assert payload["num_hits"] >= 1, path
