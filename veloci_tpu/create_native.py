@@ -67,8 +67,17 @@ def build_native(data_str: str, config: FieldsConfig) -> BuiltIndex:
     num_docs, paths, id_paths = index_ndjson(data_str, get_path_config)
     assert num_docs == out.num_docs, "doc count mismatch native vs doc store"
 
-    for ps in paths:
-        _pack_path(out, ps, config)
+    # per-path packing in parallel (reference converts paths with rayon
+    # into_par_iter, create.rs:612-614); each path writes disjoint keys into
+    # `out`, and numpy releases the GIL for the heavy sorts
+    if len(paths) > 1:
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=min(8, len(paths))) as pool:
+            list(pool.map(lambda ps: _pack_path(out, ps, config), paths))
+    else:
+        for ps in paths:
+            _pack_path(out, ps, config)
     for ip in id_paths:
         _pack_id_path(out, ip, config)
     return out
