@@ -243,8 +243,7 @@ def create_indices_from_docs(
     writer = DocStoreWriter()
     if raw_lines is None:
         raw_lines = [json.dumps(d, ensure_ascii=False, separators=(",", ":")) for d in docs]
-    for line in raw_lines:
-        writer.add_doc(line)
+    writer.add_docs(raw_lines)
     out.doc_store = writer.finish()
     out.num_docs = writer.curr_id
     out.bytes_indexed = writer.bytes_indexed
@@ -472,7 +471,9 @@ def _group_dedup_combo(k_sorted: np.ndarray, v_sorted: np.ndarray):
     new_group[1:] = k_sorted[1:] != k_sorted[:-1]
     starts = np.flatnonzero(new_group)
     group_max = np.maximum.reduceat(v_sorted, starts).astype(np.uint32)
-    counts = np.diff(np.append(starts, len(k_sorted)))
+    counts = np.empty(len(starts), dtype=np.int64)
+    np.subtract(starts[1:], starts[:-1], out=counts[:-1])
+    counts[-1] = len(k_sorted) - starts[-1]
     bonus = np.minimum(counts, 5).astype(np.uint32)
     bonus = np.where(counts > 1, bonus, 0).astype(np.uint32)
     final = group_max + bonus
@@ -527,9 +528,13 @@ def _pack_anchor_scores(
             # combined-key argsort: one int64 key beats a 2-key lexsort
             combo = (ids << np.int64(32)) | anchors
             order = np.argsort(combo, kind="stable")
+            combo = combo[order]
+            ids = combo >> np.int64(32)
+            anchors = combo & np.int64(0xFFFFFFFF)
+            scores = scores[order]
         else:
             order = np.lexsort((anchors, ids))
-        ids, anchors, scores = ids[order], anchors[order], scores[order]
+            ids, anchors, scores = ids[order], anchors[order], scores[order]
         if len(ids):
             new_group = np.ones(len(ids), dtype=bool)
             new_group[1:] = (ids[1:] != ids[:-1]) | (anchors[1:] != anchors[:-1])
@@ -537,7 +542,9 @@ def _pack_anchor_scores(
             group_max = (
                 np.maximum.reduceat(scores, starts) if len(starts) else scores[:0]
             )
-            counts = np.diff(np.append(starts, len(ids)))
+            counts = np.empty(len(starts), dtype=np.int64)
+            np.subtract(starts[1:], starts[:-1], out=counts[:-1])
+            counts[-1] = len(ids) - starts[-1]
             bonus = np.minimum(counts, 5).astype(np.uint32)
             bonus = np.where(counts > 1, bonus, 0).astype(np.uint32)
             final = group_max + bonus

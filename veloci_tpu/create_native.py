@@ -48,9 +48,7 @@ def build_native(data_str: str, config: FieldsConfig) -> BuiltIndex:
 
     # pass 0: doc store (host, zlib blocks)
     writer = DocStoreWriter()
-    for line in data_str.split("\n"):
-        if line.strip():
-            writer.add_doc(line)
+    writer.add_docs(line for line in data_str.split("\n") if line.strip())
     out.doc_store = writer.finish()
     out.num_docs = writer.curr_id
     out.bytes_indexed = writer.bytes_indexed

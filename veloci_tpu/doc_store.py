@@ -59,6 +59,19 @@ class DocStoreWriter:
         # pending raw blocks: (first_doc_id, num_offsets, payload bytes)
         self._raw_blocks: List[Tuple[int, int, bytes]] = []
 
+    def add_docs(self, docs) -> None:
+        """Bulk append — one Python call per ~block instead of per doc."""
+        for doc in docs:
+            data = doc if isinstance(doc, bytes) else doc.encode("utf-8")
+            self.bytes_indexed += len(data)
+            if not self._block:
+                self._first_id_in_block = self.curr_id
+            self._block.append(data)
+            self._block_bytes += len(data)
+            if self._block_bytes > FLUSH_THRESHOLD:
+                self._flush_block()
+            self.curr_id += 1
+
     def add_doc(self, doc: str | bytes) -> None:
         data = doc if isinstance(doc, bytes) else doc.encode("utf-8")
         self.bytes_indexed += len(data)
