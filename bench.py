@@ -1,17 +1,34 @@
 """Benchmark harness — jmdict-class workload on the TPU.
 
 Measures the BASELINE.md headline metric: exact-term (lev=0) top-10 search
-QPS + p50/p99 latency, plus fuzzy d=2, on a synthetic jmdict-scale corpus
-(the real jmdict file is an LFS stub in the reference checkout; the corpus
-here reproduces its shape: ~100k docs, zipfian vocabulary, multi-token
-titles).
+throughput, plus fuzzy d=2, on a synthetic jmdict-scale corpus (the real
+jmdict file is an LFS stub in the reference checkout; the corpus here
+reproduces its shape: ~100k docs, zipfian vocabulary, multi-token titles).
+
+MEASUREMENT METHODOLOGY (round-2 rewrite; the round-1 harness over-reported
+by 2000x because `block_until_ready()` is a no-op through this device
+plugin and a scalar D2H sync costs 30ms-7s):
+
+* **Engine time** is measured by running the fused kernel inside an
+  on-device ``lax.scan`` at two depths (n1, n2) and differencing the walls:
+  ``engine_per_iter = (wall(n2) - wall(n1)) / (n2 - n1)``. The single D2H
+  sync cost cancels exactly.
+* **Hoist-proofing**: the scan carry perturbs the TERM IDS (an int offset
+  that is zero at runtime but opaque to the compiler), so the posting
+  slices — the expensive part — cannot be hoisted out of the loop. A
+  score-only perturbation is NOT enough (XLA hoists the loop-invariant
+  gather; observed).
+* **Link time** is reported separately (`link_round_trip_ms`): sequential
+  per-request dispatch on this tunnel is link-bound at ~1/30ms regardless
+  of engine speed, so the sequential metric characterises the link, not
+  the engine.
 
 The reference publishes no numbers (BASELINE.md) and its Rust toolchain is
 not present in this image, so ``vs_baseline`` is reported against a measured
-single-CPU-core proxy: the SAME search step executed on one host CPU device
-— i.e. "TPU speedup over a single-core vectorised CPU implementation of this
-engine". BASELINE.json's acceptance is >=10x single-core veloci QPS; the CPU
-proxy stands in for that single-core baseline until the reference can be run.
+single-host CPU proxy: the SAME kernels executed on the host CPU backend
+with the SAME scan-differencing methodology. BASELINE.json's acceptance is
+>=10x single-core veloci QPS; the CPU proxy stands in for that baseline
+until the reference can be run.
 
 Prints ONE JSON line:
   {"metric": "...", "value": N, "unit": "...", "vs_baseline": N}
@@ -23,12 +40,13 @@ import json
 import os
 import sys
 import time
+from functools import partial
 
 import numpy as np
 
 N_DOCS = int(os.environ.get("BENCH_DOCS", "100000"))
 N_EXACT_QUERIES = int(os.environ.get("BENCH_EXACT_QUERIES", "200"))
-N_FUZZY_QUERIES = int(os.environ.get("BENCH_FUZZY_QUERIES", "50"))
+N_FUZZY_QUERIES = int(os.environ.get("BENCH_FUZZY_QUERIES", "16"))
 TOP_K = 10
 
 
@@ -40,11 +58,9 @@ def build_corpus(n_docs: int):
     """Deterministic jmdict-shaped corpus: zipfian vocab, 3-9 token titles."""
     rng = np.random.default_rng(1234)
     vocab_size = 40_000
-    # word list with varied lengths (latin stand-ins for jmdict terms)
     vocab = np.array(
         [f"w{i:x}{'abcdefgh'[i % 8] * (1 + i % 7)}" for i in range(vocab_size)]
     )
-    # zipf-ish distribution over the vocabulary
     ranks = np.arange(1, vocab_size + 1, dtype=np.float64)
     probs = 1.0 / ranks
     probs /= probs.sum()
@@ -65,38 +81,72 @@ def percentile(values, p):
     return float(np.percentile(np.asarray(values), p))
 
 
+def measure_scan(make_body, n1: int, n2: int, retries: int = 2):
+    """Engine ms/iter by differencing two on-device scan depths.
+
+    ``make_body(carry) -> carry`` must thread the carry through a
+    hoist-proof data dependency (term ids). Returns (per_iter_s, w1, w2).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    @partial(jax.jit, static_argnames=("n",))
+    def run(n):
+        def body(carry, _):
+            return make_body(carry), None
+
+        carry, _ = jax.lax.scan(body, jnp.float32(0.0), None, length=n)
+        return carry
+
+    float(run(n1))  # compile + warm sync
+    float(run(n2))
+    best = None
+    for _ in range(retries):
+        t0 = time.perf_counter()
+        float(run(n1))
+        w1 = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        float(run(n2))
+        w2 = time.perf_counter() - t0
+        per = (w2 - w1) / (n2 - n1)
+        if per > 0 and (best is None or per < best[0]):
+            best = (per, w1, w2)
+    if best is None:  # degenerate timing (degraded link mid-measure)
+        best = (max(w2, 1e-9) / n2, w1, w2)
+    return best
+
+
 def main() -> None:
     import jax
     import jax.numpy as jnp
 
     from veloci_tpu import Persistence
-    from veloci_tpu.create import TEXTINDEX, TO_ANCHOR_ID_SCORE
-    from veloci_tpu.ops.fuzzy_step import fuzzy_search_topk
-    from veloci_tpu.ops.levenshtein import encode_query
-    from veloci_tpu.ops.search_step import exact_search_topk
 
     backend = jax.default_backend()
     log(f"backend: {backend}, devices: {jax.devices()}")
 
-    # host-link health diagnostic (the tunnel's round-trip latency bounds all
-    # sequential-dispatch metrics). The tunnel intermittently degrades to
+    # host-link health diagnostic. The tunnel intermittently degrades to
     # multi-second round-trips and recovers on its own; wait (bounded) for a
-    # healthy link before measuring so the numbers reflect the engine, not a
-    # transient infra stall. BENCH_LINK_WAIT_S=0 disables the wait.
+    # healthy link before measuring. The scan-differencing methodology is
+    # robust to a slow link (the sync cost cancels), but a degraded window
+    # still adds noise — and the first sync after client start can cost
+    # 60-100s regardless.
     link_rt_ms = 0.0
     if backend != "cpu":
-        import jax.numpy as _jnp
+        probe = jnp.zeros(8)
+        probe.block_until_ready()
+        t0 = time.perf_counter()
+        float(jnp.sum(probe))  # first sync: pays the tunnel warm-up
+        log(f"first sync: {time.perf_counter() - t0:.1f}s")
 
         def _probe_link() -> float:
-            probe = _jnp.zeros(8)
-            probe.block_until_ready()
             t_probe = time.perf_counter()
-            for _ in range(10):
-                float(_jnp.sum(probe))
-            return (time.perf_counter() - t_probe) / 10 * 1e3
+            for _ in range(5):
+                float(jnp.sum(probe))
+            return (time.perf_counter() - t_probe) / 5 * 1e3
 
-        wait_budget = float(os.environ.get("BENCH_LINK_WAIT_S", "300"))
-        healthy_ms = float(os.environ.get("BENCH_LINK_HEALTHY_MS", "5"))
+        wait_budget = float(os.environ.get("BENCH_LINK_WAIT_S", "180"))
+        healthy_ms = float(os.environ.get("BENCH_LINK_HEALTHY_MS", "50"))
         deadline = time.time() + wait_budget
         link_rt_ms = _probe_link()
         while link_rt_ms > healthy_ms and time.time() < deadline:
@@ -120,7 +170,6 @@ def main() -> None:
     dictionary = pers.get_dictionary("title")
     dev = pers.device_field("title")
     num_docs = pers.num_docs
-    store = pers.anchor_scores["title" + TEXTINDEX + TO_ANCHOR_ID_SCORE]
     host_offsets = dev.host_offsets
 
     # ---- query sets ------------------------------------------------------
@@ -129,207 +178,131 @@ def main() -> None:
     fuzzy_terms = []
     for t in rng.choice(vocab[:2000], size=N_FUZZY_QUERIES):
         t = str(t)
-        # perturb to force edit distance work
         if len(t) > 4:
             t = t[:2] + "x" + t[3:]
         fuzzy_terms.append(t)
 
-    # shared static capacity: max postings among bench terms, power-of-2
-    def postings_total(term: str) -> int:
+    # term ids exactly as the serving path resolves them (search_batch prep)
+    tid_list = []
+    for term in exact_terms:
         ids = dictionary.get_ignore_case(term)
-        return int(
-            sum(host_offsets[i + 1] - host_offsets[i] for i in ids if i < dev.num_score_keys)
+        tid_list.append(int(ids[0]) if ids else 0)
+    tid_host = np.asarray(tid_list, dtype=np.int32)
+    counts = host_offsets[tid_host + 1] - host_offsets[tid_host]
+    max_count = int(counts.max())
+    capacity = 1 << max(6, (max_count - 1).bit_length())
+    log(f"exact capacity bucket: {capacity} (max postings {max_count})")
+
+    from veloci_tpu.ops.search_step import batched_single_term_topk
+
+    tids = jnp.asarray(tid_host)
+    tscs = jnp.full(len(tid_list), 10.0, jnp.float32)
+    # materialise the device arrays OUTSIDE any trace
+    offs_d, anc_d, sc_d = dev.offsets, dev.anchors, dev.scores01
+
+    # ---- engine-only batched exact throughput (the headline) -------------
+    def exact_body(carry):
+        # carry -> int offset (zero at runtime, opaque at compile time)
+        # perturbs the term ids so the posting slices cannot be hoisted
+        off = (carry * jnp.float32(1e-20)).astype(jnp.int32)
+        _ids, scores, _nh = batched_single_term_topk(
+            offs_d, anc_d, sc_d, tids + off, tscs,
+            capacity=capacity, k=TOP_K,
         )
+        return scores[0, 0] * jnp.float32(1e-12)
 
-    max_total = max(postings_total(t) for t in exact_terms)
-    capacity = 1 << max(10, (max_total - 1).bit_length())
-    log(f"exact capacity bucket: {capacity} (max postings {max_total})")
-
-    t_pad = 8
-
-    def prep_exact(term: str):
-        ids = dictionary.get_ignore_case(term)
-        term_ids = np.full(t_pad, -1, dtype=np.int32)
-        term_scores = np.zeros(t_pad, dtype=np.float32)
-        for j, tid in enumerate(ids[:t_pad]):
-            term_ids[j] = tid
-            term_scores[j] = 10.0  # exact-match term score (2/0.2)
-        return jnp.asarray(term_ids), jnp.asarray(term_scores)
-
-    def run_exact_bench(offsets, anchors, scores01, label: str):
-        # warmup / compile
-        tid, tsc = prep_exact(exact_terms[0])
-        exact_search_topk(
-            offsets, anchors, scores01, tid, tsc,
-            capacity=capacity, num_docs=num_docs, k=TOP_K,
-        )[0].block_until_ready()
-        lat = []
-        t_start = time.time()
-        for term in exact_terms:
-            q0 = time.perf_counter()
-            tid, tsc = prep_exact(term)
-            ids, scores, _nh = exact_search_topk(
-                offsets, anchors, scores01, tid, tsc,
-                capacity=capacity, num_docs=num_docs, k=TOP_K,
-            )
-            ids.block_until_ready()
-            lat.append(time.perf_counter() - q0)
-        wall = time.time() - t_start
-        qps = len(exact_terms) / wall
-        log(
-            f"[{label}] exact: {qps:.1f} QPS, p50 {percentile(lat,50)*1e3:.2f} ms, "
-            f"p99 {percentile(lat,99)*1e3:.2f} ms"
-        )
-        return qps, lat
-
-    qps_tpu, lat_tpu = run_exact_bench(dev.offsets, dev.anchors, dev.scores01, backend)
-
-    # ---- batched throughput mode ----------------------------------------
-    from veloci_tpu.ops.search_step import batched_search_topk
-
-    batch = np.full((len(exact_terms), t_pad), -1, dtype=np.int32)
-    batch_scores = np.zeros((len(exact_terms), t_pad), dtype=np.float32)
-    for qi, term in enumerate(exact_terms):
-        for j, tid in enumerate(dictionary.get_ignore_case(term)[:t_pad]):
-            batch[qi, j] = tid
-            batch_scores[qi, j] = 10.0
-    bt, bs = jnp.asarray(batch), jnp.asarray(batch_scores)
-    batched_search_topk(
-        dev.offsets, dev.anchors, dev.scores01, bt, bs,
-        capacity=capacity, num_docs=num_docs, k=TOP_K,
-    )[0].block_until_ready()
-    # throughput mode runs the rep loop ON DEVICE (`lax.scan`): one dispatch,
-    # one sync, so even a degraded host link (30 ms+ round-trips, paid per
-    # dispatch through the tunnel) only taxes the measurement once. The scan
-    # carry feeds a ~1e-12 score perturbation into each iteration so XLA
-    # cannot hoist the loop-invariant body.
-    from functools import partial as _partial
-
-    @_partial(jax.jit, static_argnames=("reps",))
-    def _bench_pipeline(offsets, anchors, scores01, bt_, bs_, reps):
-        def body(carry, _):
-            _ids, scores_, _nh = batched_search_topk(
-                offsets, anchors, scores01, bt_, bs_ * (1.0 + carry),
-                capacity=capacity, num_docs=num_docs, k=TOP_K,
-            )
-            return scores_[0, 0] * jnp.float32(1e-12), None
-
-        carry, _ = jax.lax.scan(body, jnp.float32(0.0), None, length=reps)
-        return carry
-
-    # depth adapts: escalate until device time dominates the single sync,
-    # but stop early on a slow (contended) device — long on-device loops can
-    # trip its execution watchdog, and a failed run must not kill the bench
-    best = 0.0
-    if backend == "cpu":
-        # no host link to amortise, and XLA:CPU serialises scan bodies —
-        # a plain dispatch loop is the honest measurement here
-        reps = 5
-        while True:
-            t_start = time.perf_counter()
-            out = None
-            for _ in range(reps):
-                out = batched_search_topk(
-                    dev.offsets, dev.anchors, dev.scores01, bt, bs,
-                    capacity=capacity, num_docs=num_docs, k=TOP_K,
-                )
-            out[0].block_until_ready()
-            wall = time.perf_counter() - t_start
-            best = max(best, reps * len(exact_terms) / wall)
-            if wall > 0.5 or reps >= 5000:
-                break
-            reps *= 8
-    else:
-        reps = 20
-        while True:
-            try:
-                _bench_pipeline(
-                    dev.offsets, dev.anchors, dev.scores01, bt, bs, reps=reps
-                ).block_until_ready()  # compile
-                t_start = time.perf_counter()
-                float(
-                    _bench_pipeline(
-                        dev.offsets, dev.anchors, dev.scores01, bt, bs, reps=reps
-                    )
-                )
-                wall = time.perf_counter() - t_start
-            except Exception as exc:  # device fault: keep the last good number
-                log(f"batched pipeline failed at reps={reps}: {type(exc).__name__}")
-                break
-            best = max(best, reps * len(exact_terms) / wall)
-            if wall > 0.5 or reps >= 20_000:
-                break
-            reps *= 8
-    qps_batched = best
-    log(f"[{backend}] exact batched ({len(exact_terms)}/batch): {qps_batched:.0f} QPS")
-
-    # ---- fuzzy d=2 -------------------------------------------------------
-    fuzz_capacity = 1 << 17
-    chars, lengths = dev.chars, dev.lengths
-    q0, qlen0 = encode_query(fuzzy_terms[0])
-    fuzzy_search_topk(
-        chars, lengths, jnp.asarray(q0), jnp.int32(qlen0), jnp.int32(2),
-        dev.offsets, dev.anchors, dev.scores01,
-        max_terms=128, capacity=fuzz_capacity, num_docs=num_docs, k=TOP_K,
-    )[0].block_until_ready()
-    lat_f = []
-    t_start = time.time()
-    for term in fuzzy_terms:
-        t1 = time.perf_counter()
-        q, qlen = encode_query(term.lower())
-        ids, scores, _nh, _tm = fuzzy_search_topk(
-            chars, lengths, jnp.asarray(q), jnp.int32(qlen), jnp.int32(2),
-            dev.offsets, dev.anchors, dev.scores01,
-            max_terms=128, capacity=fuzz_capacity, num_docs=num_docs, k=TOP_K,
-        )
-        ids.block_until_ready()
-        lat_f.append(time.perf_counter() - t1)
-    wall_f = time.time() - t_start
-    qps_fuzzy = len(fuzzy_terms) / wall_f
+    n1, n2 = (3, 13) if backend == "cpu" else (5, 45)
+    per_iter, w1, w2 = measure_scan(exact_body, n1, n2)
+    engine_ms_per_batch = per_iter * 1e3
+    qps_batched = len(exact_terms) / per_iter
     log(
-        f"[{backend}] fuzzy d=2: {qps_fuzzy:.1f} QPS, p50 {percentile(lat_f,50)*1e3:.2f} ms, "
-        f"p99 {percentile(lat_f,99)*1e3:.2f} ms"
+        f"[{backend}] exact batched ({len(exact_terms)}/batch): "
+        f"{qps_batched:.0f} QPS engine-only, {engine_ms_per_batch:.3f} ms/batch "
+        f"(walls {w1*1e3:.0f}/{w2*1e3:.0f} ms)"
+    )
+
+    # ---- end-to-end serving (search_batch API: host prep + dispatch + D2H)
+    from veloci_tpu import Request
+    from veloci_tpu.search.batch import search_batch
+
+    reqs = [
+        Request.from_dict(
+            {"search_req": {"search": {"terms": [t], "path": "title"}}, "top": TOP_K}
+        )
+        for t in exact_terms
+    ]
+    search_batch(reqs, pers)  # warm/compile
+    t0 = time.perf_counter()
+    res_batch = search_batch(reqs, pers)
+    serving_wall = time.perf_counter() - t0
+    qps_serving = len(reqs) / serving_wall
+    assert res_batch[0].data, "serving path returned no hits"
+    log(
+        f"[{backend}] serving e2e (search_batch, {len(reqs)} reqs): "
+        f"{qps_serving:.0f} QPS ({serving_wall*1e3:.1f} ms incl. host prep + link)"
+    )
+
+    # ---- sequential dispatch (link-bound on this tunnel; diagnostic) -----
+    from veloci_tpu import search as search_one
+
+    lat = []
+    n_seq = min(30, len(reqs))
+    search_one(reqs[0], pers)
+    for req in reqs[:n_seq]:
+        q0 = time.perf_counter()
+        r = search_one(req, pers)
+        lat.append(time.perf_counter() - q0)
+    qps_seq = n_seq / sum(lat)
+    log(
+        f"[{backend}] exact sequential: {qps_seq:.1f} QPS, "
+        f"p50 {percentile(lat,50)*1e3:.2f} ms, p99 {percentile(lat,99)*1e3:.2f} ms "
+        f"(link-bound: {link_rt_ms:.1f} ms/round-trip)"
     )
 
     # ---- fuzzy d=2, batched (vmapped fused program) ----------------------
     from veloci_tpu.ops.fuzzy_step import batched_fuzzy_search_topk
+    from veloci_tpu.ops.levenshtein import encode_query
 
-    fq = min(16, len(fuzzy_terms))  # DP state [Q, N, 33] i32 — keep < ~100MB
+    fq = min(16, len(fuzzy_terms))
     fqueries = np.zeros((fq, 32), dtype=np.uint16)
     fqlens = np.zeros(fq, dtype=np.int32)
     for row, term in enumerate(fuzzy_terms[:fq]):
         qq, ql = encode_query(term.lower())
         fqueries[row] = qq
         fqlens[row] = ql
-    fdists = np.full(fq, 2, dtype=np.int32)
-    fqj, flj, fdj = jnp.asarray(fqueries), jnp.asarray(fqlens), jnp.asarray(fdists)
+    fdists = jnp.asarray(np.full(fq, 2, dtype=np.int32))
+    fqj, flj = jnp.asarray(fqueries), jnp.asarray(fqlens)
+    fuzz_capacity = dev.fuzzy_capacity(256)
     qps_fuzzy_batched = 0.0
+    fuzzy_ms_per_batch = 0.0
     try:
-        batched_fuzzy_search_topk(
-            chars, lengths, fqj, flj, fdj,
-            dev.offsets, dev.anchors, dev.scores01,
-            max_terms=128, capacity=fuzz_capacity, num_docs=num_docs, k=TOP_K,
-        )[0].block_until_ready()
-        best_fb = 0.0
-        for _ in range(3):
-            t_start = time.perf_counter()
-            out = batched_fuzzy_search_topk(
-                chars, lengths, fqj, flj, fdj,
-                dev.offsets, dev.anchors, dev.scores01,
-                max_terms=128, capacity=fuzz_capacity, num_docs=num_docs, k=TOP_K,
+        chars_d, lens_d = dev.chars, dev.lengths  # upload outside the trace
+
+        def fuzzy_body(carry):
+            off = (carry * jnp.float32(1e-20)).astype(jnp.uint16)
+            _ids, scores, _nh, _tm = batched_fuzzy_search_topk(
+                chars_d + off[None, None], lens_d, fqj, flj, fdists,
+                offs_d, anc_d, sc_d,
+                max_terms=256, capacity=fuzz_capacity,
+                num_docs=num_docs, k=TOP_K,
             )
-            out[0].block_until_ready()
-            best_fb = max(best_fb, fq / (time.perf_counter() - t_start))
-        qps_fuzzy_batched = best_fb
-        log(f"[{backend}] fuzzy d=2 batched ({fq}/batch): {qps_fuzzy_batched:.0f} QPS")
+            return scores[0, 0] * jnp.float32(1e-12)
+
+        fn1, fn2 = (2, 6) if backend == "cpu" else (2, 10)
+        per_f, _, _ = measure_scan(fuzzy_body, fn1, fn2, retries=1)
+        fuzzy_ms_per_batch = per_f * 1e3
+        qps_fuzzy_batched = fq / per_f
+        log(
+            f"[{backend}] fuzzy d=2 batched ({fq}/batch): "
+            f"{qps_fuzzy_batched:.0f} QPS engine-only, {fuzzy_ms_per_batch:.2f} ms/batch"
+        )
     except Exception as exc:
-        log(f"fuzzy batched failed: {type(exc).__name__}")
+        log(f"fuzzy batched failed: {type(exc).__name__}: {exc}")
 
     # ---- gutenberg-style highlight (reference bench_jmdict.rs:41-45) -----
-    # book-paragraph corpus; search + why_found highlighting end to end
     hl_qps = 0.0
     try:
-        from veloci_tpu import Request, search, search_to_result_with_doc
+        from veloci_tpu import search, search_to_result_with_doc
 
         rng2 = np.random.default_rng(7)
         filler = [f"word{i}" for i in range(500)]
@@ -350,19 +323,19 @@ def main() -> None:
         res = search(req, book)
         search_to_result_with_doc(book, res, None)  # warm
         reps_hl = 20
-        t_start = time.perf_counter()
+        t0 = time.perf_counter()
         for _ in range(reps_hl):
             res = search(req, book)
             out = search_to_result_with_doc(book, res, None)
-        hl_qps = reps_hl / (time.perf_counter() - t_start)
+        hl_qps = reps_hl / (time.perf_counter() - t0)
         assert out.data and out.data[0].why_found["content"]
         log(f"[{backend}] highlight (search+why_found+doc fetch): {hl_qps:.1f} QPS")
     except Exception as e:
         log(f"highlight bench failed: {e!r}")
 
-    # ---- CPU single-core proxy baseline ----------------------------------
-    # (runs in a subprocess so a wedged CPU backend can't hang the bench)
+    # ---- CPU proxy baseline (same kernels + methodology on host CPU) -----
     vs_baseline = 1.0
+    cpu_qps = None
     if not os.environ.get("BENCH_SKIP_CPU_PROXY"):
         import subprocess
 
@@ -370,44 +343,44 @@ def main() -> None:
             env = dict(os.environ)
             env["JAX_PLATFORMS"] = "cpu"
             env["BENCH_DOCS"] = str(N_DOCS)
-            env["BENCH_EXACT_QUERIES"] = "30"
-            env["BENCH_FUZZY_QUERIES"] = "1"
+            env["BENCH_EXACT_QUERIES"] = str(N_EXACT_QUERIES)
+            env["BENCH_FUZZY_QUERIES"] = "4"
             env["BENCH_SKIP_CPU_PROXY"] = "1"
             proc = subprocess.run(
                 ["python", "-c",
                  "import jax; jax.config.update('jax_platforms','cpu');"
                  "import bench; bench.main()"],
-                capture_output=True, text=True, timeout=600, env=env,
+                capture_output=True, text=True, timeout=900, env=env,
                 cwd=os.path.dirname(os.path.abspath(__file__)) or ".",
             )
             cpu_json = json.loads(proc.stdout.strip().splitlines()[-1])
-            qps_cpu_batched = cpu_json["value"]  # headline = batched
-            qps_cpu = cpu_json["detail"].get("exact_sequential_qps", qps_cpu_batched)
-            log(f"cpu proxy: {qps_cpu} QPS sequential, {qps_cpu_batched} QPS batched")
-            # batched-vs-batched: TPU serving throughput over the same
-            # vectorised engine pinned to host CPU
-            vs_baseline = qps_batched / qps_cpu_batched
+            cpu_qps = cpu_json["value"]
+            log(f"cpu proxy: {cpu_qps} QPS batched engine-only")
+            vs_baseline = qps_batched / cpu_qps
         except Exception as e:
             log(f"cpu proxy failed: {e!r}")
 
     result = {
-        "metric": "jmdict_like_exact_top10_batched_qps",
+        "metric": "jmdict_like_exact_top10_batched_engine_qps",
         "value": round(qps_batched, 1),
         "unit": "qps",
         "vs_baseline": round(vs_baseline, 2),
         "detail": {
             "backend": backend,
             "num_docs": num_docs,
-            "exact_sequential_qps": round(qps_tpu, 1),
-            "exact_p50_ms": round(percentile(lat_tpu, 50) * 1e3, 3),
-            "exact_p99_ms": round(percentile(lat_tpu, 99) * 1e3, 3),
-            "fuzzy_d2_qps": round(qps_fuzzy, 1),
-            "fuzzy_d2_p50_ms": round(percentile(lat_f, 50) * 1e3, 3),
-            "fuzzy_d2_p99_ms": round(percentile(lat_f, 99) * 1e3, 3),
+            "methodology": "on-device scan depth differencing (hoist-proof term-id perturbation); link cost cancels",
+            "engine_ms_per_batch": round(engine_ms_per_batch, 4),
+            "batch_size": len(exact_terms),
+            "serving_e2e_qps": round(qps_serving, 1),
+            "exact_sequential_qps": round(qps_seq, 1),
+            "exact_seq_p50_ms": round(percentile(lat, 50) * 1e3, 3),
+            "exact_seq_p99_ms": round(percentile(lat, 99) * 1e3, 3),
             "fuzzy_d2_batched_qps": round(qps_fuzzy_batched, 1),
+            "fuzzy_ms_per_batch": round(fuzzy_ms_per_batch, 3),
             "highlight_qps": round(hl_qps, 1),
             "index_build_mb_per_s": round(pers.bytes_indexed / build_s / 1e6, 2),
             "link_round_trip_ms": round(link_rt_ms, 3),
+            "cpu_proxy_batched_qps": cpu_qps,
         },
     }
     print(json.dumps(result))

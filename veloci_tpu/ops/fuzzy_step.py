@@ -18,6 +18,7 @@ import jax
 import jax.numpy as jnp
 
 from .levenshtein import MAX_QUERY_CHARS
+from .topk import topk_dense_exact
 
 _BIG = 1 << 20
 
@@ -100,7 +101,7 @@ def _select_resolve_topk(
     s = jnp.where(in_range, scores01[src] * term_scores[seg], -jnp.inf)
     dense = jax.ops.segment_max(s, a, num_segments=num_docs + 1)[:num_docs]
     dense = jnp.where(jnp.isfinite(dense), dense, 0.0)
-    scores, ids = jax.lax.top_k(dense, k)
+    ids, scores = topk_dense_exact(dense, k)
     num_hits = jnp.sum(dense > 0, dtype=jnp.int32)
     return ids, scores, num_hits, total_matches
 

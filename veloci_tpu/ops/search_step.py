@@ -6,7 +6,14 @@ This is the TPU-native lowering of the reference's hot query path
 src/search/search_field.rs:400-504, set_op.rs:87-220, sort.rs:5-34): a ragged
 CSR gather over the anchor-score postings, per-(term-slot, anchor) max via
 segment reductions on a dense score plane, the distinct-terms^2 union boost,
-and `lax.top_k` — all fused by XLA, no host round-trips.
+and an exact two-stage top-k (ops/topk.py) — all fused by XLA, no host
+round-trips.
+
+The single-term kernels skip the dense plane entirely: a term's posting run
+is already sorted by anchor with one entry per anchor (dedup-max happens at
+index time, create.rs:418-448), so top-k over the gathered run IS the
+answer — no scatter, no [num_docs] plane. That is the speed-of-light path
+for the dominant query shape (one exact term).
 """
 
 from __future__ import annotations
@@ -16,8 +23,12 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
+from .topk import topk_dense_exact, topk_positions
+
 __all__ = [
     "exact_search_topk",
+    "single_term_search_topk",
+    "batched_single_term_topk",
     "union_search_topk",
     "batched_search_topk",
     "batched_union_search_topk",
@@ -25,18 +36,89 @@ __all__ = [
 ]
 
 
-@partial(jax.jit, static_argnames=("capacity", "num_docs", "k"))
-def exact_search_topk(
+def _single_term_impl(offsets, anchors, scores01, term_id, term_score, capacity, k):
+    start = offsets[term_id]
+    count = offsets[term_id + 1] - start
+    # a term's posting run is CONTIGUOUS: a dynamic_slice is a straight HBM
+    # DMA (a per-element gather lowers to a ~9ns/element serial loop on TPU
+    # — measured; the device arrays carry >= capacity tail padding so the
+    # window never clamps)
+    s_run = jax.lax.dynamic_slice(scores01, (start,), (capacity,))
+    idx = jnp.arange(capacity, dtype=jnp.int32)
+    in_r = idx < count
+    # REVERSED orientation: position asc = anchor desc, so the stable
+    # two-stage top-k ties prefer the higher anchor id (sort.rs:5-34 order)
+    s = jnp.where(in_r, s_run * term_score, -jnp.inf)[::-1]
+    pos, scores = topk_positions(s, k)
+    # map reversed positions back to forward offsets; gather only k anchors
+    fwd = jnp.where(jnp.isfinite(scores), (capacity - 1) - pos, 0)
+    a_run = jax.lax.dynamic_slice(anchors, (start,), (capacity,))
+    ids = jnp.where(scores > 0, a_run[fwd], 0).astype(jnp.int32)
+    num_hits = jnp.minimum(count, capacity)
+    return ids, scores, num_hits
+
+
+@partial(jax.jit, static_argnames=("capacity", "k"))
+def single_term_search_topk(
     offsets: jax.Array,  # [num_keys + 2] int32
-    anchors: jax.Array,  # [nnz_pad] int32 (pad -> num_docs)
+    anchors: jax.Array,  # [nnz_pad] int32
     scores01: jax.Array,  # [nnz_pad] f32
-    term_ids: jax.Array,  # [T_pad] int32 (pad -1)
-    term_scores: jax.Array,  # [T_pad] f32
+    term_id: jax.Array,  # scalar int32
+    term_score: jax.Array,  # scalar f32
     capacity: int,
-    num_docs: int,
     k: int,
 ):
-    """Single-query search: resolve postings, dedup-max per anchor, top-k."""
+    """One exact term -> top-k docs. Scatter-free, plane-free, exact ties.
+
+    CONTRACT: ``anchors``/``scores01`` must carry >= ``capacity`` elements of
+    tail padding past the last real posting (``Persistence.device_field``
+    guarantees this), so the slice window never clamps.
+    """
+    return _single_term_impl(
+        offsets, anchors, scores01, term_id, term_score, capacity, k
+    )
+
+
+@partial(jax.jit, static_argnames=("capacity", "k"))
+def batched_single_term_topk(
+    offsets: jax.Array,
+    anchors: jax.Array,
+    scores01: jax.Array,
+    term_ids: jax.Array,  # [Q] int32
+    term_scores: jax.Array,  # [Q] f32
+    capacity: int,
+    k: int,
+):
+    """Throughput mode for the dominant query shape: Q single-term exact
+    queries in ONE dispatch."""
+
+    def one(tid, tsc):
+        return _single_term_impl(
+            offsets, anchors, scores01, tid, tsc, capacity, k
+        )
+
+    return jax.vmap(one)(term_ids, term_scores)
+
+
+def _gather_postings(offsets, anchors, scores01, term_ids, term_scores,
+                     capacity, num_docs, win=None):
+    """Concatenate the selected terms' posting runs into static [capacity]
+    arrays (+ the matching term-slot segment vector).
+
+    Two lowerings:
+
+    * ``win=None`` — per-element gather via searchsorted source indices.
+      Lowers to a ~9ns/element serial loop on TPU; kept for callers whose
+      arrays lack slice padding (e.g. ad-hoc test arrays).
+    * ``win=W`` (static) — slice packing: each term's run is read with ONE
+      contiguous ``dynamic_slice`` window of W elements and written forward
+      with ``dynamic_update_slice`` at its output offset; each window's
+      garbage tail is exactly overwritten by the next term's window, and the
+      last tail lands in the buffer's extra W padding. Contiguous DMA both
+      ways. CONTRACT: W >= every selected term's posting count, and the
+      source arrays carry >= W tail padding (Persistence.device_field
+      guarantees slice padding >= the field's largest run).
+    """
     t_pad = term_ids.shape[0]
     valid = term_ids >= 0
     safe = jnp.where(valid, term_ids, 0)
@@ -47,22 +129,61 @@ def exact_search_topk(
     )
     total = out_starts[t_pad]
     idx = jnp.arange(capacity, dtype=jnp.int32)
-    seg = jnp.minimum(
-        jnp.searchsorted(out_starts[1:], idx, side="right").astype(jnp.int32),
-        t_pad - 1,
-    )
+    if win is None:
+        seg = jnp.minimum(
+            jnp.searchsorted(out_starts[1:], idx, side="right").astype(jnp.int32),
+            t_pad - 1,
+        )
+        in_range = idx < total
+        src = jnp.where(in_range, starts[seg] + (idx - out_starts[seg]), 0)
+        a = jnp.where(in_range, anchors[src], num_docs)
+        s = jnp.where(in_range, scores01[src] * term_scores[seg], -jnp.inf)
+        return a, s, seg
+    buf_a = jnp.full((capacity + win,), num_docs, dtype=jnp.int32)
+    buf_s = jnp.full((capacity + win,), -jnp.inf, dtype=jnp.float32)
+    buf_seg = jnp.zeros((capacity + win,), dtype=jnp.int32)
+    for t in range(t_pad):  # static unroll: t_pad is small (<= 16)
+        a_win = jax.lax.dynamic_slice(anchors, (starts[t],), (win,))
+        s_win = jax.lax.dynamic_slice(scores01, (starts[t],), (win,))
+        buf_a = jax.lax.dynamic_update_slice(buf_a, a_win, (out_starts[t],))
+        buf_s = jax.lax.dynamic_update_slice(buf_s, s_win, (out_starts[t],))
+        buf_seg = jax.lax.dynamic_update_slice(
+            buf_seg, jnp.full((win,), t, dtype=jnp.int32), (out_starts[t],)
+        )
     in_range = idx < total
-    src = jnp.where(in_range, starts[seg] + (idx - out_starts[seg]), 0)
-    a = jnp.where(in_range, anchors[src], num_docs)
-    s = jnp.where(in_range, scores01[src] * term_scores[seg], -jnp.inf)
+    seg = jnp.where(in_range, buf_seg[:capacity], t_pad - 1)
+    a = jnp.where(in_range, buf_a[:capacity], num_docs)
+    s = jnp.where(
+        in_range, buf_s[:capacity] * term_scores[seg], -jnp.inf
+    )
+    return a, s, seg
+
+
+@partial(jax.jit, static_argnames=("capacity", "num_docs", "k", "win"))
+def exact_search_topk(
+    offsets: jax.Array,  # [num_keys + 2] int32
+    anchors: jax.Array,  # [nnz_pad] int32 (pad -> num_docs)
+    scores01: jax.Array,  # [nnz_pad] f32
+    term_ids: jax.Array,  # [T_pad] int32 (pad -1)
+    term_scores: jax.Array,  # [T_pad] f32
+    capacity: int,
+    num_docs: int,
+    k: int,
+    win: int | None = None,
+):
+    """Single-query search: resolve postings, dedup-max per anchor, top-k."""
+    a, s, _seg = _gather_postings(
+        offsets, anchors, scores01, term_ids, term_scores, capacity, num_docs,
+        win=win,
+    )
     dense = jax.ops.segment_max(s, a, num_segments=num_docs + 1)[:num_docs]
     dense = jnp.where(jnp.isfinite(dense), dense, 0.0)
-    scores, ids = jax.lax.top_k(dense, k)
+    ids, scores = topk_dense_exact(dense, k)
     num_hits = jnp.sum(dense > 0, dtype=jnp.int32)
     return ids, scores, num_hits
 
 
-@partial(jax.jit, static_argnames=("capacity", "num_docs", "k"))
+@partial(jax.jit, static_argnames=("capacity", "num_docs", "k", "win"))
 def batched_search_topk(
     offsets: jax.Array,
     anchors: jax.Array,
@@ -72,6 +193,7 @@ def batched_search_topk(
     capacity: int,
     num_docs: int,
     k: int,
+    win: int | None = None,
 ):
     """Throughput mode: a batch of queries in ONE device dispatch.
 
@@ -83,13 +205,35 @@ def batched_search_topk(
     def one(tids, tscores):
         return exact_search_topk(
             offsets, anchors, scores01, tids, tscores,
-            capacity=capacity, num_docs=num_docs, k=k,
+            capacity=capacity, num_docs=num_docs, k=k, win=win,
         )
 
     return jax.vmap(one)(term_ids, term_scores)
 
 
-@partial(jax.jit, static_argnames=("capacity", "num_docs", "k", "num_slots"))
+def _union_impl(
+    offsets, anchors, scores01, term_ids, term_scores, term_slots,
+    capacity, num_docs, k, num_slots, win=None,
+):
+    a, s, seg = _gather_postings(
+        offsets, anchors, scores01, term_ids, term_scores, capacity, num_docs,
+        win=win,
+    )
+    slot = term_slots[seg]
+    # plane key = slot * (num_docs+1) + anchor
+    plane = slot * (num_docs + 1) + a
+    per_slot = jax.ops.segment_max(
+        s, plane, num_segments=num_slots * (num_docs + 1)
+    ).reshape(num_slots, num_docs + 1)[:, :num_docs]
+    per_slot = jnp.where(jnp.isfinite(per_slot), per_slot, 0.0)
+    distinct = jnp.sum(per_slot >= 1e-5, axis=0).astype(jnp.float32)
+    dense = jnp.sum(per_slot, axis=0) * distinct * distinct
+    ids, scores = topk_dense_exact(dense, k)
+    num_hits = jnp.sum(dense > 0, dtype=jnp.int32)
+    return ids, scores, num_hits
+
+
+@partial(jax.jit, static_argnames=("capacity", "num_docs", "k", "num_slots", "win"))
 def union_search_topk(
     offsets: jax.Array,
     anchors: jax.Array,
@@ -101,45 +245,20 @@ def union_search_topk(
     num_docs: int,
     k: int,
     num_slots: int,
+    win: int | None = None,
 ):
     """Multi-term OR: per-slot max, sum over slots * distinct^2, top-k.
 
     Mirrors union_hits_score (set_op.rs:87-220) with the per-term dense max
     expressed as ONE segment_max over a (slot, anchor) plane.
     """
-    t_pad = term_ids.shape[0]
-    valid = term_ids >= 0
-    safe = jnp.where(valid, term_ids, 0)
-    starts = offsets[safe]
-    counts = jnp.where(valid, offsets[safe + 1] - starts, 0)
-    out_starts = jnp.concatenate(
-        [jnp.zeros(1, dtype=jnp.int32), jnp.cumsum(counts, dtype=jnp.int32)]
+    return _union_impl(
+        offsets, anchors, scores01, term_ids, term_scores, term_slots,
+        capacity, num_docs, k, num_slots, win=win,
     )
-    total = out_starts[t_pad]
-    idx = jnp.arange(capacity, dtype=jnp.int32)
-    seg = jnp.minimum(
-        jnp.searchsorted(out_starts[1:], idx, side="right").astype(jnp.int32),
-        t_pad - 1,
-    )
-    in_range = idx < total
-    src = jnp.where(in_range, starts[seg] + (idx - out_starts[seg]), 0)
-    a = jnp.where(in_range, anchors[src], num_docs)
-    s = jnp.where(in_range, scores01[src] * term_scores[seg], -jnp.inf)
-    slot = term_slots[seg]
-    # plane key = slot * (num_docs+1) + anchor
-    plane = slot * (num_docs + 1) + a
-    per_slot = jax.ops.segment_max(
-        s, plane, num_segments=num_slots * (num_docs + 1)
-    ).reshape(num_slots, num_docs + 1)[:, :num_docs]
-    per_slot = jnp.where(jnp.isfinite(per_slot), per_slot, 0.0)
-    distinct = jnp.sum(per_slot >= 1e-5, axis=0).astype(jnp.float32)
-    dense = jnp.sum(per_slot, axis=0) * distinct * distinct
-    scores, ids = jax.lax.top_k(dense, k)
-    num_hits = jnp.sum(dense > 0, dtype=jnp.int32)
-    return ids, scores, num_hits
 
 
-@partial(jax.jit, static_argnames=("capacity", "num_docs", "k", "num_slots"))
+@partial(jax.jit, static_argnames=("capacity", "num_docs", "k", "num_slots", "win"))
 def batched_union_search_topk(
     offsets: jax.Array,
     anchors: jax.Array,
@@ -151,6 +270,7 @@ def batched_union_search_topk(
     num_docs: int,
     k: int,
     num_slots: int,
+    win: int | None = None,
 ):
     """Batched multi-term OR: the full union semantics (per-distinct-term max,
     distinct^2 boost) vmapped over a query batch — the serving kernel behind
@@ -158,15 +278,15 @@ def batched_union_search_topk(
     fields (term ids are then GLOBAL ids into the combined-field CSR)."""
 
     def one(tids, tscores, tslots):
-        return union_search_topk(
+        return _union_impl(
             offsets, anchors, scores01, tids, tscores, tslots,
-            capacity=capacity, num_docs=num_docs, k=k, num_slots=num_slots,
+            capacity, num_docs, k, num_slots, win=win,
         )
 
     return jax.vmap(one)(term_ids, term_scores, term_slots)
 
 
-@partial(jax.jit, static_argnames=("capacity", "num_docs", "k", "num_slots"))
+@partial(jax.jit, static_argnames=("capacity", "num_docs", "k", "num_slots", "win"))
 def intersect_search_topk(
     offsets: jax.Array,
     anchors: jax.Array,
@@ -178,28 +298,15 @@ def intersect_search_topk(
     num_docs: int,
     k: int,
     num_slots: int,
+    win: int | None = None,
 ):
     """Multi-leaf AND: per-leaf max, keep anchors hit by EVERY leaf, score =
     sum over leaves — intersect_hits_score (set_op.rs:368-448) as one fused
     program."""
-    t_pad = term_ids.shape[0]
-    valid = term_ids >= 0
-    safe = jnp.where(valid, term_ids, 0)
-    starts = offsets[safe]
-    counts = jnp.where(valid, offsets[safe + 1] - starts, 0)
-    out_starts = jnp.concatenate(
-        [jnp.zeros(1, dtype=jnp.int32), jnp.cumsum(counts, dtype=jnp.int32)]
+    a, s, seg = _gather_postings(
+        offsets, anchors, scores01, term_ids, term_scores, capacity, num_docs,
+        win=win,
     )
-    total = out_starts[t_pad]
-    idx = jnp.arange(capacity, dtype=jnp.int32)
-    seg = jnp.minimum(
-        jnp.searchsorted(out_starts[1:], idx, side="right").astype(jnp.int32),
-        t_pad - 1,
-    )
-    in_range = idx < total
-    src = jnp.where(in_range, starts[seg] + (idx - out_starts[seg]), 0)
-    a = jnp.where(in_range, anchors[src], num_docs)
-    s = jnp.where(in_range, scores01[src] * term_scores[seg], -jnp.inf)
     slot = term_slots[seg]
     plane = slot * (num_docs + 1) + a
     per_slot = jax.ops.segment_max(
@@ -208,6 +315,6 @@ def intersect_search_topk(
     per_slot = jnp.where(jnp.isfinite(per_slot), per_slot, 0.0)
     all_hit = jnp.all(per_slot > 0, axis=0)
     dense = jnp.where(all_hit, jnp.sum(per_slot, axis=0), 0.0)
-    scores, ids = jax.lax.top_k(dense, k)
+    ids, scores = topk_dense_exact(dense, k)
     num_hits = jnp.sum(dense > 0, dtype=jnp.int32)
     return ids, scores, num_hits

@@ -83,7 +83,13 @@ class DeviceField:
         arr = self._dev.get(key)
         if arr is None:
             import jax.numpy as jnp
+            from jax._src.core import trace_state_clean
 
+            if not trace_state_clean():
+                # first touch happens inside a jit trace: return the traced
+                # constant WITHOUT caching it (a cached tracer would leak
+                # into the next trace)
+                return jnp.asarray(build())
             arr = jnp.asarray(build())
             self._dev[key] = arr
         return arr
@@ -426,9 +432,19 @@ class Persistence:
         score_path = field + TEXTINDEX + TO_ANCHOR_ID_SCORE
         store = self.anchor_scores.get(score_path)
         if store is not None:
+            from .ops.postings import bucket_size
+
             host_offsets = np.asarray(store.offsets, dtype=np.int64)
             nnz = len(store.anchors)
-            nnz_pad = _round_up(max(nnz, 8), 128)
+            assert nnz < (1 << 31), "posting count exceeds int32 device offsets"
+            # tail padding >= the largest single posting run, so the fused
+            # single-term kernel can lax.dynamic_slice a full capacity
+            # window at ANY term's start without clamping (contiguous DMA
+            # instead of a serial per-element gather)
+            counts = np.diff(host_offsets)
+            max_count = int(counts.max()) if len(counts) else 0
+            slice_pad = bucket_size(max(max_count, 1))
+            nnz_pad = _round_up(max(nnz, 8) + slice_pad, 128)
             anchors_p = np.full(nnz_pad, self.num_docs, dtype=np.int32)
             anchors_p[:nnz] = store.anchors
             scores_p = np.zeros(nnz_pad, dtype=np.float32)
@@ -493,7 +509,12 @@ class Persistence:
         off_parts.append(np.array([nnz_base, nnz_base], dtype=np.int64))
         host_offsets = np.concatenate(off_parts)  # [kbase + 2] int64
         assert nnz_base < (1 << 31)
-        nnz_pad = _round_up(max(nnz_base, 8), 128)
+        from .ops.postings import bucket_size
+
+        counts = np.diff(host_offsets[: kbase + 1])
+        max_count = int(counts.max()) if len(counts) else 0
+        slice_pad = bucket_size(max(max_count, 1))
+        nnz_pad = _round_up(max(nnz_base, 8) + slice_pad, 128)
         anchors_p = np.full(nnz_pad, self.num_docs, dtype=np.int32)
         scores_p = np.zeros(nnz_pad, dtype=np.float32)
         if nnz_base:

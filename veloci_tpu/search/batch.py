@@ -85,7 +85,10 @@ def search_batch(requests: List[Request], persistence) -> List[SearchResult]:
     import jax.numpy as jnp
 
     from ..ops.postings import bucket_size
-    from ..ops.search_step import batched_union_search_topk
+    from ..ops.search_step import (
+        batched_single_term_topk,
+        batched_union_search_topk,
+    )
 
     start = time.time_ns()
     results: List[Optional[SearchResult]] = [None] * len(requests)
@@ -132,73 +135,100 @@ def search_batch(requests: List[Request], persistence) -> List[SearchResult]:
         groups.setdefault(_slot_bucket(ns), []).append((qi, req, gtids))
 
     num_docs = persistence.num_docs
+    ho = comb.host_offsets if comb is not None else None
+
+    def _emit(qi, req, ids, scores, num_hits):
+        # kernels return exact (score desc, id desc) order — window + emit
+        mask = scores > 0
+        ids, scores = ids[mask], scores[mask]
+        top = req.top if req.top is not None else 10
+        skip = req.skip or 0
+        res = SearchResult()
+        res.num_hits = int(num_hits)
+        window = list(zip(ids, scores))[skip : skip + top]
+        res.data = [Hit(int(i), float(s)) for i, s in window]
+        res.execution_time_ns = time.time_ns() - start
+        results[qi] = res
+
     for num_slots, entries in groups.items():
-        ho = comb.host_offsets
-        max_terms = 1
-        max_total = 1
-        max_k = 1
-        for qi, req, gtids in entries:
-            max_terms = max(max_terms, len(gtids))
-            max_total = max(
-                max_total, sum(int(ho[g + 1] - ho[g]) for g, _s, _sl in gtids)
+        singles = [e for e in entries if len(e[2]) == 1]
+        multis = [e for e in entries if len(e[2]) != 1]
+        if num_slots > 1:
+            multis, singles = entries, []
+
+        if singles:
+            # dominant shape: ONE term id per query -> scatter-free kernel
+            max_count = 1
+            max_k = 1
+            for qi, req, gtids in singles:
+                g = gtids[0][0]
+                max_count = max(max_count, int(ho[g + 1] - ho[g]))
+                top = req.top if req.top is not None else 10
+                max_k = max(max_k, top + (req.skip or 0))
+            capacity = bucket_size(max_count)
+            k_eff = min(num_docs, max_k, capacity)
+            tid_arr = np.array([g[2][0][0] for g in singles], dtype=np.int32)
+            ts_arr = np.array([g[2][0][1] for g in singles], dtype=np.float32)
+            ids_b, scores_b, hits_b = batched_single_term_topk(
+                comb.offsets,
+                comb.anchors,
+                comb.scores01,
+                jnp.asarray(tid_arr),
+                jnp.asarray(ts_arr),
+                capacity=capacity,
+                k=k_eff,
             )
-            top = req.top if req.top is not None else 10
-            max_k = max(max_k, top + (req.skip or 0))
+            ids_b, scores_b, hits_b = (
+                np.asarray(ids_b), np.asarray(scores_b), np.asarray(hits_b)
+            )
+            for row, (qi, req, _g) in enumerate(singles):
+                _emit(qi, req, ids_b[row], scores_b[row], hits_b[row])
 
-        t_pad = bucket_size(max_terms, 8)
-        capacity = bucket_size(max_total)
-        k_eff = min(num_docs, max_k + 64)
-        q = len(entries)
-        tid_arr = np.full((q, t_pad), -1, dtype=np.int32)
-        ts_arr = np.zeros((q, t_pad), dtype=np.float32)
-        sl_arr = np.zeros((q, t_pad), dtype=np.int32)
-        for row, (_qi, _req, gtids) in enumerate(entries):
-            for j, (g, sc, sl) in enumerate(gtids[:t_pad]):
-                tid_arr[row, j] = g
-                ts_arr[row, j] = sc
-                sl_arr[row, j] = sl
-        ids_b, scores_b, hits_b = batched_union_search_topk(
-            comb.offsets,
-            comb.anchors,
-            comb.scores01,
-            jnp.asarray(tid_arr),
-            jnp.asarray(ts_arr),
-            jnp.asarray(sl_arr),
-            capacity=capacity,
-            num_docs=num_docs,
-            k=k_eff,
-            num_slots=num_slots,
-        )
-        ids_b = np.asarray(ids_b)
-        scores_b = np.asarray(scores_b)
-        hits_b = np.asarray(hits_b)
+        if multis:
+            max_terms = 1
+            max_total = 1
+            max_k = 1
+            for qi, req, gtids in multis:
+                max_terms = max(max_terms, len(gtids))
+                max_total = max(
+                    max_total, sum(int(ho[g + 1] - ho[g]) for g, _s, _sl in gtids)
+                )
+                top = req.top if req.top is not None else 10
+                max_k = max(max_k, top + (req.skip or 0))
 
-        for row, (qi, req, _gtids) in enumerate(entries):
-            ids = ids_b[row]
-            scores = scores_b[row]
-            mask = scores > 0
-            ids, scores = ids[mask], scores[mask]
-            order = np.lexsort((-ids.astype(np.int64), -scores.astype(np.float64)))
-            ids, scores = ids[order], scores[order]
-            top = req.top if req.top is not None else 10
-            skip = req.skip or 0
-            want = top + skip
-            if (
-                len(ids) == k_eff
-                and k_eff < num_docs
-                and want > 0
-                and len(ids) > want
-                and scores[-1] == scores[want - 1]
-            ):
-                # ties straddle the overfetch boundary — generic path decides
-                results[qi] = search(req, persistence)
-                continue
-            res = SearchResult()
-            res.num_hits = int(hits_b[row])
-            window = list(zip(ids, scores))[skip : skip + top]
-            res.data = [Hit(int(i), float(s)) for i, s in window]
-            res.execution_time_ns = time.time_ns() - start
-            results[qi] = res
+            t_pad = bucket_size(max_terms, 8)
+            capacity = bucket_size(max_total)
+            k_eff = min(num_docs, max_k)
+            q = len(multis)
+            tid_arr = np.full((q, t_pad), -1, dtype=np.int32)
+            ts_arr = np.zeros((q, t_pad), dtype=np.float32)
+            sl_arr = np.zeros((q, t_pad), dtype=np.int32)
+            for row, (_qi, _req, gtids) in enumerate(multis):
+                for j, (g, sc, sl) in enumerate(gtids[:t_pad]):
+                    tid_arr[row, j] = g
+                    ts_arr[row, j] = sc
+                    sl_arr[row, j] = sl
+            ids_b, scores_b, hits_b = batched_union_search_topk(
+                comb.offsets,
+                comb.anchors,
+                comb.scores01,
+                jnp.asarray(tid_arr),
+                jnp.asarray(ts_arr),
+                jnp.asarray(sl_arr),
+                capacity=capacity,
+                num_docs=num_docs,
+                k=k_eff,
+                num_slots=num_slots,
+                # NOTE: win= (slice packing) must NOT be used under vmap —
+                # vmapped dynamic_update_slice lowers to a serial scatter
+                # (measured 1.7s/batch); the searchsorted gather is the
+                # better batched lowering until the Pallas ragged-pack lands
+            )
+            ids_b, scores_b, hits_b = (
+                np.asarray(ids_b), np.asarray(scores_b), np.asarray(hits_b)
+            )
+            for row, (qi, req, _gtids) in enumerate(multis):
+                _emit(qi, req, ids_b[row], scores_b[row], hits_b[row])
 
     # fuzzy batches: one vmapped fused program per field chunk
     for field, entries in fuzzy_groups.items():
@@ -236,7 +266,7 @@ def _run_fuzzy_group(persistence, field, entries, results, start) -> None:
             dists[row] = distance
             top = req.top if req.top is not None else 10
             max_k = max(max_k, top + (req.skip or 0))
-        k_eff = min(num_docs, max_k + 64)
+        k_eff = min(num_docs, max_k)
         ids_b, scores_b, hits_b, totals_b = batched_fuzzy_search_topk(
             dev.chars,
             dev.lengths,
@@ -257,26 +287,16 @@ def _run_fuzzy_group(persistence, field, entries, results, start) -> None:
         totals_b = np.asarray(totals_b)
         for row, (qi, req, _term, _distance) in enumerate(chunk):
             if int(totals_b[row]) > max_terms:
+                # selection window clipped — generic path decides
                 results[qi] = search(req, persistence)
                 continue
+            # kernel output is exact (score desc, id desc) — window + emit
             ids = ids_b[row]
             scores = scores_b[row]
             mask = scores > 0
             ids, scores = ids[mask], scores[mask]
-            order = np.lexsort((-ids.astype(np.int64), -scores.astype(np.float64)))
-            ids, scores = ids[order], scores[order]
             top = req.top if req.top is not None else 10
             skip = req.skip or 0
-            want = top + skip
-            if (
-                len(ids) == k_eff
-                and k_eff < num_docs
-                and want > 0
-                and len(ids) > want
-                and scores[-1] == scores[want - 1]
-            ):
-                results[qi] = search(req, persistence)
-                continue
             res = SearchResult()
             res.num_hits = int(hits_b[row])
             window = list(zip(ids, scores))[skip : skip + top]

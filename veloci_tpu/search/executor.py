@@ -353,7 +353,11 @@ def _try_fast_path(request: Request, persistence, top: int) -> Optional[SearchRe
             return None
 
     from ..ops.postings import bucket_size
-    from ..ops.search_step import intersect_search_topk, union_search_topk
+    from ..ops.search_step import (
+        intersect_search_topk,
+        single_term_search_topk,
+        union_search_topk,
+    )
     import jax.numpy as jnp
 
     # host term lookup + slot assignment: OR groups by distinct term string
@@ -398,38 +402,56 @@ def _try_fast_path(request: Request, persistence, top: int) -> Optional[SearchRe
             gtid_list.append((base + tid, sc, sl))
     total = sum(int(ho[g + 1] - ho[g]) for g, _s, _sl in gtid_list)
     capacity = bucket_size(max(total, 1))
-    t_pad = bucket_size(max(len(gtid_list), 1), 8)
-    term_ids = np.full(t_pad, -1, dtype=np.int32)
-    term_scores = np.zeros(t_pad, dtype=np.float32)
-    term_slots = np.zeros(t_pad, dtype=np.int32)
-    for j, (g, sc, sl) in enumerate(gtid_list[:t_pad]):
-        term_ids[j] = g
-        term_scores[j] = sc
-        term_slots[j] = sl
-    k_eff = min(num_docs, top + 64)
-    step = intersect_search_topk if is_and else union_search_topk
-    ids, scores, num_hits = step(
-        dev.offsets,
-        dev.anchors,
-        dev.scores01,
-        jnp.asarray(term_ids),
-        jnp.asarray(term_scores),
-        jnp.asarray(term_slots),
-        capacity=capacity,
-        num_docs=num_docs,
-        k=k_eff,
-        num_slots=max(num_slots, 1),
-    )
-    ids = np.asarray(ids)
-    scores = np.asarray(scores)
+    k_eff = min(num_docs, top)
+    if len(gtid_list) == 1 and not is_and:
+        # dominant query shape: ONE exact term -> scatter-free fused kernel
+        g, sc0, _sl = gtid_list[0]
+        ids, scores, num_hits = single_term_search_topk(
+            dev.offsets,
+            dev.anchors,
+            dev.scores01,
+            jnp.int32(g),
+            jnp.float32(sc0),
+            capacity=capacity,
+            k=k_eff,
+        )
+    else:
+        t_pad = bucket_size(max(len(gtid_list), 1), 8)
+        term_ids = np.full(t_pad, -1, dtype=np.int32)
+        term_scores = np.zeros(t_pad, dtype=np.float32)
+        term_slots = np.zeros(t_pad, dtype=np.int32)
+        for j, (g, sc, sl) in enumerate(gtid_list[:t_pad]):
+            term_ids[j] = g
+            term_scores[j] = sc
+            term_slots[j] = sl
+        step = intersect_search_topk if is_and else union_search_topk
+        # slice-packing window: >= the largest selected run (device arrays
+        # carry that much tail padding) — contiguous DMA instead of gather
+        win = bucket_size(
+            max((int(ho[g + 1] - ho[g]) for g, _s, _sl in gtid_list), default=1)
+        )
+        ids, scores, num_hits = step(
+            dev.offsets,
+            dev.anchors,
+            dev.scores01,
+            jnp.asarray(term_ids),
+            jnp.asarray(term_scores),
+            jnp.asarray(term_slots),
+            capacity=capacity,
+            num_docs=num_docs,
+            k=k_eff,
+            num_slots=max(num_slots, 1),
+            win=win,
+        )
+    # the fused kernels return exact (score desc, id desc) order (two-stage
+    # tie-proof selection, ops/topk.py) — just drop the misses.
+    # ONE device_get: each separate np.asarray is its own D2H round-trip
+    # (~30 ms each on the tunnel)
+    import jax
+
+    ids, scores, num_hits = jax.device_get((ids, scores, num_hits))
     mask = scores > 0
     ids, scores = ids[mask], scores[mask]
-    # exact (score desc, id desc) tie-break; bail out if ties straddle the
-    # overfetch boundary (then the generic exact path decides)
-    order = np.lexsort((-ids.astype(np.int64), -scores.astype(np.float64)))
-    ids, scores = ids[order], scores[order]
-    if len(ids) > top and k_eff < num_docs and len(ids) == k_eff and scores[-1] == scores[top - 1]:
-        return None
     result = SearchResult()
     result.num_hits = int(num_hits)
     result.data = [Hit(int(i), float(s)) for i, s in zip(ids[:top], scores[:top])]
@@ -514,7 +536,7 @@ def _try_fuzzy_fast_path(
     num_docs = persistence.num_docs
     max_terms = 256
     q, qlen = encode_query(term)
-    k_eff = min(num_docs, top + 64)
+    k_eff = min(num_docs, top)
     # the banded Pallas sweep is the TPU default (zero HBM DP state; the XLA
     # sweep spills at large dictionaries) — same band gating as field_search
     use_banded = (
@@ -552,21 +574,15 @@ def _try_fuzzy_fast_path(
             num_docs=num_docs,
             k=k_eff,
         )
+    import jax
+
+    ids, scores, num_hits, total_matches = jax.device_get(
+        (ids, scores, num_hits, total_matches)
+    )
     if int(total_matches) > max_terms:
         return None  # selection window clipped — generic path decides
-    ids = np.asarray(ids)
-    scores = np.asarray(scores)
     mask = scores > 0
     ids, scores = ids[mask], scores[mask]
-    order = np.lexsort((-ids.astype(np.int64), -scores.astype(np.float64)))
-    ids, scores = ids[order], scores[order]
-    if (
-        len(ids) > top
-        and k_eff < num_docs
-        and len(ids) == k_eff
-        and scores[-1] == scores[top - 1]
-    ):
-        return None
     result = SearchResult()
     result.num_hits = int(num_hits)
     result.data = [Hit(int(i), float(s)) for i, s in zip(ids[:top], scores[:top])]
