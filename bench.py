@@ -259,11 +259,17 @@ def main() -> None:
         f"(link-bound: {link_rt_ms:.1f} ms/round-trip)"
     )
 
-    # ---- fuzzy d=2, batched (vmapped fused program) ----------------------
-    from veloci_tpu.ops.fuzzy_step import batched_fuzzy_search_topk
+    # ---- fuzzy d=2, batched ----------------------------------------------
+    # TPU: the batched banded Pallas sweep (dictionary read once per batch)
+    # at the capacity the serving path settles on; CPU: the XLA sweep.
+    from veloci_tpu.ops.fuzzy_step import (
+        batched_fuzzy_search_topk,
+        batched_fuzzy_search_topk_banded,
+    )
     from veloci_tpu.ops.levenshtein import encode_query
+    from veloci_tpu.search.executor import fuzzy_start_capacity
 
-    fq = min(16, len(fuzzy_terms))
+    fq = min(64 if backend != "cpu" else 8, len(fuzzy_terms))
     fqueries = np.zeros((fq, 32), dtype=np.uint16)
     fqlens = np.zeros(fq, dtype=np.int32)
     for row, term in enumerate(fuzzy_terms[:fq]):
@@ -272,20 +278,51 @@ def main() -> None:
         fqlens[row] = ql
     fdists = jnp.asarray(np.full(fq, 2, dtype=np.int32))
     fqj, flj = jnp.asarray(fqueries), jnp.asarray(fqlens)
-    fuzz_capacity = dev.fuzzy_capacity(256)
     qps_fuzzy_batched = 0.0
     fuzzy_ms_per_batch = 0.0
     try:
-        chars_d, lens_d = dev.chars, dev.lengths  # upload outside the trace
+        # settle the serving path's sticky capacity hint with one real batch
+        freqs = [
+            Request.from_dict(
+                {
+                    "search_req": {
+                        "search": {
+                            "terms": [t],
+                            "path": "title",
+                            "levenshtein_distance": 2,
+                        }
+                    },
+                    "top": TOP_K,
+                }
+            )
+            for t in fuzzy_terms[:fq]
+        ]
+        fres = search_batch(freqs, pers)
+        assert any(r.data for r in fres), "fuzzy serving returned no hits"
+        fuzz_capacity = min(
+            dev.fuzzy_capacity(256), fuzzy_start_capacity(pers, "title")
+        )
+        log(f"fuzzy resolve capacity (serving-settled): {fuzz_capacity}")
+        chars_d, chars_t_d, lens_d = dev.chars, dev.chars_t, dev.lengths
+
+        use_banded = backend == "tpu"
 
         def fuzzy_body(carry):
             off = (carry * jnp.float32(1e-20)).astype(jnp.uint16)
-            _ids, scores, _nh, _tm = batched_fuzzy_search_topk(
-                chars_d + off[None, None], lens_d, fqj, flj, fdists,
-                offs_d, anc_d, sc_d,
-                max_terms=256, capacity=fuzz_capacity,
-                num_docs=num_docs, k=TOP_K,
-            )
+            if use_banded:
+                _ids, scores, _nh, _tm, _tp = batched_fuzzy_search_topk_banded(
+                    chars_t_d + off[None, None], lens_d, fqj, flj, fdists,
+                    offs_d, anc_d, sc_d,
+                    max_terms=256, capacity=fuzz_capacity,
+                    num_docs=num_docs, k=TOP_K,
+                )
+            else:
+                _ids, scores, _nh, _tm, _tp = batched_fuzzy_search_topk(
+                    chars_d + off[None, None], lens_d, fqj, flj, fdists,
+                    offs_d, anc_d, sc_d,
+                    max_terms=256, capacity=fuzz_capacity,
+                    num_docs=num_docs, k=TOP_K,
+                )
             return scores[0, 0] * jnp.float32(1e-12)
 
         fn1, fn2 = (2, 6) if backend == "cpu" else (2, 10)

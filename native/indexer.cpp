@@ -13,6 +13,7 @@
 // Build: g++ -O2 -std=c++17 -shared -fPIC -o libveloci_native.so indexer.cpp
 
 #include <algorithm>
+#include <thread>
 #include <cstdint>
 #include <cstring>
 #include <string>
@@ -154,6 +155,10 @@ struct Parser {
                                 i += 6;
                             }
                         }
+                        // an unpaired surrogate would encode as invalid
+                        // UTF-8 and break the Python-side decode; emit
+                        // U+FFFD instead (lossy replacement)
+                        if (cp >= 0xD800 && cp <= 0xDFFF) cp = 0xFFFD;
                         utf8_append(out, cp);
                         break;
                     }
@@ -344,6 +349,7 @@ struct IndexResult {
     std::unordered_map<std::string, int32_t> path_index;
     std::vector<IdPathState*> id_paths;
     std::unordered_map<std::string, int32_t> id_path_index;
+    std::unordered_map<std::string, uint32_t> id_alloc;  // per-id-space counts (mt merge)
     int64_t num_docs = 0;
     std::string error;
 
@@ -746,10 +752,10 @@ static int64_t decompress(const uint8_t* src, int64_t n, uint8_t* dst, int64_t c
 
 }  // namespace vlz
 
-extern "C" {
-
-void* vl_index_ndjson(const char* data, int64_t len, PathConfigCb cb) {
-    auto* res = new IndexResult();
+// parse a byte range into `res` WITHOUT finalizing; fills res->id_alloc
+// with the number of ids allocated per id-space (used by the merge)
+static void parse_range(const char* data, int64_t len, PathConfigCb cb,
+                        IndexResult* res) {
     Walker w{res, cb, {}};
     Parser p{data, len};
     while (true) {
@@ -764,8 +770,182 @@ void* vl_index_ndjson(const char* data, int64_t len, PathConfigCb cb) {
         w.walk(doc, anchor, anchor, "", "");
         res->num_docs++;
     }
+    for (auto& kv : w.id_counters) res->id_alloc[kv.first] = kv.second + 1;
+}
+
+// id-space of the values that `path` rows point at as parents: the nearest
+// enclosing array path, or "" (the anchor/doc space). For an id path (which
+// itself ends in "[]"), the trailing "[]" is stripped first.
+static std::string parent_space(const std::string& path, bool is_id_path) {
+    std::string s = path;
+    if (is_id_path && s.size() >= 2 && s.compare(s.size() - 2, 2, "[]") == 0)
+        s.resize(s.size() - 2);
+    size_t pos = s.rfind("[]");
+    if (pos == std::string::npos) return "";
+    return s.substr(0, pos + 2);
+}
+
+// merged-intern: add `cnt` occurrences of `key`, returning the merged handle
+static inline int32_t intern_add(PathState& ps, const std::string& key,
+                                 uint32_t cnt) {
+    auto it = ps.terms.find(key);
+    if (it == ps.terms.end()) {
+        it = ps.terms.emplace(key, TermEntry{}).first;
+        ps.handle_to_key.push_back(&it->first);
+        it->second.id = (uint32_t)(ps.handle_to_key.size() - 1);
+    }
+    it->second.count += cnt;
+    return (int32_t)it->second.id;
+}
+
+// Merge per-chunk parse results into one, offsetting every id space by the
+// chunk bases. The merged result finalizes exactly like the single-threaded
+// path, so term ids / text ids / synthetic large-text ids are bit-identical
+// (terms sort globally; leaves concatenate in document order).
+static IndexResult* merge_results(std::vector<IndexResult*>& chunks) {
+    auto* m = new IndexResult();
+    size_t nc = chunks.size();
+    // running id-space bases per chunk
+    std::vector<std::unordered_map<std::string, uint32_t>> base_at(nc);
+    std::unordered_map<std::string, uint32_t> running;
+    for (size_t c = 0; c < nc; c++) {
+        base_at[c] = running;
+        for (auto& kv : chunks[c]->id_alloc) running[kv.first] += kv.second;
+        m->num_docs += chunks[c]->num_docs;
+        if (m->error.empty() && !chunks[c]->error.empty())
+            m->error = chunks[c]->error;
+    }
+    auto base_of = [&](size_t c, const std::string& space) -> uint32_t {
+        auto it = base_at[c].find(space);
+        return it == base_at[c].end() ? 0u : it->second;
+    };
+
+    // text paths, first-encounter order across chunks
+    for (size_t c = 0; c < nc; c++) {
+        for (auto* s : chunks[c]->paths) {
+            if (m->path_index.count(s->name)) continue;
+            auto* mp = new PathState();
+            mp->name = s->name;
+            mp->config = s->config;
+            mp->leaf_tok_offsets.push_back(0);
+            m->path_index.emplace(s->name, (int32_t)m->paths.size());
+            m->paths.push_back(mp);
+        }
+        for (auto* s : chunks[c]->id_paths) {
+            if (m->id_path_index.count(s->name)) continue;
+            auto* mp = new IdPathState();
+            mp->name = s->name;
+            m->id_path_index.emplace(s->name, (int32_t)m->id_paths.size());
+            m->id_paths.push_back(mp);
+        }
+    }
+
+    std::vector<int32_t> hmap;
+    for (size_t c = 0; c < nc; c++) {
+        uint32_t doc_base = base_of(c, "");
+        for (auto* s : chunks[c]->paths) {
+            PathState& mp = *m->paths[m->path_index.at(s->name)];
+            uint32_t pbase = base_of(c, parent_space(s->name, false));
+            // remap interned handles
+            hmap.assign(s->handle_to_key.size(), -1);
+            for (size_t h = 0; h < s->handle_to_key.size(); h++) {
+                const std::string& key = *s->handle_to_key[h];
+                hmap[h] = intern_add(mp, key, s->terms.at(key).count);
+            }
+            uint32_t leaf_base = (uint32_t)mp.leaf_anchor.size();
+            int64_t tok_base = (int64_t)mp.token_refs.size();
+            for (size_t i = 0; i < s->leaf_anchor.size(); i++) {
+                mp.leaf_anchor.push_back(s->leaf_anchor[i] + doc_base);
+                mp.leaf_parent.push_back(s->leaf_parent[i] + pbase);
+                int32_t h = s->leaf_term_ref[i];
+                mp.leaf_term_ref.push_back(h < 0 ? -1 : hmap[(size_t)h]);
+                mp.leaf_ntokens.push_back(s->leaf_ntokens[i]);
+                mp.leaf_tok_offsets.push_back(s->leaf_tok_offsets[i + 1] + tok_base);
+            }
+            for (size_t i = 0; i < s->token_refs.size(); i++) {
+                mp.token_refs.push_back(hmap[(size_t)s->token_refs[i]]);
+                mp.token_is_sep.push_back(s->token_is_sep[i]);
+            }
+            for (size_t i = 0; i < s->grp_token_refs.size(); i++) {
+                mp.grp_token_refs.push_back(hmap[(size_t)s->grp_token_refs[i]]);
+                mp.grp_first_pos.push_back(s->grp_first_pos[i]);
+                mp.grp_leaf.push_back(s->grp_leaf[i] + leaf_base);
+            }
+            for (size_t i = 0; i < s->pair_a_refs.size(); i++) {
+                mp.pair_a_refs.push_back(hmap[(size_t)s->pair_a_refs[i]]);
+                mp.pair_b_refs.push_back(hmap[(size_t)s->pair_b_refs[i]]);
+                mp.pair_anchor.push_back(s->pair_anchor[i] + doc_base);
+            }
+            mp.large_text_counter += s->large_text_counter;
+        }
+        for (auto* s : chunks[c]->id_paths) {
+            IdPathState& mp = *m->id_paths[m->id_path_index.at(s->name)];
+            uint32_t own_base = base_of(c, s->name);
+            uint32_t pbase = base_of(c, parent_space(s->name, true));
+            for (size_t i = 0; i < s->value_id.size(); i++) {
+                mp.value_id.push_back(s->value_id[i] + own_base);
+                mp.parent_id.push_back(s->parent_id[i] + pbase);
+                mp.anchor_id.push_back(s->anchor_id[i] + doc_base);
+            }
+        }
+        delete chunks[c];
+        chunks[c] = nullptr;
+    }
+    return m;
+}
+
+extern "C" {
+
+void* vl_index_ndjson(const char* data, int64_t len, PathConfigCb cb) {
+    auto* res = new IndexResult();
+    parse_range(data, len, cb, res);
     for (auto* ps : res->paths) finalize_path(*ps);
     return res;
+}
+
+// multi-threaded variant: chunk the ndjson at line boundaries, parse chunks
+// in parallel (the reference pipelines parsing on a producer thread,
+// fast_lines.rs:12-35, and converts with rayon, create.rs:612-614), then
+// merge + finalize. Bit-identical output to vl_index_ndjson.
+void* vl_index_ndjson_mt(const char* data, int64_t len, PathConfigCb cb,
+                         int32_t nthreads) {
+    if (nthreads <= 0) {
+        unsigned hc = std::thread::hardware_concurrency();
+        nthreads = (int32_t)(hc == 0 ? 4 : hc);
+        if (nthreads > 16) nthreads = 16;
+        // auto mode: don't spin threads for small inputs
+        const int64_t MIN_CHUNK = 1 << 20;
+        if (len / nthreads < MIN_CHUNK) nthreads = (int32_t)(len / MIN_CHUNK);
+    }
+    if (nthreads <= 1) return vl_index_ndjson(data, len, cb);
+
+    // split at newline boundaries (ndjson: one document per line)
+    std::vector<int64_t> bounds;
+    bounds.push_back(0);
+    for (int32_t t = 1; t < nthreads; t++) {
+        int64_t target = len * t / nthreads;
+        if (target < bounds.back()) target = bounds.back();
+        while (target < len && data[target] != '\n') target++;
+        if (target < len) target++;  // past the newline
+        if (target > bounds.back()) bounds.push_back(target);
+    }
+    bounds.push_back(len);
+
+    size_t nchunks = bounds.size() - 1;
+    std::vector<IndexResult*> chunks(nchunks);
+    for (size_t c = 0; c < nchunks; c++) chunks[c] = new IndexResult();
+    std::vector<std::thread> threads;
+    threads.reserve(nchunks);
+    for (size_t c = 0; c < nchunks; c++) {
+        threads.emplace_back([&, c]() {
+            parse_range(data + bounds[c], bounds[c + 1] - bounds[c], cb,
+                        chunks[c]);
+        });
+    }
+    for (auto& t : threads) t.join();
+    IndexResult* merged = merge_results(chunks);
+    for (auto* ps : merged->paths) finalize_path(*ps);
+    return merged;
 }
 
 const char* vl_error(void* r) { return ((IndexResult*)r)->error.c_str(); }

@@ -114,3 +114,72 @@ def test_native_parity_large_random():
         )
     data = "\n".join(json.dumps(d) for d in docs)
     _compare_builds(data, TEST_CONFIG)
+
+
+def test_unpaired_surrogate_replaced():
+    """ADVICE round-1: an unpaired \\ud800 escape must not abort the native
+    build with a UnicodeDecodeError — it decodes as U+FFFD."""
+    import veloci_tpu.native as native
+
+    if not native.native_available():
+        import pytest
+
+        pytest.skip("native lib unavailable")
+    from veloci_tpu import Persistence, Request, search
+    from veloci_tpu.create import create_indices_from_str
+
+    data = '{"t": "ok \\ud800 tail"}\n{"t": "plain"}'
+    pers = Persistence.from_built(
+        create_indices_from_str(data, "{}", use_native=True)
+    )
+    req = Request.from_dict(
+        {"search_req": {"search": {"terms": ["plain"], "path": "t"}}}
+    )
+    assert search(req, pers).num_hits == 1
+    doc = pers.doc_loader.get_doc(0)
+    assert "�" in doc or "ud800" in doc  # lossy-replaced, not crashed
+
+
+def test_mt_ingest_bit_parity():
+    """Multi-threaded chunked parse == single-threaded walker, bit for bit
+    (term ids, leaf tables, id relations, phrase pairs, synthetic ids)."""
+    import os
+
+    import numpy as np
+
+    import veloci_tpu.native as native
+
+    if not native.native_available():
+        import pytest
+
+        pytest.skip("native lib unavailable")
+    from veloci_tpu.create import create_indices_from_str
+    from tests.corpus import TEST_CONFIG, data_ndjson
+
+    # big enough to split into several chunks: repeat the corpus
+    data = "\n".join([data_ndjson()] * 200)
+    old = os.environ.get("VELOCI_INGEST_THREADS")
+    try:
+        os.environ["VELOCI_INGEST_THREADS"] = "1"
+        a = create_indices_from_str(data, TEST_CONFIG, use_native=True)
+        os.environ["VELOCI_INGEST_THREADS"] = "7"
+        b = create_indices_from_str(data, TEST_CONFIG, use_native=True)
+    finally:
+        if old is None:
+            os.environ.pop("VELOCI_INGEST_THREADS", None)
+        else:
+            os.environ["VELOCI_INGEST_THREADS"] = old
+    assert a.num_docs == b.num_docs
+    assert a.dictionaries.keys() == b.dictionaries.keys()
+    for k in a.dictionaries:
+        assert list(a.dictionaries[k].terms) == list(b.dictionaries[k].terms)
+    for group in ("key_value_stores", "anchor_scores", "phrase_indices"):
+        da, db = getattr(a, group), getattr(b, group)
+        assert da.keys() == db.keys(), group
+        for key in da:
+            xa, xb = da[key], db[key]
+            for attr in ("offsets", "anchors", "scores", "values", "keys", "data"):
+                va = getattr(xa, attr, None)
+                vb = getattr(xb, attr, None)
+                if va is not None:
+                    np.testing.assert_array_equal(va, vb, err_msg=f"{group}/{key}/{attr}")

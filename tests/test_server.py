@@ -18,17 +18,23 @@ CONFIG = """
 
 @pytest.fixture(scope="module")
 def server(tmp_path_factory):
-    db_dir = tmp_path_factory.mktemp("dbs") / "test_http"
+    import veloci_tpu.server as server_mod
+
+    base = tmp_path_factory.mktemp("dbs")
+    db_dir = base / "test_http"
     pers = Persistence.create_from_str(TEST_DATA, CONFIG)
     pers.save(str(db_dir))
+    old_base = server_mod.BASE_DIR
+    server_mod.BASE_DIR = str(base)  # databases resolve under this dir
     srv = make_server("127.0.0.1", 0)
     thread = threading.Thread(target=srv.serve_forever, daemon=True)
     thread.start()
     try:
-        yield (srv, str(db_dir))
+        yield (srv, "test_http")
     finally:
         srv.shutdown()
         PERSISTENCES.clear()
+        server_mod.BASE_DIR = old_base
 
 
 def _get(srv_db, path):
@@ -179,3 +185,29 @@ def test_concurrent_requests(server):
         payload = json.loads(body)
         if "search" in path:
             assert payload["num_hits"] >= 1, path
+
+
+def test_db_name_traversal_rejected(server):
+    """ADVICE round-1: '..%2F..%2Fpath' must not load arbitrary directories."""
+    srv, _db = server
+    port = srv.server_address[1]
+    for evil in ("..%2F..%2Fetc", "..", "%2Fabs%2Fpath", "a%5Cb"):
+        url = f"http://127.0.0.1:{port}/{evil}/search?query=x"
+        try:
+            with urllib.request.urlopen(url, timeout=30) as resp:
+                status = resp.status
+        except urllib.error.HTTPError as e:
+            status = e.code
+        assert status == 400, (evil, status)
+
+
+def test_db_name_missing_is_400_not_500(server):
+    srv, _db = server
+    port = srv.server_address[1]
+    url = f"http://127.0.0.1:{port}/no_such_db/search?query=x"
+    try:
+        with urllib.request.urlopen(url, timeout=30) as resp:
+            status = resp.status
+    except urllib.error.HTTPError as e:
+        status = e.code
+    assert status in (400, 404)

@@ -485,3 +485,62 @@ def test_spill_csr_from_pairs_parity(monkeypatch):
     sp = csr_from_pairs(keys, vals, 200, sort_and_dedup=True)
     np.testing.assert_array_equal(ram.offsets, sp.offsets)
     np.testing.assert_array_equal(ram.values, sp.values)
+
+
+def test_batched_banded_fuzzy_parity():
+    """batched_fuzzy_search_topk_banded (interpret) == per-query XLA step,
+    including the total_postings overflow report."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from veloci_tpu.ops.fuzzy_step import (
+        batched_fuzzy_search_topk_banded,
+        fuzzy_search_topk,
+    )
+    from veloci_tpu.ops.levenshtein import encode_query
+
+    rng = np.random.default_rng(5)
+    words = [f"w{i:03d}" for i in range(500)] + ["hello", "help", "hells"]
+    n_pad = 1024
+    chars = np.zeros((n_pad, 32), np.uint16)
+    lens = np.zeros(n_pad, np.int32)
+    for i, w in enumerate(words):
+        for j, ch in enumerate(w[:32]):
+            chars[i, j] = ord(ch)
+        lens[i] = len(w)
+    chars_t = np.ascontiguousarray(chars.T)
+    num_docs = 2000
+    nnz = 5000
+    offs = np.zeros(n_pad + 2, np.int32)
+    offs[1 : len(words) + 1] = np.sort(rng.integers(0, nnz, len(words)))
+    offs[len(words) + 1 :] = nnz
+    offs = np.maximum.accumulate(offs)
+    anc = rng.integers(0, num_docs, nnz).astype(np.int32)
+    sc = rng.random(nnz, np.float32)
+
+    terms = [("w001", 1), ("hela", 2), ("w0x5", 2), ("help", 0)]
+    queries = np.zeros((len(terms), 32), np.uint16)
+    qlens = np.zeros(len(terms), np.int32)
+    dists = np.zeros(len(terms), np.int32)
+    for row, (t, d) in enumerate(terms):
+        q, ql = encode_query(t)
+        queries[row] = q
+        qlens[row] = ql
+        dists[row] = d
+    got = batched_fuzzy_search_topk_banded(
+        jnp.asarray(chars_t), jnp.asarray(lens), jnp.asarray(queries),
+        jnp.asarray(qlens), jnp.asarray(dists),
+        jnp.asarray(offs), jnp.asarray(anc), jnp.asarray(sc),
+        max_terms=64, capacity=2048, num_docs=num_docs, k=10, interpret=True,
+    )
+    for row, (t, d) in enumerate(terms):
+        q, ql = encode_query(t)
+        want = fuzzy_search_topk(
+            jnp.asarray(chars), jnp.asarray(lens), jnp.asarray(q), jnp.int32(ql),
+            jnp.int32(d), jnp.asarray(offs), jnp.asarray(anc), jnp.asarray(sc),
+            max_terms=64, capacity=2048, num_docs=num_docs, k=10,
+        )
+        for x, y in zip(got, want):
+            np.testing.assert_allclose(
+                np.asarray(x)[row], np.asarray(y), rtol=1e-6
+            )

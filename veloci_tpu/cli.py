@@ -122,7 +122,7 @@ def main(argv=None) -> None:
         from .server import ensure_database, make_server
 
         for db in args.databases:
-            ensure_database(db)
+            ensure_database(db, trusted_path=True)
         server = make_server(args.host, args.port)
         print(f"Starting Server on {args.host}:{args.port} ...")
         server.serve_forever()

@@ -156,16 +156,21 @@ class DocLoader:
         # small LRU of decompressed blocks: hit-list doc fetches cluster but
         # rarely share ONE block (reference keeps none at all and pays the
         # decompress per doc, doc_store/src/lib.rs:29-41)
+        import threading
         from collections import OrderedDict
 
         self._cache: "OrderedDict[int, Tuple[np.ndarray, bytes]]" = OrderedDict()
         self._cache_max = 64
+        # the HTTP server fetches docs from ThreadingHTTPServer worker
+        # threads concurrently; the LRU mutations must be atomic
+        self._cache_lock = threading.Lock()
 
     def _load_block(self, block: int) -> Tuple[np.ndarray, bytes]:
-        hit = self._cache.get(block)
-        if hit is not None:
-            self._cache.move_to_end(block)
-            return hit
+        with self._cache_lock:
+            hit = self._cache.get(block)
+            if hit is not None:
+                self._cache.move_to_end(block)
+                return hit
         first_id, start, end = (int(x) for x in self._index[block])
         if self._v1:
             noffsets = int.from_bytes(self._data[start : start + 4], "little")
@@ -182,9 +187,10 @@ class DocLoader:
         offsets = np.frombuffer(payload[: noffsets * 4], dtype=np.uint32)
         raw = payload[noffsets * 4 :]
         entry = (offsets, raw)
-        self._cache[block] = entry
-        if len(self._cache) > self._cache_max:
-            self._cache.popitem(last=False)
+        with self._cache_lock:
+            self._cache[block] = entry
+            if len(self._cache) > self._cache_max:
+                self._cache.popitem(last=False)
         return entry
 
     def get_doc(self, doc_id: int) -> str:

@@ -32,7 +32,34 @@ _LIB: Optional[ctypes.CDLL] = None
 _LIB_TRIED = False
 
 _NATIVE_DIR = Path(__file__).resolve().parent.parent / "native"
-_SO_PATH = _NATIVE_DIR / "libveloci_native.so"
+
+
+def _source_digest(src: Path) -> str:
+    import hashlib
+
+    return hashlib.sha256(src.read_bytes()).hexdigest()[:16]
+
+
+def _so_path() -> Path:
+    """Build-cache location keyed by a CONTENT hash of indexer.cpp.
+
+    The library is never committed and never trusted by mtime (checkout
+    mtimes are meaningless): a given source text maps to exactly one cached
+    binary, so staleness detection is content-based. Override the cache dir
+    with VELOCI_NATIVE_CACHE.
+    """
+    src = _NATIVE_DIR / "indexer.cpp"
+    digest = _source_digest(src) if src.exists() else "nosrc"
+    cache = Path(
+        os.environ.get(
+            "VELOCI_NATIVE_CACHE",
+            os.path.join(
+                os.environ.get("XDG_CACHE_HOME", os.path.expanduser("~/.cache")),
+                "veloci_tpu",
+            ),
+        )
+    )
+    return cache / f"libveloci_native-{digest}.so"
 
 _CONFIG_CB = ctypes.CFUNCTYPE(
     ctypes.c_int32,
@@ -45,11 +72,13 @@ _CONFIG_CB = ctypes.CFUNCTYPE(
 )
 
 
-def _build_lib() -> bool:
+def _build_lib(so_path: Path) -> bool:
     src = _NATIVE_DIR / "indexer.cpp"
     if not src.exists():
         return False
     try:
+        so_path.parent.mkdir(parents=True, exist_ok=True)
+        tmp = so_path.with_suffix(".tmp.so")
         subprocess.run(
             [
                 "g++",
@@ -58,12 +87,13 @@ def _build_lib() -> bool:
                 "-shared",
                 "-fPIC",
                 "-o",
-                str(_SO_PATH),
+                str(tmp),
                 str(src),
             ],
             check=True,
             capture_output=True,
         )
+        os.replace(tmp, so_path)  # atomic: parallel builders race safely
         return True
     except Exception:
         return False
@@ -76,17 +106,23 @@ def _load() -> Optional[ctypes.CDLL]:
     _LIB_TRIED = True
     if os.environ.get("VELOCI_TPU_NO_NATIVE"):
         return None
-    if not _SO_PATH.exists() or (
-        _SO_PATH.stat().st_mtime < (_NATIVE_DIR / "indexer.cpp").stat().st_mtime
-    ):
-        if not _build_lib():
+    so_path = _so_path()
+    if not so_path.exists():
+        if not _build_lib(so_path):
             return None
     try:
-        lib = ctypes.CDLL(str(_SO_PATH))
+        lib = ctypes.CDLL(str(so_path))
     except OSError:
         return None
     lib.vl_index_ndjson.restype = ctypes.c_void_p
     lib.vl_index_ndjson.argtypes = [ctypes.c_char_p, ctypes.c_int64, _CONFIG_CB]
+    lib.vl_index_ndjson_mt.restype = ctypes.c_void_p
+    lib.vl_index_ndjson_mt.argtypes = [
+        ctypes.c_char_p,
+        ctypes.c_int64,
+        _CONFIG_CB,
+        ctypes.c_int32,
+    ]
     lib.vl_error.restype = ctypes.c_char_p
     lib.vl_error.argtypes = [ctypes.c_void_p]
     lib.vl_num_docs.restype = ctypes.c_int64
@@ -221,7 +257,11 @@ def index_ndjson(data: str, get_path_config) -> tuple:
 
     cb_ref = _CONFIG_CB(cb)
     raw = data.encode("utf-8")
-    handle = lib.vl_index_ndjson(raw, len(raw), cb_ref)
+    # chunked multi-threaded parse (the C call releases the GIL; the config
+    # callback re-acquires it briefly per new path). VELOCI_INGEST_THREADS=1
+    # forces the single-threaded walker; 0/unset auto-sizes to the cores.
+    nthreads = int(os.environ.get("VELOCI_INGEST_THREADS", "0"))
+    handle = lib.vl_index_ndjson_mt(raw, len(raw), cb_ref, nthreads)
     try:
         err = lib.vl_error(handle)
         if err:

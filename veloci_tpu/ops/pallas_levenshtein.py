@@ -25,7 +25,11 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .levenshtein import MAX_QUERY_CHARS
 
-__all__ = ["levenshtein_sweep_pallas", "levenshtein_sweep_pallas_banded"]
+__all__ = [
+    "levenshtein_sweep_pallas",
+    "levenshtein_sweep_pallas_banded",
+    "levenshtein_sweep_pallas_banded_batch",
+]
 
 _BIG = np.int32(1 << 20)
 TILE_N = 1024
@@ -184,6 +188,136 @@ def _kernel_banded(
     valid = lens > 0
     dist_ref[0, :] = jnp.where(valid, dist, _BIG)
     prefix_ref[0, :] = jnp.where(valid, prefix_dist, _BIG)
+
+
+TILE_N_BATCH = 4096
+
+
+def _kernel_banded_batch(
+    query_ref, qlen_ref, chars_ref, len_ref, dist_ref, prefix_ref, chars32
+):
+    """Banded DP for one term tile x ALL queries. The query loop runs INSIDE
+    the kernel (fori_loop) over a VMEM-staged chars tile: one fat program per
+    tile instead of tiles*Q tiny ones — per-program fixed overhead dominated
+    the (tile, query) grid formulation (measured ~44us/program)."""
+    nq = dist_ref.shape[0]
+    lens = len_ref[0, :]
+    chars32[:, :] = chars_ref[:, :].astype(jnp.int32)
+
+    def one_query(q, _):
+        qlen = qlen_ref[q]
+        init_rows = []
+        for oi in range(_W):
+            o = oi - D_BAND
+            if o >= 0:
+                init_rows.append(jnp.full((TILE_N_BATCH,), o, dtype=jnp.int32))
+            else:
+                init_rows.append(jnp.full((TILE_N_BATCH,), _BIG, dtype=jnp.int32))
+        B = init_rows
+        for i in range(1, MAX_QUERY_CHARS + 1):
+            qc = query_ref[q, i - 1]
+            active = i <= qlen
+            prev = jnp.full((TILE_N_BATCH,), _BIG, dtype=jnp.int32)
+            new_rows = []
+            for oi in range(_W):
+                o = oi - D_BAND
+                j_idx = i + o
+                if j_idx < 0 or j_idx > L:
+                    val = jnp.full((TILE_N_BATCH,), _BIG, dtype=jnp.int32)
+                elif j_idx == 0:
+                    val = jnp.full((TILE_N_BATCH,), i, dtype=jnp.int32)
+                else:
+                    cost = (chars32[j_idx - 1, :] != qc).astype(jnp.int32)
+                    up = (
+                        B[oi + 1] + 1
+                        if oi + 1 < _W
+                        else jnp.full((TILE_N_BATCH,), _BIG, jnp.int32)
+                    )
+                    diag = B[oi] + cost
+                    val = jnp.minimum(jnp.minimum(up, diag), prev + 1)
+                    val = jnp.minimum(val, _BIG)
+                prev = val
+                new_rows.append(val)
+            B = [jnp.where(active, n_, b_) for n_, b_ in zip(new_rows, B)]
+
+        off = lens - qlen + D_BAND
+        dist = jnp.full((TILE_N_BATCH,), _BIG, dtype=jnp.int32)
+        prefix_dist = jnp.full((TILE_N_BATCH,), _BIG, dtype=jnp.int32)
+        for oi in range(_W):
+            o = oi - D_BAND
+            dist = jnp.where(off == oi, B[oi], dist)
+            ok = (qlen + o >= 0) & (qlen + o <= lens)
+            prefix_dist = jnp.minimum(prefix_dist, jnp.where(ok, B[oi], _BIG))
+        valid = lens > 0
+        dist_ref[q, :] = jnp.where(valid, dist, _BIG)
+        prefix_ref[q, :] = jnp.where(valid, prefix_dist, _BIG)
+        return 0
+
+    jax.lax.fori_loop(0, nq, one_query, 0)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def levenshtein_sweep_pallas_banded_batch(
+    chars_t: jax.Array,  # [L, N_pad] uint16
+    term_lens: jax.Array,  # [N_pad] int32
+    queries: jax.Array,  # [Q, MAX_QUERY_CHARS] uint16
+    query_lens: jax.Array,  # [Q] int32
+    interpret: bool = False,
+):
+    """Batched banded sweep: ONE kernel for a whole query batch.
+
+    Returns (dist [Q, N], prefix_dist [Q, N], is_prefix [Q, N]). The chars
+    tile stays VMEM-resident across the inner query axis, so HBM traffic is
+    ~one dictionary read per batch instead of per query.
+    """
+    l, n = chars_t.shape
+    q = queries.shape[0]
+    tb = TILE_N_BATCH
+    if n % tb:
+        # pad the term axis up to the batch tile (pads have len 0 -> _BIG)
+        pad = tb - n % tb
+        chars_t = jnp.pad(chars_t, ((0, 0), (0, pad)))
+        term_lens = jnp.pad(term_lens, (0, pad))
+        n = n + pad
+    assert l == L
+    grid = (n // tb,)
+    dist, prefix_dist = pl.pallas_call(
+        _kernel_banded_batch,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((L, tb), lambda t, *_: (0, t)),
+                pl.BlockSpec((1, tb), lambda t, *_: (0, t)),
+            ],
+            out_specs=[
+                pl.BlockSpec((q, tb), lambda t, *_: (0, t)),
+                pl.BlockSpec((q, tb), lambda t, *_: (0, t)),
+            ],
+            scratch_shapes=[pltpu.VMEM((L, tb), jnp.int32)],
+        ),
+        out_shape=[
+            jax.ShapeDtypeStruct((q, n), jnp.int32),
+            jax.ShapeDtypeStruct((q, n), jnp.int32),
+        ],
+        interpret=interpret,
+    )(
+        queries.astype(jnp.int32),
+        query_lens.astype(jnp.int32),
+        chars_t,
+        term_lens.reshape(1, n),
+    )
+    pos = jnp.arange(l, dtype=jnp.int32)
+    # [Q, L, N] would be large; compute is_prefix per query with a vmap over
+    # the fused comparison instead
+    def one_prefix(query, qlen):
+        eq = (chars_t.astype(jnp.int32) == query[:l].astype(jnp.int32)[:, None]) | (
+            pos[:, None] >= qlen
+        )
+        return jnp.all(eq, axis=0) & (term_lens >= qlen) & (term_lens > 0)
+
+    is_prefix = jax.vmap(one_prefix)(queries, query_lens)
+    return dist, prefix_dist, is_prefix
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))

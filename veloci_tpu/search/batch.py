@@ -238,20 +238,36 @@ def search_batch(requests: List[Request], persistence) -> List[SearchResult]:
 
 
 def _run_fuzzy_group(persistence, field, entries, results, start) -> None:
+    import os
     import time
 
+    import jax
     import jax.numpy as jnp
 
-    from ..ops.fuzzy_step import batched_fuzzy_search_topk
+    from ..ops.fuzzy_step import (
+        batched_fuzzy_search_topk,
+        batched_fuzzy_search_topk_banded,
+    )
     from ..ops.levenshtein import encode_query
+    from ..ops.postings import bucket_size
+    from .executor import fuzzy_start_capacity
 
     dev = persistence.device_field(field)
     num_docs = persistence.num_docs
     max_terms = 256
-    capacity = dev.fuzzy_capacity(max_terms)
-    # chunk so the vmapped DP state ([Qc, N, L+1] i32) stays under ~256 MB
+    worst = dev.fuzzy_capacity(max_terms)
+    use_banded = (
+        os.environ.get("VELOCI_PALLAS_SWEEP", "1") != "0"
+        and jax.default_backend() == "tpu"
+        and all(e[3] <= 4 for e in entries)
+    )
+    # banded Pallas sweep keeps DP state in VMEM — no HBM blow-up, so chunks
+    # can be large; the XLA sweep materialises [Qc, N, L+1] i32 rows
     n_pad, l = dev._chars_host.shape
-    chunk_q = max(1, int(256e6 // max(n_pad * (l + 1) * 4, 1)))
+    if use_banded:
+        chunk_q = 128
+    else:
+        chunk_q = max(1, int(256e6 // max(n_pad * (l + 1) * 4, 1)))
     for base in range(0, len(entries), chunk_q):
         chunk = entries[base : base + chunk_q]
         qc = len(chunk)
@@ -267,24 +283,37 @@ def _run_fuzzy_group(persistence, field, entries, results, start) -> None:
             top = req.top if req.top is not None else 10
             max_k = max(max_k, top + (req.skip or 0))
         k_eff = min(num_docs, max_k)
-        ids_b, scores_b, hits_b, totals_b = batched_fuzzy_search_topk(
-            dev.chars,
-            dev.lengths,
-            jnp.asarray(queries),
-            jnp.asarray(qlens),
-            jnp.asarray(dists),
-            dev.offsets,
-            dev.anchors,
-            dev.scores01,
-            max_terms=max_terms,
-            capacity=capacity,
-            num_docs=num_docs,
-            k=k_eff,
+        step = (
+            batched_fuzzy_search_topk_banded
+            if use_banded
+            else batched_fuzzy_search_topk
         )
-        ids_b = np.asarray(ids_b)
-        scores_b = np.asarray(scores_b)
-        hits_b = np.asarray(hits_b)
-        totals_b = np.asarray(totals_b)
+        chars_arg = dev.chars_t if use_banded else dev.chars
+        # optimistic capacity; re-dispatch the chunk on overflow
+        capacity = min(worst, fuzzy_start_capacity(persistence, field))
+        while True:
+            ids_b, scores_b, hits_b, totals_b, post_b = step(
+                chars_arg,
+                dev.lengths,
+                jnp.asarray(queries),
+                jnp.asarray(qlens),
+                jnp.asarray(dists),
+                dev.offsets,
+                dev.anchors,
+                dev.scores01,
+                max_terms=max_terms,
+                capacity=capacity,
+                num_docs=num_docs,
+                k=k_eff,
+            )
+            ids_b, scores_b, hits_b, totals_b, post_b = jax.device_get(
+                (ids_b, scores_b, hits_b, totals_b, post_b)
+            )
+            need = int(post_b.max()) if len(post_b) else 0
+            if need <= capacity or capacity >= worst:
+                break
+            capacity = min(worst, bucket_size(need))
+        persistence._fuzzy_cap_hint[field] = capacity
         for row, (qi, req, _term, _distance) in enumerate(chunk):
             if int(totals_b[row]) > max_terms:
                 # selection window clipped — generic path decides

@@ -515,6 +515,16 @@ def _fuzzy_fast_eligible(request: Request, persistence):
     return field, term, distance
 
 
+def fuzzy_start_capacity(persistence, field: str) -> int:
+    """Sticky per-field starting bucket for the optimistic fuzzy resolve —
+    grows to whatever the last overflow needed, so steady-state traffic
+    re-dispatches rarely."""
+    caps = getattr(persistence, "_fuzzy_cap_hint", None)
+    if caps is None:
+        caps = persistence._fuzzy_cap_hint = {}
+    return caps.get(field, 16384)
+
+
 def _try_fuzzy_fast_path(
     request: Request, persistence, top: int
 ) -> Optional[SearchResult]:
@@ -544,43 +554,58 @@ def _try_fuzzy_fast_path(
         and jax.default_backend() == "tpu"
         and distance <= 4
     )
-    if use_banded:
-        ids, scores, num_hits, total_matches = fuzzy_search_topk_banded(
-            dev.chars_t,
-            dev.lengths,
-            jnp.asarray(q),
-            jnp.int32(qlen),
-            jnp.int32(distance),
-            dev.offsets,
-            dev.anchors,
-            dev.scores01,
-            max_terms=max_terms,
-            capacity=dev.fuzzy_capacity(max_terms),
-            num_docs=num_docs,
-            k=k_eff,
+    # OPTIMISTIC resolve capacity: the static worst case (sum of the
+    # max_terms largest runs) makes the gather/scatter ~10-100x too big for
+    # typical fuzzy matches; start small and re-dispatch on overflow (the
+    # kernel reports the true posting total)
+    worst = dev.fuzzy_capacity(max_terms)
+    capacity = min(worst, fuzzy_start_capacity(persistence, field))
+    while True:
+        if use_banded:
+            ids, scores, num_hits, total_matches, total_postings = (
+                fuzzy_search_topk_banded(
+                    dev.chars_t,
+                    dev.lengths,
+                    jnp.asarray(q),
+                    jnp.int32(qlen),
+                    jnp.int32(distance),
+                    dev.offsets,
+                    dev.anchors,
+                    dev.scores01,
+                    max_terms=max_terms,
+                    capacity=capacity,
+                    num_docs=num_docs,
+                    k=k_eff,
+                )
+            )
+        else:
+            ids, scores, num_hits, total_matches, total_postings = (
+                fuzzy_search_topk(
+                    dev.chars,
+                    dev.lengths,
+                    jnp.asarray(q),
+                    jnp.int32(qlen),
+                    jnp.int32(distance),
+                    dev.offsets,
+                    dev.anchors,
+                    dev.scores01,
+                    max_terms=max_terms,
+                    capacity=capacity,
+                    num_docs=num_docs,
+                    k=k_eff,
+                )
+            )
+        ids, scores, num_hits, total_matches, total_postings = jax.device_get(
+            (ids, scores, num_hits, total_matches, total_postings)
         )
-    else:
-        ids, scores, num_hits, total_matches = fuzzy_search_topk(
-            dev.chars,
-            dev.lengths,
-            jnp.asarray(q),
-            jnp.int32(qlen),
-            jnp.int32(distance),
-            dev.offsets,
-            dev.anchors,
-            dev.scores01,
-            max_terms=max_terms,
-            capacity=dev.fuzzy_capacity(max_terms),
-            num_docs=num_docs,
-            k=k_eff,
-        )
-    import jax
+        if int(total_matches) > max_terms:
+            return None  # selection window clipped — generic path decides
+        if int(total_postings) <= capacity or capacity >= worst:
+            break
+        from ..ops.postings import bucket_size
 
-    ids, scores, num_hits, total_matches = jax.device_get(
-        (ids, scores, num_hits, total_matches)
-    )
-    if int(total_matches) > max_terms:
-        return None  # selection window clipped — generic path decides
+        capacity = min(worst, bucket_size(int(total_postings)))
+    persistence._fuzzy_cap_hint[field] = capacity
     mask = scores > 0
     ids, scores = ids[mask], scores[mask]
     result = SearchResult()

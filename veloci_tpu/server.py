@@ -21,6 +21,7 @@ rocket_server.rs:95-100) — the registry maps db name -> `Persistence`.
 from __future__ import annotations
 
 import json
+import os
 import threading
 import urllib.parse
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
@@ -47,12 +48,42 @@ __all__ = ["VelociServer", "make_server", "PERSISTENCES"]
 PERSISTENCES: Dict[str, Persistence] = {}
 _LOCK = threading.Lock()
 
+# databases resolve under this directory; the decoded URL segment must stay
+# inside it (rejects '/', '\\', '..' — a remote client must not be able to
+# load arbitrary filesystem paths through GET /<db>/search)
+BASE_DIR = os.environ.get("VELOCI_DB_DIR", ".")
 
-def ensure_database(database: str) -> Persistence:
+
+def _resolve_db_path(database: str) -> str:
+    if (
+        not database
+        or database in (".", "..")
+        or "/" in database
+        or "\\" in database
+        or "\x00" in database
+        or os.path.isabs(database)
+    ):
+        raise VelociError(f"invalid database name: {database!r}")
+    base = os.path.realpath(BASE_DIR)
+    path = os.path.realpath(os.path.join(base, database))
+    if path != base and not path.startswith(base + os.sep):
+        raise VelociError(f"invalid database name: {database!r}")
+    if not os.path.isdir(path):
+        raise VelociError(f"database not found: {database!r}")
+    return path
+
+
+def ensure_database(database: str, *, trusted_path: bool = False) -> Persistence:
+    """Load (once) and return a database.
+
+    ``trusted_path=True`` is for local callers (the CLI's positional
+    database arguments); HTTP handlers always go through name validation.
+    """
     with _LOCK:
         pers = PERSISTENCES.get(database)
         if pers is None:
-            pers = Persistence.load(database)
+            path = database if trusted_path else _resolve_db_path(database)
+            pers = Persistence.load(path)
             PERSISTENCES[database] = pers
         return pers
 
