@@ -46,7 +46,7 @@ import numpy as np
 
 N_DOCS = int(os.environ.get("BENCH_DOCS", "100000"))
 N_EXACT_QUERIES = int(os.environ.get("BENCH_EXACT_QUERIES", "200"))
-N_FUZZY_QUERIES = int(os.environ.get("BENCH_FUZZY_QUERIES", "16"))
+N_FUZZY_QUERIES = int(os.environ.get("BENCH_FUZZY_QUERIES", "64"))
 TOP_K = 10
 
 

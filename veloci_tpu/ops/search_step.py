@@ -101,7 +101,7 @@ def batched_single_term_topk(
 
 
 def _gather_postings(offsets, anchors, scores01, term_ids, term_scores,
-                     capacity, num_docs, win=None):
+                     capacity, num_docs, win=None, term_slots=None):
     """Concatenate the selected terms' posting runs into static [capacity]
     arrays (+ the matching term-slot segment vector).
 
@@ -119,44 +119,55 @@ def _gather_postings(offsets, anchors, scores01, term_ids, term_scores,
       source arrays carry >= W tail padding (Persistence.device_field
       guarantees slice padding >= the field's largest run).
     """
+    from .postings import fill_segments_f32, fill_segments_i32
+
     t_pad = term_ids.shape[0]
     valid = term_ids >= 0
     safe = jnp.where(valid, term_ids, 0)
-    starts = offsets[safe]
+    starts = jnp.where(valid, offsets[safe], 0)
     counts = jnp.where(valid, offsets[safe + 1] - starts, 0)
-    out_starts = jnp.concatenate(
-        [jnp.zeros(1, dtype=jnp.int32), jnp.cumsum(counts, dtype=jnp.int32)]
-    )
-    total = out_starts[t_pad]
+    out_starts_ex = jnp.cumsum(counts, dtype=jnp.int32) - counts  # exclusive
+    total = out_starts_ex[t_pad - 1] + counts[t_pad - 1]
     idx = jnp.arange(capacity, dtype=jnp.int32)
+    slots = (
+        term_slots
+        if term_slots is not None
+        else jnp.arange(t_pad, dtype=jnp.int32)
+    )
     if win is None:
-        seg = jnp.minimum(
-            jnp.searchsorted(out_starts[1:], idx, side="right").astype(jnp.int32),
-            t_pad - 1,
-        )
+        # segment mapping via scatter+cumsum fills — searchsorted and
+        # small-table gathers lower to serial per-element loops on TPU
+        slot_fill = fill_segments_i32(slots, out_starts_ex, capacity)
+        src = idx + fill_segments_i32(starts - out_starts_ex, out_starts_ex, capacity)
+        tsc_fill = fill_segments_f32(term_scores, out_starts_ex, capacity)
         in_range = idx < total
-        src = jnp.where(in_range, starts[seg] + (idx - out_starts[seg]), 0)
+        src = jnp.clip(jnp.where(in_range, src, 0), 0, anchors.shape[0] - 1)
         a = jnp.where(in_range, anchors[src], num_docs)
-        s = jnp.where(in_range, scores01[src] * term_scores[seg], -jnp.inf)
-        return a, s, seg
+        s = jnp.where(in_range, scores01[src] * tsc_fill, -jnp.inf)
+        slot_fill = jnp.where(in_range, slot_fill, slots[t_pad - 1])
+        return a, s, slot_fill
     buf_a = jnp.full((capacity + win,), num_docs, dtype=jnp.int32)
     buf_s = jnp.full((capacity + win,), -jnp.inf, dtype=jnp.float32)
     buf_seg = jnp.zeros((capacity + win,), dtype=jnp.int32)
+    buf_tsc = jnp.zeros((capacity + win,), dtype=jnp.float32)
     for t in range(t_pad):  # static unroll: t_pad is small (<= 16)
         a_win = jax.lax.dynamic_slice(anchors, (starts[t],), (win,))
         s_win = jax.lax.dynamic_slice(scores01, (starts[t],), (win,))
-        buf_a = jax.lax.dynamic_update_slice(buf_a, a_win, (out_starts[t],))
-        buf_s = jax.lax.dynamic_update_slice(buf_s, s_win, (out_starts[t],))
+        buf_a = jax.lax.dynamic_update_slice(buf_a, a_win, (out_starts_ex[t],))
+        buf_s = jax.lax.dynamic_update_slice(buf_s, s_win, (out_starts_ex[t],))
         buf_seg = jax.lax.dynamic_update_slice(
-            buf_seg, jnp.full((win,), t, dtype=jnp.int32), (out_starts[t],)
+            buf_seg, jnp.full((win,), slots[t]), (out_starts_ex[t],)
+        )
+        buf_tsc = jax.lax.dynamic_update_slice(
+            buf_tsc, jnp.full((win,), term_scores[t]), (out_starts_ex[t],)
         )
     in_range = idx < total
-    seg = jnp.where(in_range, buf_seg[:capacity], t_pad - 1)
+    slot_fill = jnp.where(in_range, buf_seg[:capacity], slots[t_pad - 1])
     a = jnp.where(in_range, buf_a[:capacity], num_docs)
     s = jnp.where(
-        in_range, buf_s[:capacity] * term_scores[seg], -jnp.inf
+        in_range, buf_s[:capacity] * buf_tsc[:capacity], -jnp.inf
     )
-    return a, s, seg
+    return a, s, slot_fill
 
 
 @partial(jax.jit, static_argnames=("capacity", "num_docs", "k", "win"))
@@ -215,11 +226,10 @@ def _union_impl(
     offsets, anchors, scores01, term_ids, term_scores, term_slots,
     capacity, num_docs, k, num_slots, win=None,
 ):
-    a, s, seg = _gather_postings(
+    a, s, slot = _gather_postings(
         offsets, anchors, scores01, term_ids, term_scores, capacity, num_docs,
-        win=win,
+        win=win, term_slots=term_slots,
     )
-    slot = term_slots[seg]
     # plane key = slot * (num_docs+1) + anchor
     plane = slot * (num_docs + 1) + a
     per_slot = jax.ops.segment_max(
@@ -303,11 +313,10 @@ def intersect_search_topk(
     """Multi-leaf AND: per-leaf max, keep anchors hit by EVERY leaf, score =
     sum over leaves — intersect_hits_score (set_op.rs:368-448) as one fused
     program."""
-    a, s, seg = _gather_postings(
+    a, s, slot = _gather_postings(
         offsets, anchors, scores01, term_ids, term_scores, capacity, num_docs,
-        win=win,
+        win=win, term_slots=term_slots,
     )
-    slot = term_slots[seg]
     plane = slot * (num_docs + 1) + a
     per_slot = jax.ops.segment_max(
         s, plane, num_segments=num_slots * (num_docs + 1)
