@@ -477,6 +477,26 @@ class Persistence:
         self._device_fields[field] = dev
         return dev
 
+    def device_boost(self, boost_path: str):
+        """Device copy of a boost column, padded to [num_docs]:
+        (values f32, present bool). Cached per path."""
+        key = "\x01boost:" + boost_path
+        cached = self._device_fields.get(key)
+        if cached is not None:
+            return cached
+        import jax.numpy as jnp
+
+        vals, present = self.get_boost(boost_path)
+        n = self.num_docs
+        v = np.zeros(n, dtype=np.float32)
+        p = np.zeros(n, dtype=bool)
+        m = min(n, len(vals))
+        v[:m] = vals[:m]
+        p[:m] = present[:m]
+        cached = (jnp.asarray(v), jnp.asarray(p))
+        self._device_fields[key] = cached
+        return cached
+
     def device_combined(self):
         """All searchable fields' anchor-score postings concatenated into ONE
         global-key CSR on device. A multi-field OR (the search-query

@@ -37,9 +37,13 @@ __all__ = [
     "ScoreExpression",
     "apply_boost_scalar",
     "apply_boost_dense",
+    "apply_boost_dense_device",
     "boost_to_anchor_values",
     "apply_anchor_boost_values",
+    "apply_anchor_boost_values_device",
+    "scatter_factor_device",
     "term_boost_factor",
+    "term_boost_factor_device",
     "phrase_boost_factor",
     "text_locality_boost",
     "resolve_ids_to_anchor",
@@ -158,6 +162,124 @@ def apply_boost_dense(
             apply_mask &= np.abs(dense - _F32(sv)) >= 1e-5
     boosted = np.maximum(boosted, HIT_EPS)
     return np.where(apply_mask, boosted, dense).astype(_F32)
+
+
+def apply_boost_dense_device(dense, boost_vals_j, present_j, boost_part):
+    """Device (jnp) mirror of :func:`apply_boost_dense` — the dense vector
+    stays in HBM end-to-end (reference add_boost semantics; boost columns
+    are uploaded once via ``Persistence.device_boost``)."""
+    import jax.numpy as jnp
+
+    param = _F32(boost_part.param or 0.0)
+    b = boost_vals_j + param
+    fun = boost_part.boost_fun
+    if fun == "Log10":
+        boosted = dense * jnp.log10(b)
+    elif fun == "Log2":
+        boosted = dense * jnp.log2(b)
+    elif fun == "Multiply":
+        boosted = dense * b
+    elif fun == "Add":
+        boosted = dense + b
+    elif fun == "Replace":
+        boosted = b
+    else:
+        boosted = dense
+    if boost_part.expression:
+        expr = ScoreExpression(boost_part.expression)
+        boosted = boosted + _expr_vec_jnp(expr, boost_vals_j)
+    apply_mask = (dense > 0) & present_j
+    if boost_part.skip_when_score:
+        for sv in boost_part.skip_when_score:
+            apply_mask &= jnp.abs(dense - _F32(sv)) >= 1e-5
+    boosted = jnp.maximum(boosted, HIT_EPS)
+    return jnp.where(apply_mask, boosted, dense)
+
+
+def apply_anchor_boost_values_device(dense, anchors, boost_vals, boost_part):
+    """Device (jnp) mirror of :func:`apply_anchor_boost_values`: the small
+    (anchor, value) lists stay host-side; only the scatter application runs
+    on the dense device vector."""
+    import jax.numpy as jnp
+
+    if len(anchors) == 0:
+        return dense
+    n = dense.shape[0]
+    keep = anchors < n
+    anchors = np.asarray(anchors)[keep].astype(np.int32)
+    boost_vals = np.asarray(boost_vals, dtype=_F32)[keep]
+    param = _F32(boost_part.param or 0.0)
+    b = boost_vals + param
+    fun = boost_part.boost_fun
+    hit_mask = dense > 0
+    out = dense
+    a_j = jnp.asarray(anchors)
+    if fun in ("Log10", "Log2", "Multiply"):
+        if fun == "Log10":
+            with np.errstate(divide="ignore", invalid="ignore"):
+                factors = np.log10(b, dtype=_F32)
+        elif fun == "Log2":
+            with np.errstate(divide="ignore", invalid="ignore"):
+                factors = np.log2(b, dtype=_F32)
+        else:
+            factors = b
+        acc = jnp.ones(n, dtype=jnp.float32).at[a_j].multiply(jnp.asarray(factors))
+        out = jnp.where(hit_mask, out * acc, out)
+    elif fun == "Add":
+        acc = jnp.zeros(n, dtype=jnp.float32).at[a_j].add(jnp.asarray(b))
+        out = jnp.where(hit_mask, out + acc, out)
+    elif fun == "Replace":
+        # "last occurrence wins" — dedup on host (XLA scatter order with
+        # duplicate indices is unspecified)
+        _, last_idx = np.unique(anchors[::-1], return_index=True)
+        sel = len(anchors) - 1 - last_idx
+        repl = jnp.full(n, jnp.nan, dtype=jnp.float32).at[
+            jnp.asarray(anchors[sel])
+        ].set(jnp.asarray(b[sel]))
+        out = jnp.where(hit_mask & ~jnp.isnan(repl), repl, out)
+    if boost_part.expression:
+        expr = ScoreExpression(boost_part.expression)
+        adds = _expr_vec(expr, boost_vals)
+        acc = jnp.zeros(n, dtype=jnp.float32).at[a_j].add(jnp.asarray(adds))
+        out = jnp.where(hit_mask, out + acc, out)
+    out = jnp.where(hit_mask, jnp.maximum(out, HIT_EPS), out)
+    return out
+
+
+def scatter_factor_device(anchor_groups, num_docs: int, factor_per_group):
+    """Multiplicative per-anchor factor built on device from small host
+    anchor lists (phrase boosts, term boosts): ones.at[anchors] *= f."""
+    import jax.numpy as jnp
+
+    factor = jnp.ones(num_docs, dtype=jnp.float32)
+    for anchors, f in zip(anchor_groups, factor_per_group):
+        anchors = np.asarray(anchors, dtype=np.int64)
+        anchors = anchors[anchors < num_docs]
+        if len(anchors) == 0:
+            continue
+        if np.isscalar(f) or getattr(f, "ndim", 0) == 0:
+            vals = jnp.full(len(anchors), _F32(f), dtype=jnp.float32)
+        else:
+            vals = jnp.asarray(np.asarray(f, dtype=_F32)[: len(anchors)])
+        factor = factor.at[jnp.asarray(anchors.astype(np.int32))].multiply(vals)
+    return factor
+
+
+def _expr_vec_jnp(expr: ScoreExpression, ranks):
+    import jax.numpy as jnp
+
+    def val(op):
+        return ranks if op == "$SCORE" else _F32(op)
+
+    left, op, right = expr.ops[0], expr.ops[1], expr.ops[2]
+    a, b = val(left), val(right)
+    if op == "/":
+        return a / b
+    if op == "*":
+        return a * b
+    if op == "+":
+        return a + b
+    return a - b
 
 
 def _expr_vec(expr: ScoreExpression, ranks: np.ndarray) -> np.ndarray:
@@ -319,6 +441,34 @@ def term_boost_factor(
         boost_val = _F32(part.boost if part.boost is not None else 2.0)
         counts = np.bincount(anchors, minlength=num_docs)
         factor *= np.power(boost_val, counts.astype(_F32), dtype=_F32)
+    return factor
+
+
+def term_boost_factor_device(persistence, boost_terms, num_docs: int, field_search_fn):
+    """Device mirror of :func:`term_boost_factor`: anchors resolve host-side
+    (cached per part), counts scatter on device, factor = boost^counts with
+    the same `power` formula as the host path."""
+    import jax.numpy as jnp
+
+    factor = jnp.ones(num_docs, dtype=jnp.float32)
+    cache = persistence.term_boost_cache
+    for part in boost_terms:
+        key = part.key()
+        anchors = cache.get(key)
+        if anchors is None:
+            res = field_search_fn(part, get_scores=False, get_ids=True)
+            anchors = resolve_ids_to_anchor(persistence, res.path, res.hits_ids)
+            anchors = anchors[anchors < num_docs]
+            if len(cache) > 512:
+                cache.clear()
+            cache[key] = anchors
+        if len(anchors) == 0:
+            continue
+        boost_val = _F32(part.boost if part.boost is not None else 2.0)
+        counts = jnp.zeros(num_docs, dtype=jnp.float32).at[
+            jnp.asarray(np.asarray(anchors, dtype=np.int32))
+        ].add(1.0)
+        factor = factor * jnp.power(boost_val, counts)
     return factor
 
 

@@ -204,6 +204,13 @@ def _eval_scores(ctx: _Ctx, node: SearchRequest, boosts):
             anchors, bvals = boost_mod.boost_to_anchor_values(
                 ctx.persistence, fsr.path, b1n, fsr.term_ids
             )
+            if not _is_host(dense) and not ctx.explain:
+                # device path: the (anchor, value) lists are small; only the
+                # scatter application touches the resident dense vector
+                dense = boost_mod.apply_anchor_boost_values_device(
+                    dense, anchors, bvals, b1n
+                )
+                return dense, part.terms[0], part.path, enode
             old = dense = _to_host(dense)
             dense = boost_mod.apply_anchor_boost_values(dense, anchors, bvals, b1n)
             if ctx.explain:
@@ -301,6 +308,31 @@ def _eval_ids(ctx: _Ctx, node: SearchRequest) -> np.ndarray:
     masks = [_eval_ids(ctx, q) for q in node.queries]
     if not masks:
         return np.zeros(ctx.num_docs, dtype=bool)
+    out = masks[0]
+    for m in masks[1:]:
+        out = (out | m) if node.kind == SearchRequest.OR else (out & m)
+    return out
+
+
+def _eval_ids_device(ctx: _Ctx, node: SearchRequest):
+    """Device variant of :func:`_eval_ids`: the (small) matched-anchor lists
+    resolve on the host, only the [num_docs] mask materialises on device —
+    the reference's FilterChannel broadcast becomes a resident bool vector."""
+    import jax.numpy as jnp
+
+    if node.kind == SearchRequest.SEARCH:
+        fsr = ctx.result_for(node.part)
+        anchors = boost_mod.resolve_ids_to_anchor(
+            ctx.persistence, fsr.path, fsr.hits_ids
+        )
+        anchors = anchors[(anchors >= 0) & (anchors < ctx.num_docs)]
+        mask = jnp.zeros(ctx.num_docs, dtype=bool)
+        if len(anchors):
+            mask = mask.at[jnp.asarray(anchors.astype(np.int32))].set(True)
+        return mask
+    masks = [_eval_ids_device(ctx, q) for q in node.queries]
+    if not masks:
+        return jnp.zeros(ctx.num_docs, dtype=bool)
     out = masks[0]
     for m in masks[1:]:
         out = (out | m) if node.kind == SearchRequest.OR else (out & m)
@@ -643,21 +675,23 @@ def search(request: Request, persistence) -> SearchResult:
     _collect_parts(ctx, request)
     ctx.run_field_searches()
 
-    # filter subtree (computed once, broadcast — reference FilterChannel)
-    filter_mask: Optional[np.ndarray] = None
-    if request.filter is not None:
-        filter_mask = _eval_ids(ctx, request.filter)
-
     boosts = list(request.boost or [])
     dense, _t, _p, enode = _eval_scores(ctx, request.search_req, boosts)
+    if ctx.explain:
+        # explain collects host-side score snapshots per step
+        dense = _to_host(dense)
 
-    if filter_mask is not None:
+    # filter subtree (computed once, broadcast — reference FilterChannel);
+    # on the device path the mask materialises directly in HBM
+    if request.filter is not None:
         if _is_host(dense):
+            filter_mask = _eval_ids(ctx, request.filter)
             dense = np.where(filter_mask, dense, _F32(0.0)).astype(_F32)
         else:
             import jax.numpy as jnp
 
-            dense = jnp.where(jnp.asarray(filter_mask), dense, _F32(0.0))
+            filter_mask = _eval_ids_device(ctx, request.filter)
+            dense = jnp.where(filter_mask, dense, _F32(0.0))
 
     # anchor-level boosts (paths without []) — execution_plan.rs:168-183
     for b in boosts:
@@ -668,6 +702,10 @@ def search(request: Request, persistence) -> SearchResult:
         boost_path = b.path
         if not boost_path.endswith(BOOST_VALID_TO_VALUE):
             boost_path = boost_path + BOOST_VALID_TO_VALUE
+        if not _is_host(dense):
+            bv_j, pres_j = persistence.device_boost(boost_path)
+            dense = boost_mod.apply_boost_dense_device(dense, bv_j, pres_j, b)
+            continue
         vals, present = persistence.get_boost(boost_path)
         old = dense = _to_host(dense)
         dense = boost_mod.apply_boost_dense(dense, vals, present, b)
@@ -708,12 +746,23 @@ def search(request: Request, persistence) -> SearchResult:
             if v
         ]
         if group_arrays:
-            dense = (
-                _to_host(dense)
-                * boost_mod.phrase_boost_factor(group_arrays, ctx.num_docs)
-            ).astype(_F32)
-            # boosts only apply to existing hits
-            dense = np.where(dense > 0, dense, _F32(0.0))
+            if _is_host(dense):
+                dense = (
+                    _to_host(dense)
+                    * boost_mod.phrase_boost_factor(group_arrays, ctx.num_docs)
+                ).astype(_F32)
+                # boosts only apply to existing hits
+                dense = np.where(dense > 0, dense, _F32(0.0))
+            else:
+                import jax.numpy as jnp
+
+                factor = boost_mod.scatter_factor_device(
+                    [np.unique(np.asarray(g, dtype=np.int64)) for g in group_arrays],
+                    ctx.num_docs,
+                    [5.0] * len(group_arrays),
+                )
+                dense = dense * factor
+                dense = jnp.where(dense > 0, dense, _F32(0.0))
 
     # merge per-field metadata from the main tree (merge_term_id_hits)
     term_id_hits: Dict[str, Dict[str, List[int]]] = {}
@@ -732,17 +781,29 @@ def search(request: Request, persistence) -> SearchResult:
         def run_part(part, **kw):
             return get_term_ids_in_field(persistence, part, **kw)
 
-        factor = boost_mod.term_boost_factor(
-            persistence, request.boost_term, ctx.num_docs, run_part
-        )
-        dense = (_to_host(dense) * factor).astype(_F32)
+        if _is_host(dense):
+            factor = boost_mod.term_boost_factor(
+                persistence, request.boost_term, ctx.num_docs, run_part
+            )
+            dense = (dense * factor).astype(_F32)
+        else:
+            dense = dense * boost_mod.term_boost_factor_device(
+                persistence, request.boost_term, ctx.num_docs, run_part
+            )
 
     # text locality (boost.rs:11-87)
     if request.text_locality:
         factor = boost_mod.text_locality_boost(
             persistence, term_id_hits, ctx.num_docs
         )
-        dense = (_to_host(dense) * factor).astype(_F32)
+        if _is_host(dense):
+            dense = (dense * factor).astype(_F32)
+        else:
+            import jax.numpy as jnp
+
+            # factor computation is join-heavy host work either way; ship
+            # the finished [num_docs] factor once
+            dense = dense * jnp.asarray(factor)
 
     result.why_found_terms = term_texts
 
