@@ -1,0 +1,545 @@
+"""Mesh serving path: the FULL generic request surface executed over a
+document-sharded `jax.sharding.Mesh` — reachable from ``search()``.
+
+The dense-vector execution model shards naturally on the document axis:
+every ``[num_docs]`` score/mask/factor vector becomes ``[D, docs_per_shard]``
+with a ``NamedSharding(P("d", None))``. Per-shard work (posting resolve,
+set ops, boosts, filters) is local — elementwise ops on sharded arrays need
+no communication at all; the only collectives are the per-query top-k merge
+(`all_gather` over ICI), the hit-count `psum`, and facet-count `psum` —
+exactly the reference's k-merge/filter-broadcast seams (set_op.rs:159,
+plan_steps.rs:357-366) mapped onto ICI.
+
+Usage::
+
+    mesh = build_mesh(n_docs_shards=8)
+    persistence.attach_mesh(mesh)   # shards postings/boosts/facets lazily
+    search(request, persistence)    # -> executes on the mesh
+
+Scope: search trees (exact/fuzzy/prefix leaves through the host term match),
+filters, every boost family, phrase boosts, term boosts, text locality,
+facets, skip/top. `explain` falls back to the unsharded path (host
+snapshots). Reference parity semantics identical to search/executor.py.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+from ..create import TEXTINDEX, TO_ANCHOR_ID_SCORE
+
+__all__ = ["MeshContext", "mesh_search", "build_doc_mesh"]
+
+_F32 = np.float32
+
+
+def build_doc_mesh(n_shards: int, devices=None):
+    import jax
+    from jax.sharding import Mesh
+
+    devices = devices if devices is not None else jax.devices()
+    assert len(devices) >= n_shards
+    return Mesh(np.array(devices[:n_shards]), axis_names=("d",))
+
+
+class _ShardedField:
+    """Anchor-range-sharded postings of one field: device arrays [D, ...]
+    with the shard axis laid over mesh axis ``d``."""
+
+    def __init__(self, store, num_docs: int, mesh) -> None:
+        import jax
+        import jax.numpy as jnp
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        d = mesh.shape["d"]
+        dps = -(-num_docs // d)
+        offsets = np.asarray(store.offsets, dtype=np.int64)
+        anchors = np.asarray(store.anchors, dtype=np.int64)
+        scores01 = store.scores.astype(np.float32) / np.float32(100.0)
+        num_keys = store.num_keys
+        counts = np.diff(offsets).astype(np.int64)
+        keys = np.repeat(np.arange(num_keys, dtype=np.int64), counts)
+        shard_of = anchors // dps
+
+        per_shard = []
+        max_nnz = 8
+        for i in range(d):
+            sel = shard_of == i
+            k = keys[sel]
+            a = (anchors[sel] - i * dps).astype(np.int32)
+            s = scores01[sel]
+            off = np.zeros(num_keys + 2, dtype=np.int32)
+            np.cumsum(np.bincount(k, minlength=num_keys), out=off[1 : num_keys + 1])
+            off[num_keys + 1] = off[num_keys]
+            per_shard.append((off, a, s))
+            max_nnz = max(max_nnz, len(a))
+        max_nnz = -(-max_nnz // 128) * 128
+        off_stack = np.zeros((d, num_keys + 2), dtype=np.int32)
+        a_stack = np.full((d, max_nnz), dps, dtype=np.int32)
+        s_stack = np.zeros((d, max_nnz), dtype=np.float32)
+        for i, (off, a, s) in enumerate(per_shard):
+            off_stack[i] = off
+            a_stack[i, : len(a)] = a
+            s_stack[i, : len(s)] = s
+        self.host_offsets = off_stack  # for capacity sizing
+        sh = NamedSharding(mesh, P("d", None))
+        self.offsets = jax.device_put(off_stack, sh)
+        self.anchors = jax.device_put(a_stack, sh)
+        self.scores01 = jax.device_put(s_stack, sh)
+        self.num_keys = num_keys
+
+
+class MeshContext:
+    """Per-persistence mesh state: sharded postings / boost columns / facet
+    relations, all built lazily and cached."""
+
+    def __init__(self, persistence, mesh) -> None:
+        self.persistence = persistence
+        self.mesh = mesh
+        self.d = mesh.shape["d"]
+        self.num_docs = persistence.num_docs
+        self.dps = -(-self.num_docs // self.d)
+        self.fields: Dict[str, _ShardedField] = {}
+        self.boosts: Dict[str, tuple] = {}
+        self.facet_rel: Dict[str, tuple] = {}
+        self._sharding = None
+
+    # ------------------------------------------------------------- plumbing
+    def sharding(self):
+        if self._sharding is None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            self._sharding = NamedSharding(self.mesh, P("d", None))
+        return self._sharding
+
+    def field(self, field: str) -> Optional[_ShardedField]:
+        field = field[: -len(TEXTINDEX)] if field.endswith(TEXTINDEX) else field
+        sf = self.fields.get(field)
+        if sf is None:
+            store = self.persistence.anchor_scores.get(
+                field + TEXTINDEX + TO_ANCHOR_ID_SCORE
+            )
+            if store is None:
+                return None
+            sf = _ShardedField(store, self.num_docs, self.mesh)
+            self.fields[field] = sf
+        return sf
+
+    def shard_host_vector(self, vec: np.ndarray, fill=0):
+        """Host [num_docs] vector -> device [D, dps] with the d sharding."""
+        import jax
+
+        padded = np.full(self.d * self.dps, fill, dtype=vec.dtype)
+        padded[: len(vec)] = vec[: self.num_docs]
+        return jax.device_put(padded.reshape(self.d, self.dps), self.sharding())
+
+    def boost_column(self, boost_path: str):
+        cached = self.boosts.get(boost_path)
+        if cached is None:
+            vals, present = self.persistence.get_boost(boost_path)
+            v = np.zeros(self.num_docs, dtype=np.float32)
+            p = np.zeros(self.num_docs, dtype=bool)
+            m = min(self.num_docs, len(vals))
+            v[:m] = vals[:m]
+            p[:m] = present[:m]
+            cached = (self.shard_host_vector(v), self.shard_host_vector(p, fill=False))
+            self.boosts[boost_path] = cached
+        return cached
+
+    # ------------------------------------------------------------- kernels
+    def resolve_leaf(self, field: str, term_ids, term_scores):
+        """Matched term ids -> sharded dense [D, dps] score plane."""
+        import jax
+        import jax.numpy as jnp
+        from jax.sharding import PartitionSpec as P
+
+        from ..ops.postings import bucket_size
+        from ..ops.search_step import _gather_postings
+
+        sf = self.field(field)
+        if sf is None:
+            return self.zeros()
+        term_ids = np.asarray(term_ids, dtype=np.int64)
+        term_ids = np.where(term_ids < sf.num_keys, term_ids, -1)
+        t_pad = bucket_size(max(len(term_ids), 1), 8)
+        tid = np.full(t_pad, -1, dtype=np.int32)
+        tid[: len(term_ids)] = term_ids.astype(np.int32)
+        tsc = np.zeros(t_pad, dtype=np.float32)
+        tsc[: len(term_scores)] = np.asarray(term_scores, dtype=np.float32)
+        # capacity: the worst shard's total for these terms
+        ho = sf.host_offsets
+        safe = np.where(tid >= 0, tid, 0)
+        tot = np.where(
+            tid[None, :] >= 0, ho[:, safe + 1] - ho[:, safe], 0
+        ).sum(axis=1)
+        capacity = bucket_size(max(int(tot.max()), 1))
+        tid_j, tsc_j = jnp.asarray(tid), jnp.asarray(tsc)
+        dps = self.dps
+
+        def step(offs, anc, sc):
+            a, s, _seg = _gather_postings(
+                offs[0], anc[0], sc[0], tid_j, tsc_j, capacity, dps
+            )
+            dense = jax.ops.segment_max(s, a, num_segments=dps + 1)[:dps]
+            return jnp.where(jnp.isfinite(dense), dense, 0.0)[None]
+
+        fn = jax.jit(
+            jax.shard_map(
+                step,
+                mesh=self.mesh,
+                in_specs=(P("d", None), P("d", None), P("d", None)),
+                out_specs=P("d", None),
+                check_vma=False,
+            )
+        )
+        return fn(sf.offsets, sf.anchors, sf.scores01)
+
+    def zeros(self):
+        import jax
+        import jax.numpy as jnp
+
+        return jax.device_put(
+            jnp.zeros((self.d, self.dps), jnp.float32), self.sharding()
+        )
+
+    def topk(self, dense, k: int):
+        """Exact global top-k by (score desc, id desc): per-shard two-stage
+        top-k, `all_gather` over ICI, stable merge (shards concatenated in
+        REVERSE order so the stable top_k tie-break = global id desc)."""
+        import jax
+        import jax.numpy as jnp
+        from jax.sharding import PartitionSpec as P
+
+        from ..ops.topk import topk_dense_exact
+
+        dps = self.dps
+        kk = min(k, dps)
+
+        def step(d):
+            local = d[0]
+            ids, scores = topk_dense_exact(local, kk)
+            shard = jax.lax.axis_index("d").astype(jnp.int32)
+            gids = ids + shard * dps
+            s_all = jax.lax.all_gather(scores, "d")  # [D, kk]
+            i_all = jax.lax.all_gather(gids, "d")
+            s_flat = s_all[::-1].reshape(-1)
+            i_flat = i_all[::-1].reshape(-1)
+            km = min(k, s_flat.shape[0])
+            ms, mi = jax.lax.top_k(s_flat, km)
+            hits = jnp.sum(local > 0, dtype=jnp.int32)
+            total = jax.lax.psum(hits, "d")
+            return i_flat[mi][None], ms[None], total[None]
+
+        fn = jax.jit(
+            jax.shard_map(
+                step,
+                mesh=self.mesh,
+                in_specs=(P("d", None),),
+                out_specs=(P(None, None), P(None, None), P(None)),
+                check_vma=False,
+            )
+        )
+        ids, scores, num_hits = fn(dense)
+        ids, scores, num_hits = jax.device_get((ids, scores, num_hits))
+        return ids[0], scores[0], int(num_hits[0])
+
+    def facet_counts(self, path: str, store, dense) -> np.ndarray:
+        """Sharded facet counting: local masked segment-sum + psum over d."""
+        import jax
+        import jax.numpy as jnp
+        from jax.sharding import PartitionSpec as P
+
+        from ..search.facet import _pairs_of
+
+        cached = self.facet_rel.get(path)
+        if cached is None:
+            sources, targets = _pairs_of(store)
+            num_targets = int(targets.max()) + 1 if len(targets) else 1
+            shard_of = sources // self.dps
+            per = []
+            mx = 8
+            for i in range(self.d):
+                sel = shard_of == i
+                per.append(
+                    (
+                        (sources[sel] - i * self.dps).astype(np.int32),
+                        targets[sel].astype(np.int32),
+                    )
+                )
+                mx = max(mx, int(sel.sum()))
+            mx = -(-mx // 128) * 128
+            src = np.full((self.d, mx), self.dps, dtype=np.int32)
+            tgt = np.zeros((self.d, mx), dtype=np.int32)
+            for i, (s, t) in enumerate(per):
+                src[i, : len(s)] = s
+                tgt[i, : len(t)] = t
+            cached = (
+                jax.device_put(src, self.sharding()),
+                jax.device_put(tgt, self.sharding()),
+                num_targets,
+            )
+            self.facet_rel[path] = cached
+        src_j, tgt_j, num_targets = cached
+        dps = self.dps
+
+        def step(src, tgt, d):
+            src, tgt, local = src[0], tgt[0], d[0]
+            mask = local > 0
+            ok = src < dps
+            w = jnp.where(ok, mask[jnp.minimum(src, dps - 1)], False).astype(
+                jnp.int32
+            )
+            counts = jax.ops.segment_sum(w, tgt, num_segments=num_targets)
+            return jax.lax.psum(counts, "d")[None]
+
+        fn = jax.jit(
+            jax.shard_map(
+                step,
+                mesh=self.mesh,
+                in_specs=(P("d", None), P("d", None), P("d", None)),
+                out_specs=P(None, None),
+                check_vma=False,
+            )
+        )
+        return np.asarray(fn(src_j, tgt_j, dense)[0])
+
+
+# ---------------------------------------------------------------- search
+
+
+def mesh_search(request, persistence):
+    """Generic search over the attached mesh — mirrors executor.search()'s
+    device path with sharded vectors. Returns a SearchResult."""
+    import time
+
+    import jax.numpy as jnp
+
+    from ..error import InvalidRequestError
+    from ..query.request import SearchRequest
+    from ..search import boost as boost_mod
+    from ..search.executor import _Ctx, _collect_parts, _matching_1n_boost
+    from ..search.facet import get_facet
+    from ..search.result import Hit, SearchResult
+    from ..search.why_found import get_why_found
+    from ..utils import get_steps_to_anchor
+    from ..create import ANCHOR_TO_TEXT_ID, PARENT_TO_VALUE_ID
+
+    start = time.time_ns()
+    mc: MeshContext = persistence.mesh_ctx
+    top = request.top if request.top is not None else 10
+    skip = request.skip or 0
+
+    ctx = _Ctx(persistence, request)
+    _collect_parts(ctx, request)
+    ctx.run_field_searches()
+
+    boosts = list(request.boost or [])
+
+    def eval_scores(node):
+        if node.kind == SearchRequest.SEARCH:
+            part = node.part
+            fsr = ctx.result_for(part)
+            field = fsr.path[: -len(TEXTINDEX)]
+            dense = mc.resolve_leaf(field, fsr.term_ids, fsr.term_scores)
+            sub = list(boosts)
+            if part.options and part.options.get("boost"):
+                from ..query.request import RequestBoostPart
+
+                sub += [RequestBoostPart.from_dict(b) for b in part.options["boost"]]
+            b1n = _matching_1n_boost(part, sub)
+            if b1n is not None:
+                anchors, bvals = boost_mod.boost_to_anchor_values(
+                    persistence, fsr.path, b1n, fsr.term_ids
+                )
+                factor_like = _apply_anchor_boost_sharded(
+                    mc, dense, anchors, bvals, b1n
+                )
+                dense = factor_like
+            return dense, part.terms[0]
+        children = [eval_scores(q) for q in node.queries]
+        if not children:
+            return mc.zeros(), ""
+        if len(children) == 1:
+            return children[0]
+        if node.kind == SearchRequest.OR:
+            terms = sorted({t for _d, t in children})
+            total = mc.zeros()
+            distinct = jnp.zeros((mc.d, mc.dps), jnp.int32)
+            for t in terms:
+                vecs = [d for d, tt in children if tt == t]
+                mx = vecs[0]
+                for v in vecs[1:]:
+                    mx = jnp.maximum(mx, v)
+                total = total + mx
+                distinct = distinct + (mx >= _F32(1e-5)).astype(jnp.int32)
+            df = distinct.astype(jnp.float32)
+            return total * df * df, children[0][1]
+        if node.kind == SearchRequest.AND:
+            mask = None
+            for d, _t in children:
+                m = d > 0
+                mask = m if mask is None else (mask & m)
+            total = mc.zeros()
+            for d, _t in children:
+                total = total + d
+            return jnp.where(mask, total, _F32(0.0)), children[0][1]
+        raise InvalidRequestError(f"unknown node kind {node.kind}")
+
+    dense, _t = eval_scores(request.search_req)
+
+    # filter (host-resolved anchors -> sharded bool mask)
+    if request.filter is not None:
+        mask_host = _filter_mask_host(ctx, request.filter)
+        dense = jnp.where(mc.shard_host_vector(mask_host, fill=False), dense, _F32(0.0))
+
+    # anchor-level boost columns
+    from ..create import BOOST_VALID_TO_VALUE
+
+    for b in boosts:
+        if "[]" in b.path:
+            continue
+        boost_path = b.path
+        if not boost_path.endswith(BOOST_VALID_TO_VALUE):
+            boost_path = boost_path + BOOST_VALID_TO_VALUE
+        bv_j, pres_j = mc.boost_column(boost_path)
+        dense = boost_mod.apply_boost_dense_device(dense, bv_j, pres_j, b)
+
+    # phrase boosts
+    if request.phrase_boosts:
+        from ..create import PHRASE_PAIR_TO_ANCHOR
+
+        groups: Dict[tuple, List[np.ndarray]] = {}
+        for pb in request.phrase_boosts:
+            if pb.search1.path != pb.search2.path:
+                raise InvalidRequestError("phrase boost paths must match")
+            r1 = ctx.result_for(pb.search1)
+            r2 = ctx.result_for(pb.search2)
+            store = persistence.phrase_indices.get(r1.path + PHRASE_PAIR_TO_ANCHOR)
+            if store is None:
+                continue
+            anchors = store.get_values_for_pairs(r1.hits_ids, r2.hits_ids)
+            groups.setdefault((pb.search1.terms[0], pb.search2.terms[0]), []).append(
+                anchors
+            )
+        group_arrays = [
+            np.concatenate(v) if len(v) > 1 else v[0] for v in groups.values() if v
+        ]
+        if group_arrays:
+            factor = boost_mod.phrase_boost_factor(group_arrays, mc.num_docs)
+            dense = dense * mc.shard_host_vector(factor)
+            dense = jnp.where(dense > 0, dense, _F32(0.0))
+
+    # term metadata for why_found / text locality
+    term_id_hits: Dict[str, Dict[str, List[int]]] = {}
+    term_texts: Dict[str, List[str]] = {}
+    for part in request.search_req.walk_parts():
+        fsr = ctx.result_for(part)
+        for path, m in fsr.term_id_hits_in_field.items():
+            term_id_hits.setdefault(path, {}).update(m)
+        for path, texts in fsr.term_text_in_field.items():
+            term_texts.setdefault(path, []).extend(texts)
+
+    result = SearchResult()
+
+    if request.boost_term:
+        from ..search.field_search import get_term_ids_in_field
+
+        def run_part(part, **kw):
+            return get_term_ids_in_field(persistence, part, **kw)
+
+        factor = boost_mod.term_boost_factor(
+            persistence, request.boost_term, mc.num_docs, run_part
+        )
+        dense = dense * mc.shard_host_vector(factor)
+
+    if request.text_locality:
+        factor = boost_mod.text_locality_boost(persistence, term_id_hits, mc.num_docs)
+        dense = dense * mc.shard_host_vector(factor)
+
+    result.why_found_terms = term_texts
+
+    ids, scores, num_hits = mc.topk(dense, top + skip)
+    result.num_hits = num_hits
+
+    if request.facets:
+        facets = {}
+        for f in request.facets:
+            steps = get_steps_to_anchor(f.field)
+            fast_anchor_path = steps[-1] + ANCHOR_TO_TEXT_ID
+            path = (
+                steps[0] + PARENT_TO_VALUE_ID
+                if len(steps) == 1
+                else fast_anchor_path
+            )
+            store = persistence.key_value_stores.get(path)
+            if store is not None and (
+                len(steps) == 1 or persistence.has_index(fast_anchor_path)
+            ):
+                counts = mc.facet_counts(path, store, dense)
+                value_ids = np.flatnonzero(counts)
+                vals = counts[value_ids]
+                order = np.argsort(-vals, kind="stable")
+                if f.top is not None:
+                    order = order[: f.top]
+                dictionary = persistence.get_dictionary(steps[-1])
+                facets[f.field] = [
+                    (dictionary.ord_to_term(int(value_ids[i])), int(vals[i]))
+                    for i in order
+                ]
+            else:
+                # slow join path: host mask
+                import jax
+
+                mask = np.asarray(jax.device_get(dense)).reshape(-1)[
+                    : mc.num_docs
+                ] > 0
+                facets[f.field] = get_facet(persistence, f, mask)
+        result.facets = facets
+
+    mask = scores > 0
+    ids, scores = np.asarray(ids)[mask], np.asarray(scores)[mask]
+    ids, scores = ids[skip:], scores[skip:]
+    result.data = [Hit(int(i), float(s)) for i, s in zip(ids[:top], scores[:top])]
+
+    if request.why_found and request.select is not None:
+        result.why_found_info = get_why_found(
+            persistence, [h.id for h in result.data], term_id_hits
+        )
+
+    result.execution_time_ns = time.time_ns() - start
+    return result
+
+
+def _filter_mask_host(ctx, node) -> np.ndarray:
+    from ..search.executor import _eval_ids
+
+    return _eval_ids(ctx, node)
+
+
+def _apply_anchor_boost_sharded(mc, dense, anchors, bvals, boost_part):
+    """1:n boost on a sharded dense plane: the host builds the per-anchor
+    accumulation planes ONCE (`anchor_boost_accs` — shared with the host
+    path so float semantics are identical), then the composition runs
+    elementwise on the sharded vector."""
+    import jax.numpy as jnp
+
+    from ..search.boost import HIT_EPS, anchor_boost_accs
+
+    if len(anchors) == 0:
+        return dense
+    facmul, addacc, repl = anchor_boost_accs(
+        mc.num_docs, anchors, bvals, boost_part
+    )
+    hit = dense > 0
+    out = dense
+    if facmul is not None:
+        out = jnp.where(hit, out * mc.shard_host_vector(facmul), out)
+    if repl is not None:
+        r_j = mc.shard_host_vector(repl, fill=np.nan)
+        out = jnp.where(hit & ~jnp.isnan(r_j), r_j, out)
+    if addacc is not None:
+        out = jnp.where(hit, out + mc.shard_host_vector(addacc), out)
+    out = jnp.where(hit, jnp.maximum(out, HIT_EPS), out)
+    return out

@@ -175,6 +175,7 @@ class Persistence:
         self._device_fields: Dict[str, DeviceField] = {}
         self.path: Optional[str] = None
         self.term_boost_cache: Dict = {}
+        self.mesh_ctx = None  # set by attach_mesh()
 
     # ------------------------------------------------------------------ build
     @classmethod
@@ -476,6 +477,18 @@ class Persistence:
             )
         self._device_fields[field] = dev
         return dev
+
+    def attach_mesh(self, mesh) -> None:
+        """Attach a `jax.sharding.Mesh` (axis name ``d``): subsequent
+        `search()` calls execute the generic path with document-sharded
+        dense vectors and ICI collectives (parallel/mesh_executor.py)."""
+        from .parallel.mesh_executor import MeshContext
+
+        self.mesh_ctx = MeshContext(self, mesh)
+        self.invalidate_device_cache()
+
+    def detach_mesh(self) -> None:
+        self.mesh_ctx = None
 
     def device_boost(self, boost_path: str):
         """Device copy of a boost column, padded to [num_docs]:

@@ -370,6 +370,45 @@ def boost_to_anchor_values(
     return np.asarray(anchors, dtype=np.int64), np.asarray(out_vals, dtype=_F32)
 
 
+def anchor_boost_accs(
+    n: int, anchors: np.ndarray, boost_vals: np.ndarray, boost_part
+):
+    """Per-anchor accumulation planes for a 1:n boost: (facmul, addacc,
+    repl) host arrays, each None when inactive. Shared by the host, device
+    and mesh application paths so float semantics are identical."""
+    anchors = np.asarray(anchors)
+    keep = anchors < n
+    anchors = anchors[keep]
+    boost_vals = np.asarray(boost_vals, dtype=_F32)[keep]
+    param = _F32(boost_part.param or 0.0)
+    b = boost_vals + param
+    fun = boost_part.boost_fun
+    facmul = addacc = repl = None
+    with np.errstate(divide="ignore", invalid="ignore"):
+        if fun in ("Log10", "Log2", "Multiply"):
+            if fun == "Log10":
+                factors = np.log10(b, dtype=_F32)
+            elif fun == "Log2":
+                factors = np.log2(b, dtype=_F32)
+            else:
+                factors = b
+            facmul = np.ones(n, dtype=_F32)
+            np.multiply.at(facmul, anchors, factors)
+        elif fun == "Add":
+            addacc = np.zeros(n, dtype=_F32)
+            np.add.at(addacc, anchors, b)
+        elif fun == "Replace":
+            repl = np.full(n, np.nan, dtype=_F32)
+            repl[anchors] = b  # later occurrences overwrite = "last wins"
+    if boost_part.expression:
+        expr = ScoreExpression(boost_part.expression)
+        adds = _expr_vec(expr, boost_vals)
+        if addacc is None:
+            addacc = np.zeros(n, dtype=_F32)
+        np.add.at(addacc, anchors, adds)
+    return facmul, addacc, repl
+
+
 def apply_anchor_boost_values(
     dense: np.ndarray, anchors: np.ndarray, boost_vals: np.ndarray, boost_part
 ) -> np.ndarray:
@@ -379,39 +418,15 @@ def apply_anchor_boost_values(
     if len(anchors) == 0:
         return dense
     n = len(dense)
-    keep = anchors < n
-    anchors = anchors[keep]
-    boost_vals = boost_vals[keep]
-    param = _F32(boost_part.param or 0.0)
-    b = boost_vals.astype(_F32) + param
-    fun = boost_part.boost_fun
+    facmul, addacc, repl = anchor_boost_accs(n, anchors, boost_vals, boost_part)
     out = dense.copy()
     hit_mask = dense > 0
-
-    if fun in ("Log10", "Log2", "Multiply"):
-        if fun == "Log10":
-            factors = np.log10(b, dtype=_F32)
-        elif fun == "Log2":
-            factors = np.log2(b, dtype=_F32)
-        else:
-            factors = b
-        acc = np.ones(n, dtype=_F32)
-        np.multiply.at(acc, anchors, factors)
-        out = np.where(hit_mask, out * acc, out)
-    elif fun == "Add":
-        acc = np.zeros(n, dtype=_F32)
-        np.add.at(acc, anchors, b)
-        out = np.where(hit_mask, out + acc, out)
-    elif fun == "Replace":
-        repl = np.full(n, np.nan, dtype=_F32)
-        repl[anchors] = b  # later occurrences overwrite = "last wins"
+    if facmul is not None:
+        out = np.where(hit_mask, out * facmul, out)
+    if repl is not None:
         out = np.where(hit_mask & ~np.isnan(repl), repl, out)
-    if boost_part.expression:
-        expr = ScoreExpression(boost_part.expression)
-        adds = _expr_vec(expr, boost_vals.astype(_F32))
-        acc = np.zeros(n, dtype=_F32)
-        np.add.at(acc, anchors, adds)
-        out = np.where(hit_mask, out + acc, out)
+    if addacc is not None:
+        out = np.where(hit_mask, out + addacc, out)
     out = np.where(hit_mask, np.maximum(out, HIT_EPS), out)
     return out.astype(_F32)
 

@@ -653,6 +653,15 @@ def search(request: Request, persistence) -> SearchResult:
         raise InvalidRequestError("search_req is required in search")
     top = request.top if request.top is not None else 10
 
+    # mesh serving path: document-sharded dense execution over the attached
+    # jax Mesh (explain falls back — it collects host score snapshots)
+    if getattr(persistence, "mesh_ctx", None) is not None and not (
+        request.explain or request.suggest
+    ):
+        from ..parallel.mesh_executor import mesh_search
+
+        return mesh_search(request, persistence)
+
     skip0 = request.skip or 0
     fast = _try_fast_path(request, persistence, top + skip0)
     if fast is None:
