@@ -29,3 +29,32 @@ def jax_devices():
     import jax
 
     return jax.devices()
+
+
+# ---------------------------------------------------------------------------
+# Whole-suite env matrix (reference .github/workflows/rust.yml:27-34 runs the
+# ENTIRE suite under {default, Persistent, Persistent+FlushThreshold=20,
+# Transient}). `tools/run_matrix.sh` drives the same matrix here:
+#
+#   PersistenceType=Persistent  -> every in-process build round-trips through
+#                                  save() + mmap load() (this hook)
+#   VELOCI_SPILL_PAIRS=1        -> all index packing goes through the
+#                                  external-sort spill machinery (read at
+#                                  import by veloci_tpu.spill)
+#   VELOCI_DEVICE_MIN_DOCS=1    -> integration modules execute the device
+#                                  paths (read at import by the executor)
+# ---------------------------------------------------------------------------
+if os.environ.get("PersistenceType") == "Persistent":
+    import tempfile
+
+    from veloci_tpu.persistence import Persistence as _P
+
+    _orig_create = _P.create_from_str.__func__
+
+    def _persistent_create(cls, data_str, indices="{}", **kw):
+        built = _orig_create(cls, data_str, indices, **kw)
+        d = tempfile.mkdtemp(prefix="veloci_matrix_")
+        built.save(d)
+        return _P.load(d)
+
+    _P.create_from_str = classmethod(_persistent_create)
