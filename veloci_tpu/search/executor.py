@@ -935,31 +935,144 @@ def suggest(persistence, request: Request):
 
 
 def explain_plan(request: Request, persistence) -> str:
-    """Textual plan rendering (reference renders graphviz, plan.rs:81-125)."""
+    """Render the EXECUTED plan as graphviz dot (reference plan.rs:81-125):
+    the compiler's actual structure — deduplicated field searches with their
+    reuse counts (the FieldRequestCache), the filter subtree computed once
+    and broadcast, 1:n boost splits (ResolveTokenIdToAnchor ∥ BoostToAnchor
+    → ApplyAnchorBoost), and which execution path the request takes
+    (fused single-term / fused union / fused fuzzy / mesh / device tree /
+    host tree)."""
     lines = ["digraph plan {"]
 
-    def walk(node: SearchRequest, depth: int) -> str:
+    # --- run the compiler's collection phase (dedup cache + flags) --------
+    ctx = _Ctx(persistence, request)
+    _collect_parts(ctx, request)
+    refs: Dict[tuple, int] = {}
+
+    def count_refs(node: Optional[SearchRequest]):
+        if node is None:
+            return
+        for part in node.walk_parts():
+            refs[part.key()] = refs.get(part.key(), 0) + 1
+
+    count_refs(request.search_req)
+    count_refs(request.filter)
+    for pb in request.phrase_boosts or []:
+        for p in (pb.search1, pb.search2):
+            refs[p.key()] = refs.get(p.key(), 0) + 1
+
+    # --- which execution path will run? -----------------------------------
+    if getattr(persistence, "mesh_ctx", None) is not None:
+        mode = f"mesh ({persistence.mesh_ctx.d} doc shards, ICI top-k merge)"
+    else:
+        plain = not any(
+            (
+                request.filter, request.boost, request.boost_term,
+                request.phrase_boosts, request.facets, request.why_found,
+                request.text_locality, request.explain, request.suggest,
+            )
+        )
+        big = persistence.num_docs >= SMALL_DOCS
+        node = request.search_req
+        flat = node is not None and (
+            node.kind == SearchRequest.SEARCH
+            or (
+                node.kind in (SearchRequest.OR, SearchRequest.AND)
+                and all(q.kind == SearchRequest.SEARCH for q in node.queries)
+            )
+        )
+        fuzzy_leaf = (
+            node is not None
+            and node.kind == SearchRequest.SEARCH
+            and (node.part.levenshtein_distance or 0) > 0
+        )
+        if plain and big and flat and not fuzzy_leaf:
+            leaves = [node.part] if node.kind == SearchRequest.SEARCH else [
+                q.part for q in node.queries
+            ]
+            if len(leaves) == 1:
+                mode = "fused single-term kernel (dynamic_slice + 2-stage top-k)"
+            elif node.kind == SearchRequest.AND:
+                mode = "fused intersect kernel"
+            else:
+                mode = "fused union kernel"
+        elif plain and big and fuzzy_leaf:
+            mode = "fused fuzzy kernel (banded Pallas sweep + resolve + top-k)"
+        elif big:
+            mode = "device tree (dense vectors resident in HBM)"
+        else:
+            mode = "host tree (numpy dense vectors)"
+    lines.append(f'  path [label="execution path: {mode}", shape=note];')
+
+    # --- deduplicated field-search nodes (FieldRequestCache) --------------
+    fs_name: Dict[tuple, str] = {}
+    for i, (key, part) in enumerate(ctx.parts.items()):
+        fl = ctx.flags[key]
+        flags = "+".join(
+            n for n, on in (
+                ("scores", fl.get_scores),
+                ("ids", fl.get_ids),
+                ("term_hits", fl.store_term_id_hits),
+            ) if on
+        )
+        reuse = refs.get(key, 1)
+        reuse_txt = f", reused x{reuse}" if reuse > 1 else ""
+        name = f"fs{i}"
+        fs_name[key] = name
+        lines.append(
+            f'  {name} [label="field_search {part.path} {part.terms}'
+            f' [{flags}{reuse_txt}]", shape=box];'
+        )
+
+    boosts = list(request.boost or [])
+
+    def walk(node: SearchRequest) -> str:
         name = f"n{len(lines)}"
         if node.kind == SearchRequest.SEARCH:
-            lines.append(
-                f'  {name} [label="search {node.part.path} {node.part.terms}"];'
-            )
-        else:
-            lines.append(f'  {name} [label="{node.kind}"];')
-            for q in node.queries:
-                child = walk(q, depth + 1)
-                lines.append(f"  {child} -> {name};")
+            b1n = _matching_1n_boost(node.part, boosts)
+            if b1n is not None:
+                # the 1:n boost split (execution_plan.rs:439-443)
+                lines.append(f'  {name} [label="resolve_to_anchor"];')
+                lines.append(f"  {fs_name[node.part.key()]} -> {name};")
+                bname = f"n{len(lines)}"
+                lines.append(
+                    f'  {bname} [label="boost_to_anchor {b1n.path}"];'
+                )
+                lines.append(f"  {fs_name[node.part.key()]} -> {bname};")
+                aname = f"n{len(lines)}"
+                lines.append(f'  {aname} [label="apply_anchor_boost"];')
+                lines.append(f"  {name} -> {aname};")
+                lines.append(f"  {bname} -> {aname};")
+                return aname
+            lines.append(f'  {name} [label="resolve_to_anchor"];')
+            lines.append(f"  {fs_name[node.part.key()]} -> {name};")
+            return name
+        lines.append(
+            f'  {name} [label="{"union" if node.kind == SearchRequest.OR else "intersect"}"];'
+        )
+        for q in node.queries:
+            child = walk(q)
+            lines.append(f"  {child} -> {name};")
         return name
 
     if request.search_req is not None:
-        final = walk(request.search_req, 0)
+        final = walk(request.search_req)
         if request.filter is not None:
-            fnode = walk(request.filter, 0)
-            lines.append('  fstep [label="intersect scores with filter ids"];')
-            lines.append(f"  {fnode} -> fstep;")
+            fchildren = [
+                fs_name[p.key()] for p in request.filter.walk_parts()
+            ]
+            lines.append(
+                '  filter [label="filter mask (computed ONCE, broadcast)", shape=box];'
+            )
+            for c in fchildren:
+                lines.append(f"  {c} -> filter;")
+            lines.append('  fstep [label="intersect scores with filter mask"];')
+            lines.append("  filter -> fstep;")
             lines.append(f"  {final} -> fstep;")
             final = "fstep"
-        for b in request.boost or []:
+        for b in boosts:
+            if "[]" in b.path:
+                continue  # rendered as the 1:n split above
             name = f"n{len(lines)}"
             lines.append(
                 f'  {name} [label="boost {b.path} {b.boost_fun or b.expression}"];'
@@ -969,11 +1082,32 @@ def explain_plan(request: Request, persistence) -> str:
         for pb in request.phrase_boosts or []:
             name = f"n{len(lines)}"
             lines.append(
-                f'  {name} [label="phrase boost {pb.search1.terms[0]} {pb.search2.terms[0]}"];'
+                f'  {name} [label="phrase_pair_to_anchor {pb.search1.terms[0]} {pb.search2.terms[0]}"];'
             )
+            lines.append(f"  {fs_name[pb.search1.key()]} -> {name};")
+            lines.append(f"  {fs_name[pb.search2.key()]} -> {name};")
+            bname = f"n{len(lines)}"
+            lines.append(f'  {bname} [label="boost_anchor_from_phrase"];')
+            lines.append(f"  {name} -> {bname};")
+            lines.append(f"  {final} -> {bname};")
+            final = bname
+        if request.boost_term:
+            name = f"n{len(lines)}"
+            lines.append(f'  {name} [label="term_boost (LRU-cached anchors)"];')
             lines.append(f"  {final} -> {name};")
             final = name
-        lines.append('  result [label="top_k + fetch"];')
+        if request.text_locality:
+            name = f"n{len(lines)}"
+            lines.append(f'  {name} [label="text_locality_boost"];')
+            lines.append(f"  {final} -> {name};")
+            final = name
+        if request.facets:
+            fields = ",".join(f.field for f in request.facets)
+            lines.append(
+                f'  facets [label="facet counts ({fields}): masked segment-sum"];'
+            )
+            lines.append(f"  {final} -> facets;")
+        lines.append('  result [label="exact 2-stage top_k + fetch"];')
         lines.append(f"  {final} -> result;")
     lines.append("}")
     return "\n".join(lines)
