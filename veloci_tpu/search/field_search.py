@@ -167,21 +167,10 @@ def get_term_ids_in_field(
     aligned_prefixes: Optional[np.ndarray] = None
 
     if request.is_regex:
-        flags = re.IGNORECASE if ignore_case else 0
-        try:
-            pattern = re.compile(term, flags)
-        except re.error:
-            pattern = re.compile(re.escape(term), flags)
-        if request.starts_with:
-            matched = np.array(
-                [i for i, t in enumerate(dictionary.terms) if pattern.match(t)],
-                dtype=np.int64,
-            )
-        else:
-            matched = np.array(
-                [i for i, t in enumerate(dictionary.terms) if pattern.fullmatch(t)],
-                dtype=np.int64,
-            )
+        matched = _match_regex(
+            persistence, field, dictionary, term, ignore_case,
+            bool(request.starts_with),
+        )
     elif distance == 0 and not request.starts_with:
         if ignore_case:
             ids = dictionary.get_ignore_case(term)
@@ -275,6 +264,61 @@ def get_term_ids_in_field(
     # token_value boost (search_field.rs:391-395): per-token boost column
     _apply_token_value_boost(persistence, request, result)
     return result
+
+
+def _match_regex(
+    persistence, field: str, dictionary, term: str, ignore_case: bool,
+    starts_with: bool,
+) -> np.ndarray:
+    """Regex term matching: device DFA sweep as the O(N) prefilter, host
+    verification of the (small) candidate set for bit-exact `re` parity.
+
+    TPU-native replacement for the reference's regex-DFA x FST intersection
+    (search_field.rs:72-83): the pattern compiles to a class-alphabet DFA on
+    the host and sweeps the dictionary char matrix as one-hot matmuls
+    (ops/regex_dfa.py). The char matrix is lowercase, so the device runs a
+    CASE-FOLDED DFA — a superset of any case-sensitive match — and the host
+    re-verifies candidates plus the rows the matrix cannot represent (terms
+    > 32 chars, the empty term). VELOCI_REGEX_DEVICE=0 disables, =1 forces.
+    """
+    import os as _os
+
+    flags = re.IGNORECASE if ignore_case else 0
+    try:
+        pattern = re.compile(term, flags)
+    except re.error:
+        pattern = re.compile(re.escape(term), flags)
+    fn = pattern.match if starts_with else pattern.fullmatch
+
+    knob = _os.environ.get("VELOCI_REGEX_DEVICE", "")
+    use_device = knob != "0" and (knob == "1" or len(dictionary) >= 512)
+    if use_device and not any(ord(c) > 127 for c in term):
+        from ..ops.regex_dfa import compile_dfa, regex_match_device
+
+        dfa = compile_dfa(term, ignore_case=True)  # folded superset
+        if dfa is not None:
+            dev = persistence.device_field(field)
+            m = np.asarray(
+                regex_match_device(
+                    dev.chars, dev.lengths, dfa, prefix=starts_with
+                )
+            )
+            cand = np.flatnonzero(m[: len(dictionary)])
+            extra = list(dictionary.long_term_ids())
+            empty_id = dictionary.get("")
+            if empty_id is not None:
+                extra.append(empty_id)
+            if extra:
+                cand = np.unique(
+                    np.concatenate([cand, np.asarray(extra, dtype=np.int64)])
+                )
+            return np.array(
+                [i for i in cand if fn(dictionary.terms[int(i)])],
+                dtype=np.int64,
+            )
+    return np.array(
+        [i for i, t in enumerate(dictionary.terms) if fn(t)], dtype=np.int64
+    )
 
 
 def _apply_token_value_boost(persistence, request, result) -> None:
