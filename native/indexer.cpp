@@ -13,6 +13,7 @@
 // Build: g++ -O2 -std=c++17 -shared -fPIC -o libveloci_native.so indexer.cpp
 
 #include <algorithm>
+#include <cmath>
 #include <thread>
 #include <cstdint>
 #include <cstring>
@@ -299,6 +300,13 @@ struct TermEntry {
     uint32_t id = 0;
 };
 
+// packed .to_anchor_id_score index (built on demand by vl_pack_scores)
+struct PackedScores {
+    std::vector<uint64_t> offsets;  // [num_keys + 1]
+    std::vector<uint32_t> anchors;
+    std::vector<uint16_t> scores;
+};
+
 struct PathState {
     std::string name;
     PathConfig config;
@@ -334,6 +342,9 @@ struct PathState {
     std::string terms_blob;
     std::vector<uint32_t> occurrences;
     uint32_t num_terms = 0;
+    PackedScores* packed_scores = nullptr;
+
+    ~PathState() { delete packed_scores; }
 };
 
 struct IdPathState {
@@ -343,6 +354,7 @@ struct IdPathState {
     std::vector<uint32_t> anchor_id;
     uint32_t counter = 0;
 };
+
 
 struct IndexResult {
     std::vector<PathState*> paths;
@@ -628,6 +640,92 @@ void finalize_path(PathState& ps) {
     ps.handle_to_key.clear();
     ps.token_refs.clear();
     ps.token_refs.shrink_to_fit();
+}
+
+// ------------------------------------------------- anchor-score packing
+// The hot .to_anchor_id_score index built natively: entry generation
+// (text-level exact entries + per-(leaf, token) group entries), index-time
+// scoring (EXACT float32 port of calculate_score.rs:34-49 / the numpy
+// formulas in create.py:calculate_token_score_for_entry), sort by
+// (id, anchor), dedup to max score + min(count,5) multi-hit bonus
+// (create.rs:418-448), CSR emission.
+
+static inline uint32_t score_entry(float pos, float occ, float ntok,
+                                   bool is_exact) {
+    float score = is_exact ? 400.0f : 2000.0f / (log2f(pos + 10.0f) + 10.0f);
+    float occ_mod = log10f(occ + 1000.0f) - 2.0f;
+    occ_mod = occ_mod - (occ_mod - 1.0f) * 0.7f;
+    score = score / occ_mod;
+    float tl_mod = log10f(ntok + 10.0f);
+    tl_mod = tl_mod - (tl_mod - 1.0f) * 0.7f;
+    score = score / tl_mod;
+    return (uint32_t)score;
+}
+
+static void pack_scores(PathState& ps) {
+    if (ps.packed_scores) return;
+    auto* out = new PackedScores();
+    size_t n_text = ps.leaf_text_id.size();
+    size_t n_grp = ps.grp_token_ids.size();
+    std::vector<std::pair<uint64_t, uint32_t>> entries;
+    entries.reserve(n_text + n_grp);
+    // text-level exact entries (create_native.py: pos=-1 marker, occ from
+    // occurrences for real ids / 1 for synthetic large-text ids, ntok=1)
+    for (size_t i = 0; i < n_text; i++) {
+        int64_t id = ps.leaf_text_id[i];
+        float occ = (id >= 0 && id < (int64_t)ps.num_terms)
+                        ? (float)ps.occurrences[(size_t)id]
+                        : 1.0f;
+        uint32_t sc = score_entry(0.0f, occ, 1.0f, true);
+        entries.emplace_back(((uint64_t)id << 32) | ps.leaf_anchor[i], sc);
+    }
+    // token group entries
+    for (size_t g = 0; g < n_grp; g++) {
+        uint32_t tid = ps.grp_token_ids[g];
+        uint32_t leaf = ps.grp_leaf[g];
+        float occ = (float)ps.occurrences[tid];
+        float ntok = (float)ps.leaf_ntokens[leaf];
+        uint32_t sc =
+            score_entry((float)ps.grp_first_pos[g], occ, ntok, false);
+        entries.emplace_back(
+            ((uint64_t)tid << 32) | ps.leaf_anchor[leaf], sc);
+    }
+    std::sort(entries.begin(), entries.end(),
+              [](const auto& a, const auto& b) { return a.first < b.first; });
+    // group: max + bonus
+    int64_t max_id = -1;
+    size_t i = 0, n = entries.size();
+    out->anchors.reserve(n);
+    out->scores.reserve(n);
+    std::vector<std::pair<int64_t, uint32_t>> per_key_counts;  // (id, count)
+    while (i < n) {
+        uint64_t key = entries[i].first;
+        uint32_t best = entries[i].second;
+        size_t j = i + 1;
+        while (j < n && entries[j].first == key) {
+            if (entries[j].second > best) best = entries[j].second;
+            j++;
+        }
+        uint64_t cnt = j - i;
+        uint32_t bonus = cnt > 1 ? (uint32_t)(cnt < 5 ? cnt : 5) : 0;
+        uint32_t fin = best + bonus;
+        int64_t id = (int64_t)(key >> 32);
+        out->anchors.push_back((uint32_t)(key & 0xFFFFFFFFu));
+        out->scores.push_back((uint16_t)(fin < 0xFFFF ? fin : 0xFFFF));
+        if (id != max_id) {
+            per_key_counts.emplace_back(id, 1);
+            max_id = id;
+        } else {
+            per_key_counts.back().second++;
+        }
+        i = j;
+    }
+    int64_t nkeys = max_id + 1;
+    out->offsets.assign((size_t)(nkeys + 1), 0);
+    for (auto& kc : per_key_counts) out->offsets[(size_t)kc.first + 1] = kc.second;
+    for (size_t k = 1; k < out->offsets.size(); k++)
+        out->offsets[k] += out->offsets[k - 1];
+    ps.packed_scores = out;
 }
 
 }  // namespace
@@ -1056,5 +1154,26 @@ int64_t vl_lz_decompress(const uint8_t* src, int64_t n, uint8_t* dst, int64_t ca
 }
 
 void vl_free(void* r) { delete (IndexResult*)r; }
+
+// anchor-score packing (built on demand, cached on the path state)
+int64_t vl_pack_scores(void* r, int32_t p) {
+    PathState& ps = *((IndexResult*)r)->paths[p];
+    pack_scores(ps);
+    return (int64_t)ps.packed_scores->anchors.size();
+}
+int64_t vl_score_num_keys(void* r, int32_t p) {
+    PathState& ps = *((IndexResult*)r)->paths[p];
+    if (!ps.packed_scores) return 0;
+    return (int64_t)ps.packed_scores->offsets.size() - 1;
+}
+const uint64_t* vl_score_offsets(void* r, int32_t p) {
+    return ((IndexResult*)r)->paths[p]->packed_scores->offsets.data();
+}
+const uint32_t* vl_score_anchors(void* r, int32_t p) {
+    return ((IndexResult*)r)->paths[p]->packed_scores->anchors.data();
+}
+const uint16_t* vl_score_values(void* r, int32_t p) {
+    return ((IndexResult*)r)->paths[p]->packed_scores->scores.data();
+}
 
 }  // extern "C"

@@ -62,7 +62,20 @@ def build_native(data_str: str, config: FieldsConfig) -> BuiltIndex:
         )
         return opts.tokenize, opts.do_not_store_text_longer_than, seps
 
-    num_docs, paths, id_paths = index_ndjson(data_str, get_path_config)
+    def score_paths(name: str, n_entries: int) -> bool:
+        # pack the hot anchor-score index in C++ unless the spill machinery
+        # must engage (env-matrix spill runs keep the numpy external-sort
+        # path) or the feature is disabled for this path
+        from .create import _spill
+
+        if n_entries > _spill().SPILL_PAIRS:
+            return False
+        cfg = config.get(name)
+        return cfg.is_index_enabled(IndexCreationType.TokenToAnchorIDScore)
+
+    num_docs, paths, id_paths = index_ndjson(
+        data_str, get_path_config, score_paths=score_paths
+    )
     assert num_docs == out.num_docs, "doc count mismatch native vs doc store"
 
     # per-path packing in parallel (reference converts paths with rayon
@@ -216,7 +229,15 @@ def _pack_path(out: BuiltIndex, ps: NativePath, config: FieldsConfig) -> None:
         out.key_value_stores[p + TEXT_ID_TO_TOKEN_IDS] = csr
         _add_meta(out, path_col, p + TEXT_ID_TO_TOKEN_IDS, "KeyValue", "MultiValue", False)
 
-    if en(I.TokenToAnchorIDScore) and L:
+    if en(I.TokenToAnchorIDScore) and L and ps.packed_scores is not None:
+        from .indices import AnchorScoreCsr
+
+        offs, ancs, vals = ps.packed_scores
+        out.anchor_scores[p + TO_ANCHOR_ID_SCORE] = AnchorScoreCsr(
+            offsets=offs, anchors=ancs, scores=vals
+        )
+        _add_meta(out, path_col, p + TO_ANCHOR_ID_SCORE, "AnchorScore", "MultiValue", False)
+    elif en(I.TokenToAnchorIDScore) and L:
         # exact text-level entries (pos=-1 marker)
         if num_terms:
             text_occ = np.where(

@@ -170,6 +170,18 @@ def _load() -> Optional[ctypes.CDLL]:
         fn = getattr(lib, name)
         fn.restype = ctypes.POINTER(ptr_t)
         fn.argtypes = [ctypes.c_void_p, ctypes.c_int32]
+    lib.vl_pack_scores.restype = ctypes.c_int64
+    lib.vl_pack_scores.argtypes = [ctypes.c_void_p, ctypes.c_int32]
+    lib.vl_score_num_keys.restype = ctypes.c_int64
+    lib.vl_score_num_keys.argtypes = [ctypes.c_void_p, ctypes.c_int32]
+    for name, ptr_t in [
+        ("vl_score_offsets", ctypes.c_uint64),
+        ("vl_score_anchors", ctypes.c_uint32),
+        ("vl_score_values", ctypes.c_uint16),
+    ]:
+        fn = getattr(lib, name)
+        fn.restype = ctypes.POINTER(ptr_t)
+        fn.argtypes = [ctypes.c_void_p, ctypes.c_int32]
     lib.vl_num_id_paths.restype = ctypes.c_int32
     lib.vl_num_id_paths.argtypes = [ctypes.c_void_p]
     lib.vl_id_path_name.restype = ctypes.c_int64
@@ -218,6 +230,9 @@ class NativePath:
     pair_a: np.ndarray  # uint32 [P] — phrase pairs
     pair_b: np.ndarray  # uint32 [P]
     pair_anchor: np.ndarray  # uint32 [P]
+    # natively packed .to_anchor_id_score (offsets u64, anchors u32,
+    # scores u16) when the caller requested it — None otherwise
+    packed_scores: Optional[tuple] = None
 
 
 @dataclass
@@ -234,9 +249,15 @@ def _copy_array(ptr, count, dtype):
     return np.ctypeslib.as_array(ptr, shape=(count,)).astype(dtype, copy=True)
 
 
-def index_ndjson(data: str, get_path_config) -> tuple:
+def index_ndjson(data: str, get_path_config, score_paths=None) -> tuple:
     """Run the native pipeline. ``get_path_config(path) -> (tokenize,
     do_not_store_longer_than, separators_str)``.
+
+    ``score_paths(name, n_entries) -> bool`` (optional): when it returns
+    True for a path, the hot `.to_anchor_id_score` index is packed IN C++
+    (entry generation + f32 scoring + sort + dedup/bonus + CSR) and
+    attached as ``NativePath.packed_scores`` — the single most expensive
+    numpy stage moved native.
 
     Returns (num_docs, [NativePath], [NativeIdPath]).
     """
@@ -281,6 +302,17 @@ def index_ndjson(data: str, get_path_config) -> tuple:
             assert len(terms) == nt, (name, len(terms), nt)
             nl = lib.vl_num_leaves(handle, p)
             ntk = lib.vl_num_tokens(handle, p)
+            packed = None
+            if score_paths is not None:
+                n_entries = nl + lib.vl_num_groups(handle, p)
+                if score_paths(name, int(n_entries)):
+                    nnz = lib.vl_pack_scores(handle, p)
+                    nk = lib.vl_score_num_keys(handle, p)
+                    packed = (
+                        _copy_array(lib.vl_score_offsets(handle, p), nk + 1, np.uint64),
+                        _copy_array(lib.vl_score_anchors(handle, p), nnz, np.uint32),
+                        _copy_array(lib.vl_score_values(handle, p), nnz, np.uint16),
+                    )
             paths.append(
                 NativePath(
                     name=name,
@@ -316,6 +348,7 @@ def index_ndjson(data: str, get_path_config) -> tuple:
                     pair_anchor=_copy_array(
                         lib.vl_pair_anchor(handle, p), lib.vl_num_phrase_pairs(handle, p), np.uint32
                     ),
+                    packed_scores=packed,
                 )
             )
         id_paths: List[NativeIdPath] = []
