@@ -903,18 +903,34 @@ def search_to_result_with_doc(
 
 
 def suggest(persistence, request: Request):
-    """Reference search_field::suggest_multi (search_field.rs:194-219)."""
+    """Reference search_field::suggest_multi (search_field.rs:194-219).
+
+    Per-field term sweeps fan out over a thread pool (the reference's rayon
+    par_iter; numpy / device dispatch release the GIL) and merge on the
+    host."""
     if not request.suggest:
         raise VelociError("only suggest allowed in suggest function")
-    merged: Dict[str, Tuple[float, int]] = {}
-    for part in request.suggest:
-        fsr = get_term_ids_in_field(
+
+    def one(part):
+        return get_term_ids_in_field(
             persistence,
             part,
             get_scores=True,
             return_term=True,
             return_term_lowercase=True,
         )
+
+    parts = list(request.suggest)
+    if len(parts) > 1:
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=min(8, len(parts))) as pool:
+            fsrs = list(pool.map(one, parts))
+    else:
+        fsrs = [one(p) for p in parts]
+
+    merged: Dict[str, Tuple[float, int]] = {}
+    for fsr in fsrs:
         for tid, score in zip(fsr.term_ids, fsr.term_scores):
             term = fsr.terms[int(tid)]
             prev = merged.get(term)
