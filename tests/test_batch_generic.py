@@ -1,0 +1,205 @@
+"""Batched generic path parity: filtered + boosted + faceted exact requests
+executed through `search_batch`'s ONE-dispatch generic kernel
+(`ops/generic_step.batched_generic_topk`) must match the per-request host
+executor bit for bit on ids / num_hits / facets and to f32 tolerance on
+scores.
+
+This is the round-2 extension of the fused device paths to BASELINE.json
+configs 3-5 (multi-term AND/OR, facets + filters, boost-by-indexed-data) —
+the reference executes these through its plan DAG one request at a time
+(src/plan_creator/execution_plan.rs:132-200); here a whole batch is one
+vmapped XLA program."""
+
+import numpy as np
+import pytest
+
+from corpus import TEST_CONFIG, TOKEN_VALUES, data_ndjson
+from veloci_tpu import Persistence, Request, add_token_values_to_tokens, search
+
+import importlib
+
+batch_mod = importlib.import_module("veloci_tpu.search.batch")
+_generic_eligible = batch_mod._generic_eligible
+search_batch = batch_mod.search_batch
+
+
+@pytest.fixture(scope="module")
+def pers():
+    p = Persistence.create_from_str(data_ndjson(), TEST_CONFIG)
+    add_token_values_to_tokens(p, TOKEN_VALUES[0], TOKEN_VALUES[1])
+    return p
+
+
+GENERIC_REQUESTS = [
+    # config 5: boost-by-indexed-data (Log10 / Log2 / Multiply / Add)
+    {
+        "search_req": {"search": {"terms": ["majestät"], "path": "meanings.ger[]"}},
+        "boost": [{"path": "commonness", "boost_fun": "Log10", "param": 1}],
+    },
+    {
+        "search_req": {"search": {"terms": ["boostemich"], "path": "meanings.ger[]"}},
+        "boost": [{"path": "commonness", "boost_fun": "Log2", "param": 2}],
+    },
+    {
+        "search_req": {"search": {"terms": ["urge"], "path": "meanings.eng[]"}},
+        "boost": [{"path": "commonness", "boost_fun": "Multiply", "param": 2}],
+    },
+    {
+        "search_req": {"search": {"terms": ["urge"], "path": "meanings.eng[]"}},
+        "boost": [{"path": "commonness", "boost_fun": "Add", "param": 50}],
+    },
+    # boost chain: two columns in request order
+    {
+        "search_req": {"search": {"terms": ["majestät"], "path": "meanings.ger[]"}},
+        "boost": [
+            {"path": "commonness", "boost_fun": "Log10", "param": 1},
+            {"path": "commonness", "boost_fun": "Multiply", "param": 0},
+        ],
+    },
+    # config 4: filter subtrees (identity column + token filter + OR filter)
+    {
+        "search_req": {
+            "or": {
+                "queries": [
+                    {"search": {"terms": ["majestät"], "path": "meanings.ger[]"}},
+                    {"search": {"terms": ["urge"], "path": "meanings.eng[]"}},
+                ]
+            }
+        },
+        "filter": {"search": {"terms": ["1587690"], "path": "ent_seq"}},
+    },
+    {
+        "search_req": {"search": {"terms": ["majestät"], "path": "meanings.ger[]"}},
+        "filter": {
+            "or": {
+                "queries": [
+                    {"search": {"terms": ["1587680"], "path": "ent_seq"}},
+                    {"search": {"terms": ["1587690"], "path": "ent_seq"}},
+                ]
+            }
+        },
+    },
+    # fuzzy filter leaf (filters resolve host-side: any leaf shape batches)
+    {
+        "search_req": {"search": {"terms": ["urge"], "path": "meanings.eng[]"}},
+        "filter": {
+            "search": {
+                "terms": ["majestat"],
+                "path": "meanings.ger[]",
+                "levenshtein_distance": 1,
+            }
+        },
+    },
+    # config 4: facets (1:n tags[] + root commonness), with and without filter
+    {
+        "search_req": {"search": {"terms": ["will"], "path": "meanings.eng[]"}},
+        "facets": [{"field": "tags[]"}, {"field": "commonness"}],
+    },
+    {
+        "search_req": {"search": {"terms": ["will"], "path": "meanings.eng[]"}},
+        "facets": [{"field": "tags[]", "top": 1}],
+        "filter": {"search": {"terms": ["1587690"], "path": "ent_seq"}},
+    },
+    # config 3: AND tree + boost; OR tree + facet + boost combined
+    {
+        "search_req": {
+            "and": {
+                "queries": [
+                    {"search": {"terms": ["majestät"], "path": "meanings.ger[]"}},
+                    {"search": {"terms": ["majestic"], "path": "meanings.eng[]"}},
+                ]
+            }
+        },
+        "boost": [{"path": "commonness", "boost_fun": "Log10", "param": 1}],
+    },
+    {
+        "search_req": {
+            "or": {
+                "queries": [
+                    {"search": {"terms": ["will"], "path": "meanings.eng[]"}},
+                    {"search": {"terms": ["urge"], "path": "meanings.eng[]"}},
+                ]
+            }
+        },
+        "boost": [{"path": "commonness", "boost_fun": "Log10", "param": 1}],
+        "facets": [{"field": "tags[]"}],
+        "filter": {"search": {"terms": ["will"], "path": "meanings.eng[]"}},
+    },
+    # skip_when_score exemption
+    {
+        "search_req": {"search": {"terms": ["urge"], "path": "meanings.eng[]"}},
+        "boost": [
+            {
+                "path": "commonness",
+                "boost_fun": "Multiply",
+                "param": 2,
+                "skip_when_score": [10.0],
+            }
+        ],
+    },
+    # top/skip windows survive the batched path
+    {
+        "search_req": {"search": {"terms": ["will"], "path": "meanings.eng[]"}},
+        "boost": [{"path": "commonness", "boost_fun": "Log10", "param": 1}],
+        "top": 1,
+    },
+    {
+        "search_req": {"search": {"terms": ["will"], "path": "meanings.eng[]"}},
+        "boost": [{"path": "commonness", "boost_fun": "Log10", "param": 1}],
+        "top": 1,
+        "skip": 1,
+    },
+]
+
+
+def _result_tuple(res):
+    return (
+        res.num_hits,
+        [h.id for h in res.data],
+        [round(float(h.score), 4) for h in res.data],
+        {k: list(v) for k, v in (res.facets or {}).items()} or None,
+    )
+
+
+def test_generic_requests_are_batch_eligible(pers, monkeypatch):
+    monkeypatch.setattr(batch_mod, "SMALL_DOCS", 1)
+    comb = pers.device_combined()
+    for d in GENERIC_REQUESTS:
+        req = Request.from_dict(d)
+        assert _generic_eligible(req, pers, comb) is not None, d
+
+
+def test_batch_generic_parity(pers, monkeypatch):
+    # batch side: device kernels; reference side: per-request host executor
+    monkeypatch.setattr(batch_mod, "SMALL_DOCS", 1)
+    reqs = [Request.from_dict(d) for d in GENERIC_REQUESTS]
+    batch_res = search_batch(reqs, pers)
+    for d, br in zip(GENERIC_REQUESTS, batch_res):
+        ref = search(Request.from_dict(d), pers)
+        got, want = _result_tuple(br), _result_tuple(ref)
+        assert got[0] == want[0], (d, got, want)  # num_hits
+        assert got[1] == want[1], (d, got, want)  # ids incl. tie order
+        for gs, ws in zip(got[2], want[2]):
+            assert gs == pytest.approx(ws, rel=1e-4), (d, got, want)
+        assert got[3] == want[3], (d, got, want)  # facets exact
+
+
+def test_batch_generic_mixed_with_fast_paths(pers, monkeypatch):
+    """Generic, plain-exact and ineligible requests interleave correctly."""
+    monkeypatch.setattr(batch_mod, "SMALL_DOCS", 1)
+    dicts = [
+        {"search_req": {"search": {"terms": ["urge"], "path": "meanings.eng[]"}}},
+        GENERIC_REQUESTS[0],
+        # ineligible (why_found) -> per-request fallback inside search_batch
+        {
+            "search_req": {"search": {"terms": ["urge"], "path": "meanings.eng[]"}},
+            "why_found": True,
+        },
+        GENERIC_REQUESTS[8],
+    ]
+    reqs = [Request.from_dict(d) for d in dicts]
+    batch_res = search_batch(reqs, pers)
+    for d, br in zip(dicts, batch_res):
+        ref = search(Request.from_dict(d), pers)
+        assert [h.id for h in br.data] == [h.id for h in ref.data]
+        assert br.num_hits == ref.num_hits

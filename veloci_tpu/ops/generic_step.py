@@ -1,0 +1,163 @@
+"""Fused BATCHED generic search: tree + filter + boost columns + facets in
+ONE XLA program, vmapped over a query batch.
+
+This extends the fused exact kernels (ops/search_step.py) to the rest of the
+request surface the reference executes through its plan DAG — filter
+subtrees (`FilterChannel` broadcast, plan_creator/execution_plan.rs:137-173),
+anchor-level boost columns (`add_boost`, src/search/boost.rs:283-379) and
+facet counting (`AggregationCollector`, src/facet.rs:95-161) — so that a
+batch of filtered + boosted + faceted queries (BASELINE configs 3-5) costs
+ONE device dispatch instead of one executor walk per request.
+
+TPU-first lowerings:
+
+* the query tree evaluates on a per-slot dense plane (segment-max over the
+  gathered posting runs) exactly like union/intersect_search_topk;
+* the filter is a host-resolved anchor list (exact parity with the host
+  executor's `_eval_ids`) scattered into a [num_docs] mask in-program;
+* boost columns are resident [num_docs] vectors; each boost family
+  precomputes its per-doc factor ONCE per batch (loop-invariant outside the
+  vmap) and applies as an elementwise select per query;
+* facet counts are ONE bf16 matmul on the MXU: hits [Q, num_docs] x
+  relation matrix M [num_docs, G] (M[d,g] = #pairs d->g, precomputed) with
+  f32 accumulation — exact integer counts, no scatter.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from .search_step import _gather_postings
+from .topk import topk_dense_exact
+
+__all__ = ["batched_generic_topk"]
+
+_HIT_EPS = jnp.float32(1e-30)
+
+
+def _precompute_boost(bv, pres, spec):
+    """Per-doc boost factor arrays, computed once per batch.
+
+    ``spec`` = (fun, param, skip_when_score tuple, expression add vector flag)
+    mirroring RequestBoostPart (reference boost.rs:283-379); the expression
+    add vector (if any) is precomputed by the caller and passed as ``bv_expr``
+    inside spec position 3 (or None).
+    """
+    fun, param, skip, expr_add = spec
+    b = bv + jnp.float32(param or 0.0)
+    if fun == "Log10":
+        fac, mode = jnp.log10(b), "mul"
+    elif fun == "Log2":
+        fac, mode = jnp.log2(b), "mul"
+    elif fun == "Multiply":
+        fac, mode = b, "mul"
+    elif fun == "Add":
+        fac, mode = b, "add"
+    elif fun == "Replace":
+        fac, mode = b, "replace"
+    else:
+        fac, mode = None, "none"
+    return (mode, fac, pres, tuple(skip or ()), expr_add)
+
+
+def _apply_boost(dense, pre):
+    """Elementwise boost application (apply_boost_dense_device parity:
+    only existing hits with a present boost value are boosted;
+    skip_when_score exempts listed scores; result floored at HIT_EPS)."""
+    mode, fac, pres, skip, expr_add = pre
+    if mode == "mul":
+        boosted = dense * fac
+    elif mode == "add":
+        boosted = dense + fac
+    elif mode == "replace":
+        boosted = fac
+    else:
+        boosted = dense
+    if expr_add is not None:
+        boosted = boosted + expr_add
+    apply_mask = (dense > 0) & pres
+    for sv in skip:
+        apply_mask &= jnp.abs(dense - jnp.float32(sv)) >= 1e-5
+    boosted = jnp.maximum(boosted, _HIT_EPS)
+    return jnp.where(apply_mask, boosted, dense)
+
+
+@partial(
+    jax.jit,
+    static_argnames=("capacity", "num_docs", "k", "num_slots", "is_and", "boost_specs"),
+)
+def batched_generic_topk(
+    offsets: jax.Array,  # [num_keys + 2] int32 (combined-field CSR)
+    anchors: jax.Array,  # [nnz_pad] int32 (pad -> num_docs)
+    scores01: jax.Array,  # [nnz_pad] f32
+    term_ids: jax.Array,  # [Q, T_pad] int32 (pad -1); GLOBAL combined ids
+    term_scores: jax.Array,  # [Q, T_pad] f32
+    term_slots: jax.Array,  # [Q, T_pad] int32
+    filter_anchors: Optional[jax.Array],  # [Q, F_pad] int32 (pad num_docs) | None
+    boost_arrays: Tuple,  # tuple of (bv [num_docs] f32, pres [num_docs] bool, expr_add|None)
+    facet_mats: Tuple,  # tuple of M [num_docs, G_i] bf16
+    capacity: int,
+    num_docs: int,
+    k: int,
+    num_slots: int,
+    is_and: bool,
+    boost_specs: Tuple,  # tuple of (fun, param, skip_tuple) — static
+):
+    """A batch of generic queries -> (ids [Q,k], scores [Q,k], num_hits [Q],
+    facet_counts tuple of [Q, G_i] i32) in one program.
+
+    Order of operations matches `search()` (reference search.rs:143-228):
+    tree -> filter mask -> boost columns (in request order) -> facet counts
+    over the final hit set -> exact top-k (score desc, id desc ties).
+    """
+    pre_boosts = tuple(
+        _precompute_boost(bv, pres, spec + (expr_add,))
+        for (bv, pres, expr_add), spec in zip(boost_arrays, boost_specs)
+    )
+
+    def one(tids, tscs, tslots, fanch):
+        a, s, slot = _gather_postings(
+            offsets, anchors, scores01, tids, tscs, capacity, num_docs,
+            term_slots=tslots,
+        )
+        plane = slot * (num_docs + 1) + a
+        per_slot = jax.ops.segment_max(
+            s, plane, num_segments=num_slots * (num_docs + 1)
+        ).reshape(num_slots, num_docs + 1)[:, :num_docs]
+        per_slot = jnp.where(jnp.isfinite(per_slot), per_slot, 0.0)
+        if is_and:
+            all_hit = jnp.all(per_slot > 0, axis=0)
+            dense = jnp.where(all_hit, jnp.sum(per_slot, axis=0), 0.0)
+        else:
+            distinct = jnp.sum(per_slot >= 1e-5, axis=0).astype(jnp.float32)
+            dense = jnp.sum(per_slot, axis=0) * distinct * distinct
+        if fanch is not None:
+            mask = (
+                jnp.zeros(num_docs + 1, dtype=bool)
+                .at[jnp.clip(fanch, 0, num_docs)]
+                .set(True)[:num_docs]
+            )
+            dense = jnp.where(mask, dense, 0.0)
+        for pre in pre_boosts:
+            dense = _apply_boost(dense, pre)
+        return dense
+
+    if filter_anchors is None:
+        dense_b = jax.vmap(lambda t, s, sl: one(t, s, sl, None))(
+            term_ids, term_scores, term_slots
+        )
+    else:
+        dense_b = jax.vmap(one)(term_ids, term_scores, term_slots, filter_anchors)
+
+    hits = (dense_b > 0).astype(jnp.bfloat16)
+    num_hits = jnp.sum(dense_b > 0, axis=1, dtype=jnp.int32)
+    facet_counts = tuple(
+        jnp.dot(hits, m, preferred_element_type=jnp.float32).astype(jnp.int32)
+        for m in facet_mats
+    )
+    ids, scores = jax.vmap(lambda d: topk_dense_exact(d, k))(dense_b)
+    return ids, scores, num_hits, facet_counts

@@ -23,6 +23,183 @@ from .result import Hit, SearchResult
 __all__ = ["search_batch"]
 
 _MAX_SLOTS = 8  # distinct-term ORs beyond this fall back per request
+_MAX_FILTER_ANCHORS = 8192  # larger filter hit lists -> per-request path
+_PLANE_BUDGET_BYTES = 256 * 1024 * 1024  # per-chunk [Qc, slots, num_docs] f32
+
+
+def _leaf_ok(part) -> bool:
+    """Exact-term leaf constraints shared by the fast paths."""
+    return not (
+        (part.levenshtein_distance or 0) != 0
+        or len(part.terms) != 1
+        or part.starts_with
+        or part.is_regex
+        or part.token_value is not None
+        or part.snippet
+        or part.top is not None
+        or part.skip is not None
+        or (part.options or None)
+        or part.ignore_case is False
+    )
+
+
+def _leaf_gtids(persistence, comb, part, slot):
+    """One leaf -> [(global_tid, f32 score, slot)] or None."""
+    f = part.path
+    if f.endswith(TEXTINDEX):
+        f = f[: -len(TEXTINDEX)]
+    kb = comb.key_base.get(f)
+    if kb is None:
+        return None
+    base, nk = kb
+    boost = part.boost if part.boost is not None else 1.0
+    score = float(np.float32(np.float32(10.0) * np.float32(boost)))
+    out = []
+    for tid in persistence.get_dictionary(f).get_ignore_case(part.terms[0]):
+        if tid < nk:
+            out.append((base + tid, score, slot))
+    return out
+
+
+def _tree_spec(persistence, comb, node):
+    """Flat tree -> (gtids, num_slots, is_and) with GLOBAL term ids, or None."""
+    if node is None:
+        return None
+    if node.kind == SearchRequest.SEARCH:
+        leaves, is_and = [node.part], False
+    elif node.kind in (SearchRequest.OR, SearchRequest.AND) and all(
+        q.kind == SearchRequest.SEARCH for q in node.queries
+    ):
+        leaves = [q.part for q in node.queries]
+        is_and = node.kind == SearchRequest.AND
+    else:
+        return None
+    if not all(_leaf_ok(p) for p in leaves):
+        return None
+    if is_and:
+        slot_of = list(range(len(leaves)))
+        num_slots = len(leaves)
+    else:
+        term_strings = sorted({p.terms[0] for p in leaves})
+        slots = {t: i for i, t in enumerate(term_strings)}
+        slot_of = [slots[p.terms[0]] for p in leaves]
+        num_slots = len(term_strings)
+    if num_slots > _MAX_SLOTS:
+        return None
+    gtids = []
+    for part, slot in zip(leaves, slot_of):
+        g = _leaf_gtids(persistence, comb, part, slot)
+        if g is None:
+            return None
+        gtids.extend(g)
+    return gtids, num_slots, is_and
+
+
+def _filter_anchor_list(persistence, node) -> Optional[np.ndarray]:
+    """Host-resolved filter anchors — exact parity with the executor's
+    `_eval_ids` (reference FilterChannel semantics): the filter subtree
+    evaluates ids-only on the host; only the anchor list ships to device."""
+    from ..search import boost as boost_mod
+    from .field_search import get_term_ids_in_field
+
+    num_docs = persistence.num_docs
+    if node.kind == SearchRequest.SEARCH:
+        fsr = get_term_ids_in_field(
+            persistence, node.part, get_scores=False, get_ids=True
+        )
+        anchors = boost_mod.resolve_ids_to_anchor(
+            persistence, fsr.path, fsr.hits_ids
+        )
+        anchors = anchors[(anchors >= 0) & (anchors < num_docs)]
+        return np.unique(anchors)
+    subs = [_filter_anchor_list(persistence, q) for q in node.queries]
+    if not subs:
+        return np.empty(0, dtype=np.int64)
+    out = subs[0]
+    for s in subs[1:]:
+        out = (
+            np.union1d(out, s)
+            if node.kind == SearchRequest.OR
+            else np.intersect1d(out, s)
+        )
+    return out
+
+
+def _generic_eligible(request: Request, persistence, comb):
+    """Batched generic-path eligibility: flat exact tree + optional filter /
+    anchor-level boost columns / fast-path facets. Returns a per-request
+    spec dict (with a hashable group signature) or None."""
+    if comb is None or persistence.num_docs < SMALL_DOCS:
+        return None
+    if any(
+        (
+            request.boost_term,
+            request.phrase_boosts,
+            request.why_found,
+            request.text_locality,
+            request.explain,
+            request.suggest,
+        )
+    ):
+        return None
+    if not (request.filter or request.boost or request.facets):
+        return None  # plain trees belong to the leaner exact kernels
+    tree = _tree_spec(persistence, comb, request.search_req)
+    if tree is None:
+        return None
+    gtids, num_slots, is_and = tree
+
+    from ..create import BOOST_VALID_TO_VALUE
+
+    boost_key = []
+    for b in request.boost or []:
+        if "[]" in b.path:
+            return None  # 1:n boost chain -> per-request path
+        bp = b.path
+        if not bp.endswith(BOOST_VALID_TO_VALUE):
+            bp = bp + BOOST_VALID_TO_VALUE
+        if not persistence.has_index(bp):
+            return None
+        boost_key.append(
+            (
+                bp,
+                b.boost_fun or "",
+                float(b.param or 0.0),
+                tuple(float(s) for s in (b.skip_when_score or ())),
+                b.expression or "",
+            )
+        )
+
+    from .facet import facet_matrix
+
+    facet_fields = []
+    for f in request.facets or []:
+        if facet_matrix(persistence, f.field) is None:
+            return None
+        facet_fields.append(f.field)
+
+    fanchors = None
+    if request.filter is not None:
+        fanchors = _filter_anchor_list(persistence, request.filter)
+        if len(fanchors) > _MAX_FILTER_ANCHORS:
+            return None
+
+    sig = (
+        num_slots,
+        is_and,
+        tuple(boost_key),
+        tuple(facet_fields),
+        fanchors is not None,
+    )
+    return {
+        "sig": sig,
+        "gtids": gtids,
+        "num_slots": num_slots,
+        "is_and": is_and,
+        "fanchors": fanchors,
+        "boost_key": tuple(boost_key),
+        "facet_fields": tuple(facet_fields),
+    }
 
 
 def _eligible(request: Request, persistence) -> Optional[list]:
@@ -98,6 +275,7 @@ def search_batch(requests: List[Request], persistence) -> List[SearchResult]:
     # group eligible requests by distinct-term-count bucket (static num_slots)
     groups: dict = {}
     fuzzy_groups: dict = {}  # field -> [(qi, req, term, distance)]
+    generic_groups: dict = {}  # sig -> [(qi, req, spec)]
     for qi, req in enumerate(requests):
         leaves = _eligible(req, persistence) if comb is not None else None
         if leaves is None:
@@ -105,6 +283,10 @@ def search_batch(requests: List[Request], persistence) -> List[SearchResult]:
             if fz is not None:
                 field, term, distance = fz
                 fuzzy_groups.setdefault(field, []).append((qi, req, term, distance))
+                continue
+            gen = _generic_eligible(req, persistence, comb)
+            if gen is not None:
+                generic_groups.setdefault(gen["sig"], []).append((qi, req, gen))
             else:
                 results[qi] = search(req, persistence)
             continue
@@ -137,7 +319,7 @@ def search_batch(requests: List[Request], persistence) -> List[SearchResult]:
     num_docs = persistence.num_docs
     ho = comb.host_offsets if comb is not None else None
 
-    def _emit(qi, req, ids, scores, num_hits):
+    def _emit(qi, req, ids, scores, num_hits, facets=None):
         # kernels return exact (score desc, id desc) order — window + emit
         mask = scores > 0
         ids, scores = ids[mask], scores[mask]
@@ -147,6 +329,8 @@ def search_batch(requests: List[Request], persistence) -> List[SearchResult]:
         res.num_hits = int(num_hits)
         window = list(zip(ids, scores))[skip : skip + top]
         res.data = [Hit(int(i), float(s)) for i, s in window]
+        if facets is not None:
+            res.facets = facets
         res.execution_time_ns = time.time_ns() - start
         results[qi] = res
 
@@ -230,11 +414,107 @@ def search_batch(requests: List[Request], persistence) -> List[SearchResult]:
             for row, (qi, req, _gtids) in enumerate(multis):
                 _emit(qi, req, ids_b[row], scores_b[row], hits_b[row])
 
+    # generic batches (filter/boost/facet requests): one fused program each
+    for sig, entries in generic_groups.items():
+        _run_generic_group(persistence, comb, sig, entries, _emit)
+
     # fuzzy batches: one vmapped fused program per field chunk
     for field, entries in fuzzy_groups.items():
         _run_fuzzy_group(persistence, field, entries, results, start)
 
     return results  # type: ignore[return-value]
+
+
+def _run_generic_group(persistence, comb, sig, entries, emit) -> None:
+    """Dispatch one signature group through `batched_generic_topk` — the
+    whole filtered+boosted+faceted batch is one XLA program per chunk."""
+    import jax
+    import jax.numpy as jnp
+
+    from ..ops.generic_step import batched_generic_topk
+    from ..ops.postings import bucket_size
+    from .boost import ScoreExpression, _expr_vec_jnp
+    from .facet import facet_matrix, format_counts
+
+    num_slots, is_and, boost_key, facet_fields, has_filter = sig
+    num_docs = persistence.num_docs
+    ho = comb.host_offsets
+
+    max_terms, max_total, max_f, max_k = 1, 1, 1, 1
+    for qi, req, spec in entries:
+        gtids = spec["gtids"]
+        max_terms = max(max_terms, len(gtids))
+        max_total = max(
+            max_total, sum(int(ho[g + 1] - ho[g]) for g, _s, _sl in gtids)
+        )
+        if has_filter:
+            max_f = max(max_f, len(spec["fanchors"]))
+        top = req.top if req.top is not None else 10
+        max_k = max(max_k, top + (req.skip or 0))
+    t_pad = bucket_size(max_terms, 8)
+    capacity = bucket_size(max_total)
+    f_pad = bucket_size(max_f, 64) if has_filter else 0
+    k_eff = min(num_docs, max_k)
+
+    boost_arrays, boost_specs = [], []
+    for bp, fun, param, skip, expr in boost_key:
+        bv, pres = persistence.device_boost(bp)
+        expr_add = (
+            _expr_vec_jnp(ScoreExpression(expr), bv) if expr else None
+        )
+        boost_arrays.append((bv, pres, expr_add))
+        boost_specs.append((fun, param, skip))
+    facet_mats = tuple(facet_matrix(persistence, f)[0] for f in facet_fields)
+
+    plane_bytes = num_slots * (num_docs + 1) * 4 + num_docs * 8
+    chunk_q = max(1, int(_PLANE_BUDGET_BYTES // max(plane_bytes, 1)))
+    for base in range(0, len(entries), chunk_q):
+        chunk = entries[base : base + chunk_q]
+        qc = len(chunk)
+        tid_arr = np.full((qc, t_pad), -1, dtype=np.int32)
+        ts_arr = np.zeros((qc, t_pad), dtype=np.float32)
+        sl_arr = np.zeros((qc, t_pad), dtype=np.int32)
+        fa_arr = (
+            np.full((qc, f_pad), num_docs, dtype=np.int32) if has_filter else None
+        )
+        for row, (_qi, _req, spec) in enumerate(chunk):
+            for j, (g, sc, sl) in enumerate(spec["gtids"][:t_pad]):
+                tid_arr[row, j] = g
+                ts_arr[row, j] = sc
+                sl_arr[row, j] = sl
+            if has_filter:
+                fa = spec["fanchors"]
+                fa_arr[row, : len(fa)] = fa.astype(np.int32)
+        ids_b, scores_b, hits_b, fc_b = batched_generic_topk(
+            comb.offsets,
+            comb.anchors,
+            comb.scores01,
+            jnp.asarray(tid_arr),
+            jnp.asarray(ts_arr),
+            jnp.asarray(sl_arr),
+            jnp.asarray(fa_arr) if has_filter else None,
+            tuple(boost_arrays),
+            facet_mats,
+            capacity=capacity,
+            num_docs=num_docs,
+            k=k_eff,
+            num_slots=num_slots,
+            is_and=is_and,
+            boost_specs=tuple(boost_specs),
+        )
+        ids_b, scores_b, hits_b, fc_b = jax.device_get(
+            (ids_b, scores_b, hits_b, fc_b)
+        )
+        for row, (qi, req, _spec) in enumerate(chunk):
+            facets = None
+            if facet_fields:
+                facets = {}
+                for f_req in req.facets:
+                    fi = facet_fields.index(f_req.field)
+                    facets[f_req.field] = format_counts(
+                        persistence, f_req.field, fc_b[fi][row], f_req.top
+                    )
+            emit(qi, req, ids_b[row], scores_b[row], hits_b[row], facets)
 
 
 def _run_fuzzy_group(persistence, field, entries, results, start) -> None:

@@ -20,7 +20,13 @@ from ..create import ANCHOR_TO_TEXT_ID, PARENT_TO_VALUE_ID
 from ..indices import Direct, EMPTY
 from ..utils import get_steps_to_anchor
 
-__all__ = ["get_facet"]
+__all__ = ["get_facet", "facet_matrix", "format_counts"]
+
+# batched-path gates: the dense relation matrix M [num_docs, G] bf16 lives
+# in HBM once per (persistence, field); cap its size so high-cardinality
+# facets fall back to the per-request path
+FACET_MAX_TARGETS = 512
+FACET_MAX_BYTES = 128 * 1024 * 1024
 
 # per-persistence device relation cache: (id(persistence), path) ->
 # (sources_dev, targets_dev, num_targets)
@@ -70,6 +76,73 @@ def _count_kernel(dense_v, src, tgt, num_targets):
 
 
 _COUNT_JIT = None
+
+
+def facet_matrix(persistence, field: str):
+    """Dense relation matrix for the batched facet matmul, or None.
+
+    Returns ``(M_dev [num_docs, G] bf16, G)`` where ``M[d, g]`` = number of
+    (doc d -> facet value g) pairs in the fast-path relation — the same
+    pairs `get_facet`'s fast path counts with a masked bincount
+    (reference count_values_for_ids, facet.rs:95-161). Facet counting for a
+    query batch is then ONE MXU matmul: ``counts = hits @ M`` (hits are 0/1
+    so bf16 inputs with f32 accumulation give exact integer counts).
+
+    None when the field has no fast-path relation or the matrix would
+    exceed the cardinality/memory gates (those requests take the
+    per-request path instead).
+    """
+    steps = get_steps_to_anchor(field)
+    fast_anchor_path = steps[-1] + ANCHOR_TO_TEXT_ID
+    if len(steps) == 1:
+        path = steps[0] + PARENT_TO_VALUE_ID
+    elif persistence.has_index(fast_anchor_path):
+        path = fast_anchor_path
+    else:
+        return None
+    store = persistence.key_value_stores.get(path)
+    if store is None:
+        return None
+    key = (id(persistence), "\x02mat:" + path)
+    cached = _DEVICE_PAIRS.get(key)
+    if cached is not None:
+        return cached
+    import jax.numpy as jnp
+
+    sources, targets = _pairs_of(store)
+    num_docs = persistence.num_docs
+    keep = sources < num_docs
+    sources, targets = sources[keep], targets[keep]
+    num_targets = int(targets.max()) + 1 if len(targets) else 1
+    if (
+        num_targets > FACET_MAX_TARGETS
+        or num_docs * num_targets * 2 > FACET_MAX_BYTES
+    ):
+        return None
+    m = np.zeros((num_docs, num_targets), dtype=np.float32)
+    np.add.at(m, (sources, targets), 1.0)
+    cached = (jnp.asarray(m.astype(jnp.bfloat16)), num_targets)
+    if len(_DEVICE_PAIRS) > 256:
+        _DEVICE_PAIRS.clear()
+    _DEVICE_PAIRS[key] = cached
+    return cached
+
+
+def format_counts(persistence, field: str, counts: np.ndarray, top) -> List[Tuple[str, int]]:
+    """Counts-per-target-id -> [(value_text, count)] top-n, stable order
+    (the shared tail of `get_facet`)."""
+    steps = get_steps_to_anchor(field)
+    value_ids = np.flatnonzero(counts)
+    if len(value_ids) == 0:
+        return []
+    vals = counts[value_ids]
+    order = np.argsort(-vals, kind="stable")
+    if top is not None:
+        order = order[:top]
+    dictionary = persistence.get_dictionary(steps[-1])
+    return [
+        (dictionary.ord_to_term(int(value_ids[i])), int(vals[i])) for i in order
+    ]
 
 
 def _pairs_of(store) -> Tuple[np.ndarray, np.ndarray]:
@@ -123,14 +196,4 @@ def get_facet(persistence, facet_req, hit_mask) -> List[Tuple[str, int]]:
             ids = store.get_values_multi(ids).astype(np.int64)
         counts = np.bincount(ids) if len(ids) else np.zeros(0, np.int64)
 
-    value_ids = np.flatnonzero(counts)
-    if len(value_ids) == 0:
-        return []
-    vals = counts[value_ids]
-    order = np.argsort(-vals, kind="stable")
-    if top is not None:
-        order = order[:top]
-    dictionary = persistence.get_dictionary(steps[-1])
-    return [
-        (dictionary.ord_to_term(int(value_ids[i])), int(vals[i])) for i in order
-    ]
+    return format_counts(persistence, facet_req.field, counts, top)
