@@ -54,8 +54,20 @@ def log(*args):
     print(*args, file=sys.stderr, flush=True)
 
 
+BENCH_CONFIG = """
+["*GLOBAL*"]
+features = ["All"]
+["cat"]
+facet = true
+["pop".boost]
+boost_type = "f32"
+"""
+
+
 def build_corpus(n_docs: int):
-    """Deterministic jmdict-shaped corpus: zipfian vocab, 3-9 token titles."""
+    """Deterministic jmdict-shaped corpus: zipfian vocab, 3-9 token titles,
+    plus a 16-value facet column ("cat") and an f32 boost column ("pop")
+    for the configs-3-5 workload (BASELINE.json)."""
     rng = np.random.default_rng(1234)
     vocab_size = 40_000
     vocab = np.array(
@@ -67,13 +79,17 @@ def build_corpus(n_docs: int):
     lengths = rng.integers(3, 10, size=n_docs)
     total_words = int(lengths.sum())
     words = rng.choice(vocab, size=total_words, p=probs)
+    pops = rng.integers(1, 1000, size=n_docs)
     out = []
     pos = 0
     for i in range(n_docs):
         ln = lengths[i]
         title = " ".join(words[pos : pos + ln])
         pos += ln
-        out.append('{"title": "%s", "ent_seq": "%d"}' % (title, i))
+        out.append(
+            '{"title": "%s", "ent_seq": "%d", "cat": "c%d", "pop": %d}'
+            % (title, i, i % 16, pops[i])
+        )
     return "\n".join(out), vocab
 
 
@@ -160,7 +176,7 @@ def main() -> None:
     log(f"corpus generated in {time.time() - t0:.1f}s ({N_DOCS} docs)")
 
     t0 = time.time()
-    pers = Persistence.create_from_str(corpus, "{}")
+    pers = Persistence.create_from_str(corpus, BENCH_CONFIG)
     build_s = time.time() - t0
     log(
         f"index built in {build_s:.1f}s "
@@ -336,6 +352,104 @@ def main() -> None:
     except Exception as exc:
         log(f"fuzzy batched failed: {type(exc).__name__}: {exc}")
 
+    # ---- generic batched: filter + Log10 boost + facet in ONE program ----
+    # BASELINE.json configs 3-5 (multi-term trees, facets+filters,
+    # boost-by-indexed-data): the batched generic kernel fuses the whole
+    # filtered+boosted+faceted batch into one dispatch (search/batch.py).
+    qps_generic = 0.0
+    generic_ms = 0.0
+    generic_serving_qps = 0.0
+    try:
+        from veloci_tpu.create import BOOST_VALID_TO_VALUE
+        from veloci_tpu.ops.generic_step import batched_generic_topk
+        from veloci_tpu.ops.postings import bucket_size
+        from veloci_tpu.search.facet import facet_matrix
+
+        comb = pers.device_combined()
+        base_t, _nk = comb.key_base["title"]
+        cat_dict = pers.get_dictionary("cat")
+        cat_store = pers.anchor_scores["cat.textindex.to_anchor_id_score"]
+        cat_ho = np.asarray(cat_store.offsets)
+
+        gq = len(tid_host)
+        g_tids = (tid_host + base_t).astype(np.int32)[:, None]  # [Q, 1]
+        g_tscs = np.full((gq, 1), 10.0, np.float32)
+        g_slots = np.zeros((gq, 1), np.int32)
+        # per-query filter: rotate over the 16 "cat" values (anchor lists
+        # resolved host-side, exact host parity — see batch._filter_anchor_list)
+        fa_lists = []
+        for i in range(gq):
+            cid = int(cat_dict.get_ignore_case(f"c{i % 16}")[0])
+            s, e = int(cat_ho[cid]), int(cat_ho[cid + 1])
+            fa_lists.append(np.asarray(cat_store.anchors[s:e], dtype=np.int32))
+        f_pad = bucket_size(max(len(f) for f in fa_lists), 64)
+        fa_arr = np.full((gq, f_pad), num_docs, dtype=np.int32)
+        for i, f in enumerate(fa_lists):
+            fa_arr[i, : len(f)] = f
+        bv_j, pres_j = pers.device_boost("pop" + BOOST_VALID_TO_VALUE)
+        fmat, _g = facet_matrix(pers, "cat")
+        g_tids_j = jnp.asarray(g_tids)
+        g_tscs_j, g_slots_j, fa_j = (
+            jnp.asarray(g_tscs), jnp.asarray(g_slots), jnp.asarray(fa_arr)
+        )
+
+        def generic_body(carry):
+            off = (carry * jnp.float32(1e-20)).astype(jnp.int32)
+            _ids, scores, _nh, _fc = batched_generic_topk(
+                offs_d_comb, anc_d_comb, sc_d_comb,
+                g_tids_j + off, g_tscs_j, g_slots_j, fa_j,
+                ((bv_j, pres_j, None),),
+                (fmat,),
+                capacity=capacity,
+                num_docs=num_docs,
+                k=TOP_K,
+                num_slots=1,
+                is_and=False,
+                boost_specs=(("Log10", 1.0, ()),),
+            )
+            return scores[0, 0] * jnp.float32(1e-12)
+
+        offs_d_comb, anc_d_comb, sc_d_comb = comb.offsets, comb.anchors, comb.scores01
+        gn1, gn2 = (2, 6) if backend == "cpu" else (3, 13)
+        per_g, _, _ = measure_scan(generic_body, gn1, gn2, retries=1)
+        generic_ms = per_g * 1e3
+        qps_generic = gq / per_g
+        log(
+            f"[{backend}] generic batched (filter+Log10 boost+facet, {gq}/batch): "
+            f"{qps_generic:.0f} QPS engine-only, {generic_ms:.2f} ms/batch"
+        )
+
+        # serving e2e through search_batch (host prep incl. filter resolve)
+        greqs = [
+            Request.from_dict(
+                {
+                    "search_req": {
+                        "search": {"terms": [t], "path": "title"}
+                    },
+                    "filter": {
+                        "search": {"terms": [f"c{i % 16}"], "path": "cat"}
+                    },
+                    "boost": [
+                        {"path": "pop", "boost_fun": "Log10", "param": 1}
+                    ],
+                    "facets": [{"field": "cat"}],
+                    "top": TOP_K,
+                }
+            )
+            for i, t in enumerate(exact_terms)
+        ]
+        gres = search_batch(greqs, pers)  # warm/compile
+        assert any(r.facets for r in gres), "generic serving returned no facets"
+        t0 = time.perf_counter()
+        gres = search_batch(greqs, pers)
+        generic_serving_qps = len(greqs) / (time.perf_counter() - t0)
+        log(
+            f"[{backend}] generic serving e2e (search_batch): "
+            f"{generic_serving_qps:.0f} QPS"
+        )
+    except Exception as exc:
+        log(f"generic batched failed: {type(exc).__name__}: {exc}")
+
     # ---- gutenberg-style highlight (reference bench_jmdict.rs:41-45) -----
     hl_qps = 0.0
     try:
@@ -414,6 +528,9 @@ def main() -> None:
             "exact_seq_p99_ms": round(percentile(lat, 99) * 1e3, 3),
             "fuzzy_d2_batched_qps": round(qps_fuzzy_batched, 1),
             "fuzzy_ms_per_batch": round(fuzzy_ms_per_batch, 3),
+            "generic_batched_qps": round(qps_generic, 1),
+            "generic_ms_per_batch": round(generic_ms, 3),
+            "generic_serving_e2e_qps": round(generic_serving_qps, 1),
             "highlight_qps": round(hl_qps, 1),
             "index_build_mb_per_s": round(pers.bytes_indexed / build_s / 1e6, 2),
             "link_round_trip_ms": round(link_rt_ms, 3),
