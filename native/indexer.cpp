@@ -17,6 +17,7 @@
 #include <thread>
 #include <cstdint>
 #include <cstring>
+#include <memory>
 #include <string>
 #include <unordered_map>
 #include <unordered_set>
@@ -282,6 +283,107 @@ struct Parser {
 
 // ---------------------------------------------------------------- config
 
+// ------------------------------------------------------- term interning
+// Open-addressing string-interning map over a chunked byte arena — the
+// TPU-native stand-in for the reference's `inohashmap` (src/create.rs:50).
+// One FNV-1a hash + linear probe per token, zero per-term heap nodes, no
+// per-token std::string allocation (tokens are looked up as raw byte
+// ranges straight out of the leaf text).
+
+struct TermArena {
+    std::vector<std::unique_ptr<char[]>> blocks;
+    size_t cap = 0, used = 0;
+    const char* add(const char* s, size_t len) {
+        if (blocks.empty() || used + len > cap) {
+            cap = std::max<size_t>(1 << 16, len);
+            blocks.emplace_back(new char[cap]);
+            used = 0;
+        }
+        char* dst = blocks.back().get() + used;
+        memcpy(dst, s, len);
+        used += len;
+        return dst;
+    }
+};
+
+struct TermMap {
+    TermArena arena;
+    std::vector<uint32_t> slots;       // handle+1; 0 = empty
+    std::vector<const char*> key_ptr;  // handle -> term bytes (arena)
+    std::vector<uint32_t> key_len;
+    std::vector<uint32_t> counts;
+    uint64_t mask = 0;
+
+    static inline uint64_t hash_bytes(const char* s, size_t n) {
+        uint64_t h = 1469598103934665603ull;
+        for (size_t i = 0; i < n; i++) {
+            h ^= (uint8_t)s[i];
+            h *= 1099511628211ull;
+        }
+        return h;
+    }
+    void rehash(size_t want) {
+        size_t cap = 16;
+        while (cap < want * 2) cap <<= 1;
+        std::vector<uint32_t> ns(cap, 0);
+        for (uint32_t h = 0; h < (uint32_t)key_ptr.size(); h++) {
+            uint64_t idx = hash_bytes(key_ptr[h], key_len[h]) & (cap - 1);
+            while (ns[idx]) idx = (idx + 1) & (cap - 1);
+            ns[idx] = h + 1;
+        }
+        slots.swap(ns);
+        mask = cap - 1;
+    }
+    // add `cnt` occurrences of the term bytes, returning its stable handle
+    int32_t add(const char* s, size_t n, uint32_t cnt) {
+        if (key_ptr.size() * 2 >= slots.size()) rehash(key_ptr.size() + 8);
+        uint64_t idx = hash_bytes(s, n) & mask;
+        while (true) {
+            uint32_t v = slots[idx];
+            if (!v) {
+                key_ptr.push_back(arena.add(s, n));
+                key_len.push_back((uint32_t)n);
+                counts.push_back(cnt);
+                slots[idx] = (uint32_t)key_ptr.size();
+                return (int32_t)key_ptr.size() - 1;
+            }
+            uint32_t h = v - 1;
+            if (key_len[h] == n && memcmp(key_ptr[h], s, n) == 0) {
+                counts[h] += cnt;
+                return (int32_t)h;
+            }
+            idx = (idx + 1) & mask;
+        }
+    }
+    size_t size() const { return key_ptr.size(); }
+    // lexicographic byte order == std::string < == python sorted()
+    inline bool key_less(uint32_t a, uint32_t b) const {
+        size_t la = key_len[a], lb = key_len[b];
+        int c = memcmp(key_ptr[a], key_ptr[b], la < lb ? la : lb);
+        return c < 0 || (c == 0 && la < lb);
+    }
+};
+
+// separator membership: ASCII bitmap fast path (the per-codepoint
+// unordered_set probe dominated the tokenizer; DEFAULT_SEPERATORS is ASCII)
+struct SepSet {
+    bool ascii[128] = {false};
+    std::unordered_set<uint32_t> wide;
+    bool has_wide = false;
+    inline bool contains(uint32_t cp) const {
+        if (cp < 128) return ascii[cp];
+        return has_wide && wide.count(cp) > 0;
+    }
+    void insert(uint32_t cp) {
+        if (cp < 128) {
+            ascii[cp] = true;
+        } else {
+            wide.insert(cp);
+            has_wide = true;
+        }
+    }
+};
+
 typedef int32_t (*PathConfigCb)(const char* path, int32_t path_len,
                                 uint8_t* tokenize,
                                 int32_t* do_not_store_longer_than,
@@ -290,7 +392,7 @@ typedef int32_t (*PathConfigCb)(const char* path, int32_t path_len,
 struct PathConfig {
     bool tokenize = true;
     int32_t max_store_len = 64;
-    std::unordered_set<uint32_t> separators;
+    SepSet separators;
 };
 
 // ---------------------------------------------------------------- per-path state
@@ -310,7 +412,7 @@ struct PackedScores {
 struct PathState {
     std::string name;
     PathConfig config;
-    std::unordered_map<std::string, TermEntry> terms;
+    TermMap tmap;
     uint32_t large_text_counter = 0;  // pass-1 count (reference TermDataInPath)
 
     // per-(leaf, token) first-position groups (emitted during tokenize;
@@ -336,7 +438,6 @@ struct PathState {
     std::vector<uint32_t> token_ids;  // resolved after id assignment
     std::vector<int32_t> token_refs;  // interned term handle per token
     std::vector<uint8_t> token_is_sep;
-    std::vector<const std::string*> handle_to_key;  // term handle -> key
 
     // sorted output
     std::string terms_blob;
@@ -373,15 +474,8 @@ struct IndexResult {
 
 // token handle: intern a term into the path's term map, returning a stable
 // pointer-based handle recorded for later id resolution
-inline int32_t intern_term(PathState& ps, const std::string& term) {
-    auto it = ps.terms.find(term);
-    if (it == ps.terms.end()) {
-        it = ps.terms.emplace(term, TermEntry{}).first;
-        ps.handle_to_key.push_back(&it->first);
-        it->second.id = (uint32_t)(ps.handle_to_key.size() - 1);  // handle idx
-    }
-    it->second.count++;
-    return (int32_t)it->second.id;
+inline int32_t intern_term(PathState& ps, const char* s, size_t n) {
+    return ps.tmap.add(s, n, 1);
 }
 
 // tokenize `text`, appending (handle, is_sep) pairs; returns token count.
@@ -396,8 +490,7 @@ uint32_t tokenize_count(PathState& ps, const std::string& text) {
     bool any_sep_boundary = false;
 
     auto emit = [&](int64_t from, int64_t to, bool is_sep) {
-        std::string tok = text.substr((size_t)from, (size_t)(to - from));
-        int32_t h = intern_term(ps, tok);
+        int32_t h = intern_term(ps, text.data() + from, (size_t)(to - from));
         ps.token_refs.push_back(h);
         ps.token_is_sep.push_back(is_sep ? 1 : 0);
         count++;
@@ -405,8 +498,15 @@ uint32_t tokenize_count(PathState& ps, const std::string& text) {
 
     while (pos < len) {
         uint32_t cp;
-        int adv = utf8_decode(text.data(), len, pos, &cp);
-        bool is_sep = sep.count(cp) > 0;
+        int adv;
+        unsigned char c0 = (unsigned char)text[(size_t)pos];
+        if (c0 < 0x80) {
+            cp = c0;
+            adv = 1;
+        } else {
+            adv = utf8_decode(text.data(), len, pos, &cp);
+        }
+        bool is_sep = sep.contains(cp);
         if (is_sep) {
             if (pos == 0) {
                 last_was_sep_run = true;
@@ -494,7 +594,7 @@ struct Walker {
             ps.large_text_counter++;
             ps.leaf_term_ref.push_back(-1);
         } else {
-            ps.leaf_term_ref.push_back(intern_term(ps, text));
+            ps.leaf_term_ref.push_back(intern_term(ps, text.data(), text.size()));
         }
 
         uint32_t ntok = 0;
@@ -508,9 +608,8 @@ struct Walker {
                 // pass 1 counts tokens only when has_tokens() is true, i.e.
                 // more than one token. Roll back.
                 for (size_t k = before; k < ps.token_refs.size(); k++) {
-                    const std::string* key = ps.handle_to_key[(size_t)ps.token_refs[k]];
-                    auto it = ps.terms.find(*key);
-                    if (it != ps.terms.end() && it->second.count > 0) it->second.count--;
+                    uint32_t h = (uint32_t)ps.token_refs[k];
+                    if (ps.tmap.counts[h] > 0) ps.tmap.counts[h]--;
                 }
                 ps.token_refs.resize(before);
                 ps.token_is_sep.resize(before);
@@ -579,28 +678,28 @@ struct Walker {
 // resolve interned handles to sorted term ids; build terms blob
 void finalize_path(PathState& ps) {
     // order handles by term bytes (== codepoint order == python sorted())
-    size_t n = ps.handle_to_key.size();
+    size_t n = ps.tmap.size();
     // prune zero-count terms (rolled-back single-token texts that never
     // appeared elsewhere)
     std::vector<uint32_t> order;
     order.reserve(n);
     for (uint32_t h = 0; h < n; h++) {
-        if (ps.terms.at(*ps.handle_to_key[h]).count > 0) order.push_back(h);
+        if (ps.tmap.counts[h] > 0) order.push_back(h);
     }
     std::sort(order.begin(), order.end(), [&](uint32_t a, uint32_t b) {
-        return *ps.handle_to_key[a] < *ps.handle_to_key[b];
+        return ps.tmap.key_less(a, b);
     });
     std::vector<uint32_t> handle_to_id(n, 0xFFFFFFFFu);
     ps.occurrences.resize(order.size());
     size_t blob_size = 0;
-    for (size_t r = 0; r < order.size(); r++) blob_size += ps.handle_to_key[order[r]]->size() + 1;
+    for (size_t r = 0; r < order.size(); r++) blob_size += ps.tmap.key_len[order[r]] + 1;
     ps.terms_blob.reserve(blob_size);
     for (size_t r = 0; r < order.size(); r++) {
         uint32_t h = order[r];
         handle_to_id[h] = (uint32_t)r;
-        ps.occurrences[r] = ps.terms.at(*ps.handle_to_key[h]).count;
+        ps.occurrences[r] = ps.tmap.counts[h];
         if (r) ps.terms_blob.push_back('\0');
-        ps.terms_blob.append(*ps.handle_to_key[h]);
+        ps.terms_blob.append(ps.tmap.key_ptr[h], ps.tmap.key_len[h]);
     }
     ps.num_terms = (uint32_t)order.size();
 
@@ -636,8 +735,7 @@ void finalize_path(PathState& ps) {
     ps.pair_a_refs.clear(); ps.pair_a_refs.shrink_to_fit();
     ps.pair_b_refs.clear(); ps.pair_b_refs.shrink_to_fit();
     // release intermediates
-    ps.terms.clear();
-    ps.handle_to_key.clear();
+    ps.tmap = TermMap();
     ps.token_refs.clear();
     ps.token_refs.shrink_to_fit();
 }
@@ -884,16 +982,9 @@ static std::string parent_space(const std::string& path, bool is_id_path) {
 }
 
 // merged-intern: add `cnt` occurrences of `key`, returning the merged handle
-static inline int32_t intern_add(PathState& ps, const std::string& key,
+static inline int32_t intern_add(PathState& ps, const char* key, size_t len,
                                  uint32_t cnt) {
-    auto it = ps.terms.find(key);
-    if (it == ps.terms.end()) {
-        it = ps.terms.emplace(key, TermEntry{}).first;
-        ps.handle_to_key.push_back(&it->first);
-        it->second.id = (uint32_t)(ps.handle_to_key.size() - 1);
-    }
-    it->second.count += cnt;
-    return (int32_t)it->second.id;
+    return ps.tmap.add(key, len, cnt);
 }
 
 // Merge per-chunk parse results into one, offsetting every id space by the
@@ -945,10 +1036,10 @@ static IndexResult* merge_results(std::vector<IndexResult*>& chunks) {
             PathState& mp = *m->paths[m->path_index.at(s->name)];
             uint32_t pbase = base_of(c, parent_space(s->name, false));
             // remap interned handles
-            hmap.assign(s->handle_to_key.size(), -1);
-            for (size_t h = 0; h < s->handle_to_key.size(); h++) {
-                const std::string& key = *s->handle_to_key[h];
-                hmap[h] = intern_add(mp, key, s->terms.at(key).count);
+            hmap.assign(s->tmap.size(), -1);
+            for (size_t h = 0; h < s->tmap.size(); h++) {
+                hmap[h] = intern_add(mp, s->tmap.key_ptr[h],
+                                     s->tmap.key_len[h], s->tmap.counts[h]);
             }
             uint32_t leaf_base = (uint32_t)mp.leaf_anchor.size();
             int64_t tok_base = (int64_t)mp.token_refs.size();
@@ -992,7 +1083,139 @@ static IndexResult* merge_results(std::vector<IndexResult*>& chunks) {
     return m;
 }
 
+// ------------------------------------------------------------ radix sort
+// LSD byte-radix sorts used by the Python packing passes (csr_from_pairs /
+// _pack_phrase): these replace numpy's comparison sorts in the index-build
+// hot loop (reference BufferedIndexWriter sorts its spill parts the same
+// way conceptually, buffered_index_writer/src/lib.rs:245-270). Stable;
+// passes whose byte is constant across the array are skipped.
+
+static void radix_pass_u64(const uint64_t* in, uint64_t* out, int64_t n,
+                           int shift, const int64_t* hist) {
+    int64_t pos[256];
+    int64_t run = 0;
+    for (int b = 0; b < 256; b++) {
+        pos[b] = run;
+        run += hist[b];
+    }
+    for (int64_t i = 0; i < n; i++) {
+        out[pos[(in[i] >> shift) & 0xFF]++] = in[i];
+    }
+}
+
+static void radix_sort_u64(uint64_t* data, int64_t n) {
+    if (n < 2) return;
+    std::vector<uint64_t> tmp((size_t)n);
+    uint64_t* a = data;
+    uint64_t* b = tmp.data();
+    // one histogram sweep for all 8 byte positions
+    int64_t hist[8][256] = {};
+    for (int64_t i = 0; i < n; i++) {
+        uint64_t v = a[i];
+        for (int p = 0; p < 8; p++) hist[p][(v >> (p * 8)) & 0xFF]++;
+    }
+    for (int p = 0; p < 8; p++) {
+        // skip pass if every element shares this byte
+        bool constant = false;
+        for (int bkt = 0; bkt < 256; bkt++) {
+            if (hist[p][bkt] == n) { constant = true; break; }
+        }
+        if (constant) continue;
+        radix_pass_u64(a, b, n, p * 8, hist[p]);
+        std::swap(a, b);
+    }
+    if (a != data) memcpy(data, a, (size_t)n * sizeof(uint64_t));
+}
+
+// stable sort of (key, val) pairs by key (byte-radix), payload carried along
+static void radix_sort_u64_kv(uint64_t* keys, uint32_t* vals, int64_t n) {
+    if (n < 2) return;
+    std::vector<uint64_t> ktmp((size_t)n);
+    std::vector<uint32_t> vtmp((size_t)n);
+    uint64_t *ka = keys, *kb = ktmp.data();
+    uint32_t *va = vals, *vb = vtmp.data();
+    int64_t hist[8][256] = {};
+    for (int64_t i = 0; i < n; i++) {
+        uint64_t v = keys[i];
+        for (int p = 0; p < 8; p++) hist[p][(v >> (p * 8)) & 0xFF]++;
+    }
+    for (int p = 0; p < 8; p++) {
+        bool constant = false;
+        for (int bkt = 0; bkt < 256; bkt++) {
+            if (hist[p][bkt] == n) { constant = true; break; }
+        }
+        if (constant) continue;
+        int64_t pos[256];
+        int64_t run = 0;
+        for (int bkt = 0; bkt < 256; bkt++) {
+            pos[bkt] = run;
+            run += hist[p][bkt];
+        }
+        int shift = p * 8;
+        for (int64_t i = 0; i < n; i++) {
+            int64_t dst = pos[(ka[i] >> shift) & 0xFF]++;
+            kb[dst] = ka[i];
+            vb[dst] = va[i];
+        }
+        std::swap(ka, kb);
+        std::swap(va, vb);
+    }
+    if (ka != keys) memcpy(keys, ka, (size_t)n * sizeof(uint64_t));
+    if (va != vals) memcpy(vals, va, (size_t)n * sizeof(uint32_t));
+}
+
 extern "C" {
+
+// in-place stable LSD radix sort of u64
+void vl_radix_sort_u64(uint64_t* data, int64_t n) { radix_sort_u64(data, n); }
+
+// stable sort by u64 key carrying a u32 payload
+void vl_radix_sort_u64_kv32(uint64_t* keys, uint32_t* vals, int64_t n) {
+    radix_sort_u64_kv(keys, vals, n);
+}
+
+// lexicographic (key, val) sort: stable radix by val then stable by key —
+// equivalent to np.lexsort((vals, keys)) applied to both arrays
+void vl_lexsort_u64_u32(uint64_t* keys, uint32_t* vals, int64_t n) {
+    if (n < 2) return;
+    // pass 1: stable sort both arrays by the 32-bit val
+    std::vector<uint64_t> kt((size_t)n);
+    std::vector<uint32_t> vt((size_t)n);
+    int64_t hist[4][256] = {};
+    for (int64_t i = 0; i < n; i++) {
+        uint32_t v = vals[i];
+        for (int p = 0; p < 4; p++) hist[p][(v >> (p * 8)) & 0xFF]++;
+    }
+    uint64_t* ka = keys;
+    uint64_t* kb = kt.data();
+    uint32_t* va = vals;
+    uint32_t* vb = vt.data();
+    for (int p = 0; p < 4; p++) {
+        bool constant = false;
+        for (int bkt = 0; bkt < 256; bkt++) {
+            if (hist[p][bkt] == n) { constant = true; break; }
+        }
+        if (constant) continue;
+        int64_t pos[256];
+        int64_t run = 0;
+        for (int bkt = 0; bkt < 256; bkt++) {
+            pos[bkt] = run;
+            run += hist[p][bkt];
+        }
+        int shift = p * 8;
+        for (int64_t i = 0; i < n; i++) {
+            int64_t dst = pos[(va[i] >> shift) & 0xFF]++;
+            kb[dst] = ka[i];
+            vb[dst] = va[i];
+        }
+        std::swap(ka, kb);
+        std::swap(va, vb);
+    }
+    if (ka != keys) memcpy(keys, ka, (size_t)n * sizeof(uint64_t));
+    if (va != vals) memcpy(vals, va, (size_t)n * sizeof(uint32_t));
+    // pass 2: stable sort by key
+    radix_sort_u64_kv(keys, vals, n);
+}
 
 void* vl_index_ndjson(const char* data, int64_t len, PathConfigCb cb) {
     auto* res = new IndexResult();

@@ -589,8 +589,13 @@ def _pack_phrase(tuples: Tuple[List[int], List[int], List[int]]) -> PhraseCsr:
                 keys = np.asarray(k_s[keep])
                 v = np.asarray(v_s[keep]).astype(np.uint32)
     else:
-        order = np.lexsort((v, keys))
-        keys, v = keys[order], v[order]
+        from . import native as _native
+
+        keys = np.ascontiguousarray(keys)
+        v = np.array(v, dtype=np.uint32, copy=True)
+        if not _native.lexsort_kv_u64_u32(keys, v):
+            order = np.lexsort((v, keys))
+            keys, v = keys[order], v[order]
         if len(keys):
             keep = np.ones(len(keys), dtype=bool)
             keep[1:] = (keys[1:] != keys[:-1]) | (v[1:] != v[:-1])

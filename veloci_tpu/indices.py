@@ -353,8 +353,13 @@ def csr_from_pairs(
                     keep[1:] = k_s[1:] != k_s[:-1]
                     combo = np.asarray(k_s[keep]).astype(np.int64)
             else:
-                # combined-key sort: one int64 np.sort beats a 2-key lexsort
-                combo = np.sort(combo)
+                # combined-key sort: native LSD radix (in place, stable) or
+                # one int64 np.sort — both beat a 2-key lexsort
+                from . import native as _native
+
+                combo = np.ascontiguousarray(combo)
+                if not _native.sort_u64(combo.view(np.uint64)):
+                    combo = np.sort(combo)
                 combo = combo[np.concatenate([[True], combo[1:] != combo[:-1]])]
             keys = combo >> np.int64(32)
             values = (combo & np.int64(0xFFFFFFFF)).astype(np.uint32)
@@ -366,8 +371,15 @@ def csr_from_pairs(
                 keep[1:] = (keys[1:] != keys[:-1]) | (values[1:] != values[:-1])
                 keys, values = keys[keep], values[keep]
     else:
-        order = np.argsort(keys, kind="stable" if stable else "quicksort")
-        keys, values = keys[order], values[order]
+        from . import native as _native
+
+        k_u = keys.astype(np.uint64)
+        v_s = np.array(values, dtype=np.uint32, copy=True)
+        if stable and _native.sort_kv_u64_u32(k_u, v_s):
+            keys, values = k_u.astype(np.int64), v_s
+        else:
+            order = np.argsort(keys, kind="stable" if stable else "quicksort")
+            keys, values = keys[order], values[order]
     counts = np.bincount(keys, minlength=num_keys) if len(keys) else np.zeros(num_keys, np.int64)
     offsets = np.zeros(num_keys + 1, dtype=np.uint64)
     np.cumsum(counts, out=offsets[1:])

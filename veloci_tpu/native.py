@@ -203,6 +203,19 @@ def _load() -> Optional[ctypes.CDLL]:
     lib.vl_lz_bound.restype = ctypes.c_int64
     lib.vl_lz_bound.argtypes = [ctypes.c_int64]
     lib.vl_free.argtypes = [ctypes.c_void_p]
+    lib.vl_radix_sort_u64.restype = None
+    lib.vl_radix_sort_u64.argtypes = [
+        ctypes.POINTER(ctypes.c_uint64),
+        ctypes.c_int64,
+    ]
+    for name in ("vl_radix_sort_u64_kv32", "vl_lexsort_u64_u32"):
+        fn = getattr(lib, name)
+        fn.restype = None
+        fn.argtypes = [
+            ctypes.POINTER(ctypes.c_uint64),
+            ctypes.POINTER(ctypes.c_uint32),
+            ctypes.c_int64,
+        ]
     _LIB = lib
     return _LIB
 
@@ -398,3 +411,67 @@ def lz_decompress(data: bytes, raw_size: int) -> bytes:
     if n != raw_size:
         raise ValueError(f"corrupt LZ block (got {n}, want {raw_size})")
     return dst.raw[:raw_size]
+
+
+# ---------------------------------------------------------------- radix sort
+def sort_u64(arr) -> bool:
+    """In-place stable LSD radix sort of a contiguous uint64 array; False if
+    the native lib is unavailable (callers fall back to np.sort)."""
+    import numpy as np
+
+    lib = _load()
+    if lib is None or not hasattr(lib, "vl_radix_sort_u64"):
+        return False
+    if not (arr.dtype == np.uint64 and arr.flags.c_contiguous):
+        return False
+    lib.vl_radix_sort_u64(
+        arr.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)), len(arr)
+    )
+    return True
+
+
+def sort_kv_u64_u32(keys, vals) -> bool:
+    """In-place stable sort of (keys u64, payload u32) by key."""
+    import numpy as np
+
+    lib = _load()
+    if lib is None or not hasattr(lib, "vl_radix_sort_u64_kv32"):
+        return False
+    if not (
+        keys.dtype == np.uint64
+        and vals.dtype == np.uint32
+        and keys.flags.c_contiguous
+        and vals.flags.c_contiguous
+        and len(keys) == len(vals)
+    ):
+        return False
+    lib.vl_radix_sort_u64_kv32(
+        keys.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
+        vals.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+        len(keys),
+    )
+    return True
+
+
+def lexsort_kv_u64_u32(keys, vals) -> bool:
+    """In-place lexicographic (key, val) sort — np.lexsort((vals, keys))
+    applied to both arrays."""
+    import numpy as np
+
+    lib = _load()
+    if lib is None or not hasattr(lib, "vl_lexsort_u64_u32"):
+        return False
+    if not (
+        keys.dtype == np.uint64
+        and vals.dtype == np.uint32
+        and keys.flags.c_contiguous
+        and vals.flags.c_contiguous
+        and len(keys) == len(vals)
+    ):
+        return False
+    lib.vl_lexsort_u64_u32(
+        keys.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
+        vals.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+        len(keys),
+    )
+    return True
