@@ -69,31 +69,10 @@ void utf8_append(std::string& out, uint32_t cp) {
 
 // ---------------------------------------------------------------- JSON
 
-// Minimal recursive-descent ndjson parser. Numbers/bools are stringified
-// the way serde_json::Value renders them (json_converter lib.rs:6-14).
-
-struct JsonValue;
-using JsonArray = std::vector<JsonValue>;
-using JsonMember = std::pair<std::string, JsonValue>;
-using JsonObject = std::vector<JsonMember>;
-
-struct JsonValue {
-    enum Kind { Null, Text, Arr, Obj } kind = Null;
-    std::string text;  // scalar rendered as text
-    JsonArray* arr = nullptr;
-    JsonObject* obj = nullptr;
-
-    JsonValue() = default;
-    JsonValue(const JsonValue&) = delete;
-    JsonValue& operator=(const JsonValue&) = delete;
-    JsonValue(JsonValue&& o) noexcept { *this = std::move(o); }
-    JsonValue& operator=(JsonValue&& o) noexcept {
-        kind = o.kind; text = std::move(o.text); arr = o.arr; obj = o.obj;
-        o.arr = nullptr; o.obj = nullptr; o.kind = Null;
-        return *this;
-    }
-    ~JsonValue() { delete arr; delete obj; }
-};
+// Minimal recursive-descent ndjson scanner. The document tree is never
+// materialised: parse events drive the walker directly (see
+// Walker::stream_value) — the reference's streaming json_converter
+// (json_converter/src/lib.rs:69-138) has the same shape.
 
 struct Parser {
     const char* s;
@@ -174,71 +153,24 @@ struct Parser {
         return false;
     }
 
-    bool parse_value(JsonValue& out) {
-        skip_ws();
-        if (i >= n) return false;
+    // true/false/null/number -> stringified into `out` exactly as the
+    // tree parser did (serde_json::Value rendering, json_converter
+    // lib.rs:6-14): 1 = text scalar, 0 = null, -1 = parse error
+    int parse_scalar(std::string& out) {
         char c = s[i];
-        if (c == '"') {
-            out.kind = JsonValue::Text;
-            return parse_string(out.text);
-        }
-        if (c == '{') {
-            i++;
-            out.kind = JsonValue::Obj;
-            out.obj = new JsonObject();
-            skip_ws();
-            if (i < n && s[i] == '}') { i++; return true; }
-            while (i < n) {
-                skip_ws();
-                if (i >= n || s[i] != '"') return false;
-                std::string key;
-                if (!parse_string(key)) return false;
-                skip_ws();
-                if (i >= n || s[i] != ':') return false;
-                i++;
-                JsonValue v;
-                if (!parse_value(v)) return false;
-                out.obj->emplace_back(std::move(key), std::move(v));
-                skip_ws();
-                if (i < n && s[i] == ',') { i++; continue; }
-                if (i < n && s[i] == '}') { i++; return true; }
-                return false;
-            }
-            return false;
-        }
-        if (c == '[') {
-            i++;
-            out.kind = JsonValue::Arr;
-            out.arr = new JsonArray();
-            skip_ws();
-            if (i < n && s[i] == ']') { i++; return true; }
-            while (i < n) {
-                JsonValue v;
-                if (!parse_value(v)) return false;
-                out.arr->emplace_back(std::move(v));
-                skip_ws();
-                if (i < n && s[i] == ',') { i++; continue; }
-                if (i < n && s[i] == ']') { i++; return true; }
-                return false;
-            }
-            return false;
-        }
         if (c == 't' && i + 4 <= n && memcmp(s + i, "true", 4) == 0) {
-            out.kind = JsonValue::Text;
-            out.text = "true";
+            out.assign("true");
             i += 4;
-            return true;
+            return 1;
         }
         if (c == 'f' && i + 5 <= n && memcmp(s + i, "false", 5) == 0) {
-            out.kind = JsonValue::Text;
-            out.text = "false";
+            out.assign("false");
             i += 5;
-            return true;
+            return 1;
         }
         if (c == 'n' && i + 4 <= n && memcmp(s + i, "null", 4) == 0) {
-            out.kind = JsonValue::Null;
             i += 4;
-            return true;
+            return 0;
         }
         // number: slice the raw token, then normalise like serde/python
         int64_t start = i;
@@ -254,30 +186,28 @@ struct Parser {
             }
             break;
         }
-        if (i == start) return false;
-        std::string raw(s + start, (size_t)(i - start));
-        out.kind = JsonValue::Text;
+        if (i == start) return -1;
         if (!is_float) {
-            out.text = raw;  // integers render verbatim
+            out.assign(s + start, (size_t)(i - start));  // ints verbatim
         } else {
-            // shortest round-trip double formatting (matches repr/serde)
-            double v = strtod(raw.c_str(), nullptr);
+            // shortest round-trip double formatting (matches repr/serde);
+            // strtod stops at the delimiter, no copy needed
+            double v = strtod(s + start, nullptr);
             char buf[40];
             for (int prec = 1; prec <= 17; prec++) {
                 snprintf(buf, sizeof(buf), "%.*g", prec, v);
                 if (strtod(buf, nullptr) == v) break;
             }
-            std::string t(buf);
+            out.assign(buf);
             // python repr always shows a fraction for integral floats
-            if (t.find('.') == std::string::npos &&
-                t.find('e') == std::string::npos &&
-                t.find("inf") == std::string::npos &&
-                t.find("nan") == std::string::npos) {
-                t += ".0";
+            if (out.find('.') == std::string::npos &&
+                out.find('e') == std::string::npos &&
+                out.find("inf") == std::string::npos &&
+                out.find("nan") == std::string::npos) {
+                out += ".0";
             }
-            out.text = t;
         }
-        return true;
+        return 1;
     }
 };
 
@@ -651,27 +581,95 @@ struct Walker {
         ps.leaf_tok_offsets.push_back((int64_t)ps.token_refs.size());
     }
 
-    void walk(const JsonValue& v, uint32_t anchor, uint32_t parent,
-              const std::string& current_path, const std::string& el_name) {
-        if (v.kind == JsonValue::Arr) {
-            std::string path = current_path + el_name + "[]";
-            for (const auto& el : *v.arr) {
+    // fused parse+walk: consumes one JSON value from the scanner and emits
+    // leaves/ids directly — no document tree, no per-node heap churn.
+    // Per-depth string pools are reused across documents.
+    std::vector<std::string> key_pool;
+    std::vector<std::string> path_pool;
+    std::string text_scratch;
+
+    bool stream_value(Parser& p, uint32_t anchor, uint32_t parent,
+                      const std::string& current_path,
+                      const std::string& el_name, size_t depth) {
+        static const std::string kEmpty;
+        p.skip_ws();
+        if (p.i >= p.n) return false;
+        if (depth >= key_pool.size()) {
+            key_pool.resize(depth + 8);
+            path_pool.resize(depth + 8);
+        }
+        char c = p.s[p.i];
+        if (c == '"') {
+            if (!p.parse_string(text_scratch)) return false;
+            std::string& path = path_pool[depth];
+            path.assign(current_path);
+            path.append(el_name);
+            text_leaf(anchor, text_scratch, path, parent);
+            return true;
+        }
+        if (c == '[') {
+            p.i++;
+            std::string& path = path_pool[depth];
+            path.assign(current_path);
+            path.append(el_name);
+            path.append("[]");
+            p.skip_ws();
+            if (p.i < p.n && p.s[p.i] == ']') {
+                p.i++;
+                return true;
+            }
+            IdPathState& ips = id_path_state(path);
+            while (p.i < p.n) {
                 uint32_t vid = provide_id(path);
-                IdPathState& ips = id_path_state(path);
                 ips.value_id.push_back(vid);
                 ips.parent_id.push_back(parent);
                 ips.anchor_id.push_back(anchor);
-                walk(el, anchor, vid, path, "");
+                if (!stream_value(p, anchor, vid, path, kEmpty, depth + 1))
+                    return false;
+                p.skip_ws();
+                if (p.i < p.n && p.s[p.i] == ',') { p.i++; continue; }
+                if (p.i < p.n && p.s[p.i] == ']') { p.i++; return true; }
+                return false;
             }
-        } else if (v.kind == JsonValue::Obj) {
-            std::string path = current_path + el_name;
-            if (!path.empty()) path += ".";
-            for (const auto& kv : *v.obj) {
-                walk(kv.second, anchor, parent, path, kv.first);
-            }
-        } else if (v.kind == JsonValue::Text) {
-            text_leaf(anchor, v.text, current_path + el_name, parent);
+            return false;
         }
+        if (c == '{') {
+            p.i++;
+            std::string& path = path_pool[depth];
+            path.assign(current_path);
+            path.append(el_name);
+            if (!path.empty()) path += '.';
+            p.skip_ws();
+            if (p.i < p.n && p.s[p.i] == '}') {
+                p.i++;
+                return true;
+            }
+            while (p.i < p.n) {
+                p.skip_ws();
+                if (p.i >= p.n || p.s[p.i] != '"') return false;
+                std::string& key = key_pool[depth];
+                if (!p.parse_string(key)) return false;
+                p.skip_ws();
+                if (p.i >= p.n || p.s[p.i] != ':') return false;
+                p.i++;
+                if (!stream_value(p, anchor, parent, path, key, depth + 1))
+                    return false;
+                p.skip_ws();
+                if (p.i < p.n && p.s[p.i] == ',') { p.i++; continue; }
+                if (p.i < p.n && p.s[p.i] == '}') { p.i++; return true; }
+                return false;
+            }
+            return false;
+        }
+        int sc = p.parse_scalar(text_scratch);
+        if (sc < 0) return false;
+        if (sc == 1) {
+            std::string& path = path_pool[depth];
+            path.assign(current_path);
+            path.append(el_name);
+            text_leaf(anchor, text_scratch, path, parent);
+        }
+        return true;
     }
 };
 
@@ -954,16 +952,15 @@ static void parse_range(const char* data, int64_t len, PathConfigCb cb,
                         IndexResult* res) {
     Walker w{res, cb, {}};
     Parser p{data, len};
+    static const std::string kEmpty;
     while (true) {
         p.skip_ws();
         if (p.i >= p.n) break;
-        JsonValue doc;
-        if (!p.parse_value(doc)) {
+        uint32_t anchor = w.provide_id("");
+        if (!w.stream_value(p, anchor, anchor, kEmpty, kEmpty, 0)) {
             res->error = "json parse error at byte " + std::to_string(p.i);
             break;
         }
-        uint32_t anchor = w.provide_id("");
-        w.walk(doc, anchor, anchor, "", "");
         res->num_docs++;
     }
     for (auto& kv : w.id_counters) res->id_alloc[kv.first] = kv.second + 1;
