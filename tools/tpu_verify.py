@@ -17,7 +17,7 @@ def main() -> None:
     import sys
 
     sys.path.insert(0, ".")
-    from bench import build_corpus
+    from bench import BENCH_CONFIG, build_corpus
 
     from veloci_tpu import Persistence, Request, search
     import importlib
@@ -25,7 +25,7 @@ def main() -> None:
     ex = importlib.import_module("veloci_tpu.search.executor")
 
     corpus, vocab = build_corpus(80000)
-    pers = Persistence.create_from_str(corpus, "{}")
+    pers = Persistence.create_from_str(corpus, BENCH_CONFIG)
     print("built", pers.num_docs, flush=True)
 
     queries = [
@@ -62,6 +62,33 @@ def main() -> None:
                                       "starts_with": True,
                                       "levenshtein_distance": 1}},
         },
+        # batched generic path: filter + column boost + facet in one program
+        {
+            "search_req": {"search": {"terms": ["w1bb"], "path": "title"}},
+            "filter": {"search": {"terms": ["c3"], "path": "cat"}},
+            "boost": [{"path": "pop", "boost_fun": "Log10", "param": 1}],
+            "facets": [{"field": "cat"}],
+        },
+        {
+            "search_req": {
+                "or": {
+                    "queries": [
+                        {"search": {"terms": ["w1bb"], "path": "title"}},
+                        {"search": {"terms": ["w3dd"], "path": "title"}},
+                    ]
+                }
+            },
+            "boost": [{"path": "pop", "boost_fun": "Multiply", "param": 2}],
+            "facets": [{"field": "cat", "top": 3}],
+            "filter": {
+                "or": {
+                    "queries": [
+                        {"search": {"terms": ["c1"], "path": "cat"}},
+                        {"search": {"terms": ["c2"], "path": "cat"}},
+                    ]
+                }
+            },
+        },
     ]
 
     failures = 0
@@ -96,9 +123,12 @@ def main() -> None:
     print(f"search_batch: {len(reqs)} requests in {(time.time()-t0)*1e3:.1f} ms", flush=True)
     for qi, (req, res) in enumerate(zip(reqs, batched)):
         single = search(Request.from_dict(queries[qi]), pers)
-        ok = res.num_hits == single.num_hits and [
-            (h.id, round(h.score, 3)) for h in res.data
-        ] == [(h.id, round(h.score, 3)) for h in single.data]
+        ok = (
+            res.num_hits == single.num_hits
+            and [(h.id, round(h.score, 3)) for h in res.data]
+            == [(h.id, round(h.score, 3)) for h in single.data]
+            and (res.facets or None) == (single.facets or None)
+        )
         if not ok:
             failures += 1
         print(f"batch {qi}: {'OK' if ok else 'MISMATCH'}", flush=True)

@@ -95,12 +95,28 @@ def _tree_spec(persistence, comb, node):
     return gtids, num_slots, is_and
 
 
+def _filter_tree_key(node) -> tuple:
+    if node.kind == SearchRequest.SEARCH:
+        return ("s", node.part.key())
+    return (node.kind, tuple(_filter_tree_key(q) for q in node.queries))
+
+
 def _filter_anchor_list(persistence, node) -> Optional[np.ndarray]:
     """Host-resolved filter anchors — exact parity with the executor's
     `_eval_ids` (reference FilterChannel semantics): the filter subtree
-    evaluates ids-only on the host; only the anchor list ships to device."""
+    evaluates ids-only on the host; only the anchor list ships to device.
+    Memoized per persistence (requests in a batch share few distinct
+    filters — the reference's FieldRequestCache, execution_plan.rs:91-130)."""
     from ..search import boost as boost_mod
     from .field_search import get_term_ids_in_field
+
+    memo = getattr(persistence, "_filter_anchor_cache", None)
+    if memo is None:
+        memo = persistence._filter_anchor_cache = {}
+    tkey = _filter_tree_key(node)
+    hit = memo.get(tkey)
+    if hit is not None:
+        return hit
 
     num_docs = persistence.num_docs
     if node.kind == SearchRequest.SEARCH:
@@ -111,17 +127,22 @@ def _filter_anchor_list(persistence, node) -> Optional[np.ndarray]:
             persistence, fsr.path, fsr.hits_ids
         )
         anchors = anchors[(anchors >= 0) & (anchors < num_docs)]
-        return np.unique(anchors)
-    subs = [_filter_anchor_list(persistence, q) for q in node.queries]
-    if not subs:
-        return np.empty(0, dtype=np.int64)
-    out = subs[0]
-    for s in subs[1:]:
-        out = (
-            np.union1d(out, s)
-            if node.kind == SearchRequest.OR
-            else np.intersect1d(out, s)
-        )
+        out = np.unique(anchors)
+    else:
+        subs = [_filter_anchor_list(persistence, q) for q in node.queries]
+        if not subs:
+            out = np.empty(0, dtype=np.int64)
+        else:
+            out = subs[0]
+            for s in subs[1:]:
+                out = (
+                    np.union1d(out, s)
+                    if node.kind == SearchRequest.OR
+                    else np.intersect1d(out, s)
+                )
+    if len(memo) > 4096:
+        memo.clear()
+    memo[tkey] = out
     return out
 
 
