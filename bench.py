@@ -401,7 +401,7 @@ def main() -> None:
             off = (carry * jnp.float32(1e-20)).astype(jnp.int32)
             _ids, scores, _nh, _fc = batched_generic_topk(
                 offs_d_comb, anc_d_comb, sc_d_comb,
-                g_tids_j + off, g_tscs_j, g_slots_j, fa_j,
+                g_tids_j + off, g_tscs_j, g_slots_j, fa_j, None,
                 ((bv_j, pres_j, None),),
                 (fmat,),
                 capacity=capacity,

@@ -19,6 +19,7 @@ from veloci_tpu import Persistence, Request, add_token_values_to_tokens, search
 import importlib
 
 batch_mod = importlib.import_module("veloci_tpu.search.batch")
+ex_mod = importlib.import_module("veloci_tpu.search.executor")
 _generic_eligible = batch_mod._generic_eligible
 search_batch = batch_mod.search_batch
 
@@ -125,6 +126,45 @@ GENERIC_REQUESTS = [
         "facets": [{"field": "tags[]"}],
         "filter": {"search": {"terms": ["will"], "path": "meanings.eng[]"}},
     },
+    # phrase boosts (x5 anchor factor) — alone and stacked with boost+facet
+    {
+        "search_req": {
+            "or": {
+                "queries": [
+                    {"search": {"terms": ["majestätischer"], "path": "meanings.ger[]"}},
+                    {"search": {"terms": ["anblick"], "path": "meanings.ger[]"}},
+                ]
+            }
+        },
+        "phrase_boosts": [
+            {
+                "search1": {"terms": ["majestätischer"], "path": "meanings.ger[]"},
+                "search2": {"terms": ["anblick"], "path": "meanings.ger[]"},
+            }
+        ],
+    },
+    {
+        "search_req": {
+            "or": {
+                "queries": [
+                    {"search": {"terms": ["majestätischer"], "path": "meanings.ger[]"}},
+                    {"search": {"terms": ["anblick"], "path": "meanings.ger[]"}},
+                ]
+            }
+        },
+        "phrase_boosts": [
+            {
+                "search1": {"terms": ["majestätischer"], "path": "meanings.ger[]"},
+                "search2": {"terms": ["anblick"], "path": "meanings.ger[]"},
+            },
+            {
+                "search1": {"terms": ["majestätisches"], "path": "meanings.ger[]"},
+                "search2": {"terms": ["aussehen"], "path": "meanings.ger[]"},
+            },
+        ],
+        "boost": [{"path": "commonness", "boost_fun": "Log10", "param": 1}],
+        "facets": [{"field": "tags[]"}],
+    },
     # skip_when_score exemption
     {
         "search_req": {"search": {"terms": ["urge"], "path": "meanings.eng[]"}},
@@ -136,6 +176,28 @@ GENERIC_REQUESTS = [
                 "skip_when_score": [10.0],
             }
         ],
+    },
+    # fuzzy leaf + extras -> the fused fuzzy-generic kernel
+    {
+        "search_req": {
+            "search": {
+                "terms": ["majestat"],
+                "path": "meanings.ger[]",
+                "levenshtein_distance": 1,
+            }
+        },
+        "boost": [{"path": "commonness", "boost_fun": "Log10", "param": 1}],
+    },
+    {
+        "search_req": {
+            "search": {
+                "terms": ["majestat"],
+                "path": "meanings.ger[]",
+                "levenshtein_distance": 2,
+            }
+        },
+        "filter": {"search": {"terms": ["1587680"], "path": "ent_seq"}},
+        "facets": [{"field": "tags[]"}],
     },
     # top/skip windows survive the batched path
     {
@@ -163,6 +225,7 @@ def _result_tuple(res):
 
 def test_generic_requests_are_batch_eligible(pers, monkeypatch):
     monkeypatch.setattr(batch_mod, "SMALL_DOCS", 1)
+    monkeypatch.setattr(ex_mod, "SMALL_DOCS", 1)
     comb = pers.device_combined()
     for d in GENERIC_REQUESTS:
         req = Request.from_dict(d)
@@ -172,6 +235,7 @@ def test_generic_requests_are_batch_eligible(pers, monkeypatch):
 def test_batch_generic_parity(pers, monkeypatch):
     # batch side: device kernels; reference side: per-request host executor
     monkeypatch.setattr(batch_mod, "SMALL_DOCS", 1)
+    monkeypatch.setattr(ex_mod, "SMALL_DOCS", 1)
     reqs = [Request.from_dict(d) for d in GENERIC_REQUESTS]
     batch_res = search_batch(reqs, pers)
     for d, br in zip(GENERIC_REQUESTS, batch_res):
@@ -187,6 +251,7 @@ def test_batch_generic_parity(pers, monkeypatch):
 def test_batch_generic_mixed_with_fast_paths(pers, monkeypatch):
     """Generic, plain-exact and ineligible requests interleave correctly."""
     monkeypatch.setattr(batch_mod, "SMALL_DOCS", 1)
+    monkeypatch.setattr(ex_mod, "SMALL_DOCS", 1)
     dicts = [
         {"search_req": {"search": {"terms": ["urge"], "path": "meanings.eng[]"}}},
         GENERIC_REQUESTS[0],

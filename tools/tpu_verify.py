@@ -62,6 +62,14 @@ def main() -> None:
                                       "starts_with": True,
                                       "levenshtein_distance": 1}},
         },
+        # fuzzy-generic: fuzzy leaf + boost + facet fused
+        {
+            "search_req": {"search": {"terms": ["w2cc"], "path": "title",
+                                      "levenshtein_distance": 1}},
+            "boost": [{"path": "pop", "boost_fun": "Log10", "param": 1}],
+            "facets": [{"field": "cat"}],
+            "filter": {"search": {"terms": ["c5"], "path": "cat"}},
+        },
         # batched generic path: filter + column boost + facet in one program
         {
             "search_req": {"search": {"terms": ["w1bb"], "path": "title"}},

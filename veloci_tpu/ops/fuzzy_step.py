@@ -57,18 +57,19 @@ def _sweep(term_chars, term_lens, query, query_len):
     return jnp.where(valid, dist, _BIG), is_prefix & valid
 
 
-def _select_resolve_topk(
+def _select_resolve_dense(
     dist, is_prefix, distance, offsets, anchors, scores01,
-    max_terms, capacity, num_docs, k,
+    max_terms, capacity, num_docs,
 ):
     """Shared tail: match -> term score -> on-device select -> resolve ->
-    top-k. `dist` may come from the XLA sweep or the banded Pallas kernel.
+    dense [num_docs] score vector. `dist` may come from the XLA sweep or
+    the banded Pallas kernel.
 
-    Returns (ids, scores, num_hits, total_matches, total_postings).
-    Results are only valid when total_matches <= max_terms AND
-    total_postings <= capacity — `capacity` is OPTIMISTIC (the static
-    worst case, sum of the max_terms largest runs, is absurd for typical
-    fuzzy matches); callers re-dispatch at the next bucket on overflow."""
+    Returns (dense, total_matches, total_postings). Results are only valid
+    when total_matches <= max_terms AND total_postings <= capacity —
+    `capacity` is OPTIMISTIC (the static worst case, sum of the max_terms
+    largest runs, is absurd for typical fuzzy matches); callers re-dispatch
+    at the next bucket on overflow."""
     match = dist <= distance
     total_matches = jnp.sum(match, dtype=jnp.int32)
 
@@ -109,6 +110,19 @@ def _select_resolve_topk(
     s = jnp.where(in_range, scores01[src] * tsc_fill, -jnp.inf)
     dense = jax.ops.segment_max(s, a, num_segments=num_docs + 1)[:num_docs]
     dense = jnp.where(jnp.isfinite(dense), dense, 0.0)
+    return dense, total_matches, total_postings
+
+
+def _select_resolve_topk(
+    dist, is_prefix, distance, offsets, anchors, scores01,
+    max_terms, capacity, num_docs, k,
+):
+    """`_select_resolve_dense` + exact top-k; returns
+    (ids, scores, num_hits, total_matches, total_postings)."""
+    dense, total_matches, total_postings = _select_resolve_dense(
+        dist, is_prefix, distance, offsets, anchors, scores01,
+        max_terms, capacity, num_docs,
+    )
     ids, scores = topk_dense_exact(dense, k)
     num_hits = jnp.sum(dense > 0, dtype=jnp.int32)
     return ids, scores, num_hits, total_matches, total_postings
@@ -241,3 +255,95 @@ def batched_fuzzy_search_topk(
         )
 
     return jax.vmap(one)(queries, query_lens, distances)
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "max_terms", "capacity", "num_docs", "k", "banded", "boost_specs",
+        "interpret",
+    ),
+)
+def batched_fuzzy_generic_topk(
+    chars_arg: jax.Array,  # banded: [L, N_pad] chars_t; else [N_pad, L]
+    term_lens: jax.Array,  # [N_pad] int32
+    queries: jax.Array,  # [Q, MAX_QUERY_CHARS] uint16
+    query_lens: jax.Array,  # [Q] int32
+    distances: jax.Array,  # [Q] int32
+    offsets: jax.Array,
+    anchors: jax.Array,
+    scores01: jax.Array,
+    filter_anchors,  # [Q, F_pad] int32 (pad num_docs) | None
+    phrase_anchors,  # [Q, P_pad] int32 (pad num_docs) | None
+    boost_arrays,  # tuple of (bv, pres, expr_add|None)
+    facet_mats,  # tuple of M [num_docs, G_i] bf16
+    max_terms: int,
+    capacity: int,
+    num_docs: int,
+    k: int,
+    banded: bool,
+    boost_specs=(),
+    interpret: bool = False,
+):
+    """Fuzzy queries WITH filters / boost columns / phrase factors / facets
+    in ONE program — the fuzzy leg of the batched generic path (BASELINE
+    config 2 crossed with configs 3-5). Same order of operations as
+    `batched_generic_topk`; same overflow contract as the plain fuzzy
+    kernels (re-dispatch when total_matches > max_terms or total_postings
+    > capacity)."""
+    from .generic_step import _apply_boost, _precompute_boost
+
+    if banded:
+        from .pallas_levenshtein import levenshtein_sweep_pallas_banded_batch
+
+        dist, _pd, is_prefix = levenshtein_sweep_pallas_banded_batch(
+            chars_arg, term_lens, queries, query_lens, interpret=interpret
+        )
+    else:
+
+        def one_sweep(q, ql):
+            return _sweep(chars_arg, term_lens, q, ql)
+
+        dist, is_prefix = jax.vmap(one_sweep)(queries, query_lens)
+
+    pre_boosts = tuple(
+        _precompute_boost(bv, pres, spec + (expr_add,))
+        for (bv, pres, expr_add), spec in zip(boost_arrays, boost_specs)
+    )
+
+    def tail(d, p, dd, fanch, panch):
+        dense, total_matches, total_postings = _select_resolve_dense(
+            d, p, dd, offsets, anchors, scores01,
+            max_terms, capacity, num_docs,
+        )
+        if fanch is not None:
+            mask = (
+                jnp.zeros(num_docs + 1, dtype=bool)
+                .at[jnp.clip(fanch, 0, num_docs)]
+                .set(True)[:num_docs]
+            )
+            dense = jnp.where(mask, dense, 0.0)
+        for pre in pre_boosts:
+            dense = _apply_boost(dense, pre)
+        if panch is not None:
+            pf = (
+                jnp.ones(num_docs + 1, dtype=jnp.float32)
+                .at[jnp.clip(panch, 0, num_docs)]
+                .multiply(jnp.float32(5.0))[:num_docs]
+            )
+            dense = dense * pf
+        return dense, total_matches, total_postings
+
+    in_axes = (0, 0, 0, 0 if filter_anchors is not None else None,
+               0 if phrase_anchors is not None else None)
+    dense_b, totals_b, post_b = jax.vmap(tail, in_axes=in_axes)(
+        dist, is_prefix, distances, filter_anchors, phrase_anchors
+    )
+    hits = (dense_b > 0).astype(jnp.bfloat16)
+    num_hits = jnp.sum(dense_b > 0, axis=1, dtype=jnp.int32)
+    facet_counts = tuple(
+        jnp.dot(hits, m, preferred_element_type=jnp.float32).astype(jnp.int32)
+        for m in facet_mats
+    )
+    ids, scores = jax.vmap(lambda d: topk_dense_exact(d, k))(dense_b)
+    return ids, scores, num_hits, totals_b, post_b, facet_counts

@@ -98,6 +98,7 @@ def batched_generic_topk(
     term_scores: jax.Array,  # [Q, T_pad] f32
     term_slots: jax.Array,  # [Q, T_pad] int32
     filter_anchors: Optional[jax.Array],  # [Q, F_pad] int32 (pad num_docs) | None
+    phrase_anchors: Optional[jax.Array],  # [Q, P_pad] int32 (pad num_docs) | None
     boost_arrays: Tuple,  # tuple of (bv [num_docs] f32, pres [num_docs] bool, expr_add|None)
     facet_mats: Tuple,  # tuple of M [num_docs, G_i] bf16
     capacity: int,
@@ -111,15 +112,18 @@ def batched_generic_topk(
     facet_counts tuple of [Q, G_i] i32) in one program.
 
     Order of operations matches `search()` (reference search.rs:143-228):
-    tree -> filter mask -> boost columns (in request order) -> facet counts
-    over the final hit set -> exact top-k (score desc, id desc ties).
+    tree -> filter mask -> boost columns (in request order) -> phrase-anchor
+    x5 factors (BoostAnchorFromPhraseResults, plan_steps.rs:262-283; an
+    anchor hit by g phrase groups appears g times in its row -> factor 5^g)
+    -> facet counts over the final hit set -> exact top-k (score desc,
+    id desc ties).
     """
     pre_boosts = tuple(
         _precompute_boost(bv, pres, spec + (expr_add,))
         for (bv, pres, expr_add), spec in zip(boost_arrays, boost_specs)
     )
 
-    def one(tids, tscs, tslots, fanch):
+    def one(tids, tscs, tslots, fanch, panch):
         a, s, slot = _gather_postings(
             offsets, anchors, scores01, tids, tscs, capacity, num_docs,
             term_slots=tslots,
@@ -144,14 +148,20 @@ def batched_generic_topk(
             dense = jnp.where(mask, dense, 0.0)
         for pre in pre_boosts:
             dense = _apply_boost(dense, pre)
+        if panch is not None:
+            pf = (
+                jnp.ones(num_docs + 1, dtype=jnp.float32)
+                .at[jnp.clip(panch, 0, num_docs)]
+                .multiply(jnp.float32(5.0))[:num_docs]
+            )
+            dense = dense * pf
         return dense
 
-    if filter_anchors is None:
-        dense_b = jax.vmap(lambda t, s, sl: one(t, s, sl, None))(
-            term_ids, term_scores, term_slots
-        )
-    else:
-        dense_b = jax.vmap(one)(term_ids, term_scores, term_slots, filter_anchors)
+    in_axes = (0, 0, 0, 0 if filter_anchors is not None else None,
+               0 if phrase_anchors is not None else None)
+    dense_b = jax.vmap(one, in_axes=in_axes)(
+        term_ids, term_scores, term_slots, filter_anchors, phrase_anchors
+    )
 
     hits = (dense_b > 0).astype(jnp.bfloat16)
     num_hits = jnp.sum(dense_b > 0, axis=1, dtype=jnp.int32)

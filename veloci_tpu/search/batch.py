@@ -155,7 +155,6 @@ def _generic_eligible(request: Request, persistence, comb):
     if any(
         (
             request.boost_term,
-            request.phrase_boosts,
             request.why_found,
             request.text_locality,
             request.explain,
@@ -163,12 +162,20 @@ def _generic_eligible(request: Request, persistence, comb):
         )
     ):
         return None
-    if not (request.filter or request.boost or request.facets):
-        return None  # plain trees belong to the leaner exact kernels
+    if not (
+        request.filter or request.boost or request.facets or request.phrase_boosts
+    ):
+        return None  # plain trees belong to the leaner exact/fuzzy kernels
+    fuzzy = None
     tree = _tree_spec(persistence, comb, request.search_req)
-    if tree is None:
-        return None
-    gtids, num_slots, is_and = tree
+    if tree is not None:
+        gtids, num_slots, is_and = tree
+    else:
+        # fuzzy leaf + extras -> the fused fuzzy-generic kernel
+        fuzzy = _fuzzy_fast_eligible(request, persistence, allow_extras=True)
+        if fuzzy is None:
+            return None
+        gtids, num_slots, is_and = [], 1, False
 
     from ..create import BOOST_VALID_TO_VALUE
 
@@ -205,22 +212,77 @@ def _generic_eligible(request: Request, persistence, comb):
         if len(fanchors) > _MAX_FILTER_ANCHORS:
             return None
 
-    sig = (
-        num_slots,
-        is_and,
-        tuple(boost_key),
-        tuple(facet_fields),
-        fanchors is not None,
-    )
+    panchors = None
+    if request.phrase_boosts:
+        panchors = _phrase_anchor_list(persistence, request.phrase_boosts)
+        if panchors is None or len(panchors) > _MAX_FILTER_ANCHORS:
+            return None
+
+    if fuzzy is not None:
+        sig = (
+            "fz",
+            fuzzy[0],
+            tuple(boost_key),
+            tuple(facet_fields),
+            fanchors is not None,
+            panchors is not None,
+        )
+    else:
+        sig = (
+            num_slots,
+            is_and,
+            tuple(boost_key),
+            tuple(facet_fields),
+            fanchors is not None,
+            panchors is not None,
+        )
     return {
         "sig": sig,
         "gtids": gtids,
         "num_slots": num_slots,
         "is_and": is_and,
+        "fuzzy": fuzzy,
         "fanchors": fanchors,
+        "panchors": panchors,
         "boost_key": tuple(boost_key),
         "facet_fields": tuple(facet_fields),
     }
+
+
+def _phrase_anchor_list(persistence, phrase_boosts) -> Optional[np.ndarray]:
+    """Phrase-pair anchors with group multiplicity: an anchor appearing in g
+    distinct (term1, term2) groups appears g times (factor 5^g in-kernel) —
+    mirrors the executor's grouped phrase application (search.rs phrase
+    wiring + plan_steps.rs:262-283)."""
+    from ..create import PHRASE_PAIR_TO_ANCHOR
+    from .field_search import get_term_ids_in_field
+
+    groups: dict = {}
+    for pb in phrase_boosts:
+        if pb.search1.path != pb.search2.path:
+            return None
+        r1 = get_term_ids_in_field(
+            persistence, pb.search1, get_scores=False, get_ids=True
+        )
+        r2 = get_term_ids_in_field(
+            persistence, pb.search2, get_scores=False, get_ids=True
+        )
+        path = r1.path + PHRASE_PAIR_TO_ANCHOR
+        store = persistence.phrase_indices.get(path)
+        if store is None:
+            continue
+        anchors = store.get_values_for_pairs(r1.hits_ids, r2.hits_ids)
+        key = (pb.search1.terms[0], pb.search2.terms[0])
+        groups.setdefault(key, []).append(anchors)
+    parts = []
+    for v in groups.values():
+        if not v:
+            continue
+        merged = np.concatenate(v) if len(v) > 1 else v[0]
+        parts.append(np.unique(np.asarray(merged, dtype=np.int64)))
+    if not parts:
+        return np.empty(0, dtype=np.int64)
+    return np.concatenate(parts)
 
 
 def _eligible(request: Request, persistence) -> Optional[list]:
@@ -435,9 +497,13 @@ def search_batch(requests: List[Request], persistence) -> List[SearchResult]:
             for row, (qi, req, _gtids) in enumerate(multis):
                 _emit(qi, req, ids_b[row], scores_b[row], hits_b[row])
 
-    # generic batches (filter/boost/facet requests): one fused program each
+    # generic batches (filter/boost/facet/phrase requests): one fused
+    # program each — exact trees and fuzzy leaves take separate kernels
     for sig, entries in generic_groups.items():
-        _run_generic_group(persistence, comb, sig, entries, _emit)
+        if sig[0] == "fz":
+            _run_fuzzy_generic_group(persistence, sig, entries, _emit, results)
+        else:
+            _run_generic_group(persistence, comb, sig, entries, _emit)
 
     # fuzzy batches: one vmapped fused program per field chunk
     for field, entries in fuzzy_groups.items():
@@ -454,14 +520,13 @@ def _run_generic_group(persistence, comb, sig, entries, emit) -> None:
 
     from ..ops.generic_step import batched_generic_topk
     from ..ops.postings import bucket_size
-    from .boost import ScoreExpression, _expr_vec_jnp
     from .facet import facet_matrix, format_counts
 
-    num_slots, is_and, boost_key, facet_fields, has_filter = sig
+    num_slots, is_and, boost_key, facet_fields, has_filter, has_phrase = sig
     num_docs = persistence.num_docs
     ho = comb.host_offsets
 
-    max_terms, max_total, max_f, max_k = 1, 1, 1, 1
+    max_terms, max_total, max_f, max_p, max_k = 1, 1, 1, 1, 1
     for qi, req, spec in entries:
         gtids = spec["gtids"]
         max_terms = max(max_terms, len(gtids))
@@ -470,21 +535,17 @@ def _run_generic_group(persistence, comb, sig, entries, emit) -> None:
         )
         if has_filter:
             max_f = max(max_f, len(spec["fanchors"]))
+        if has_phrase:
+            max_p = max(max_p, len(spec["panchors"]))
         top = req.top if req.top is not None else 10
         max_k = max(max_k, top + (req.skip or 0))
     t_pad = bucket_size(max_terms, 8)
     capacity = bucket_size(max_total)
     f_pad = bucket_size(max_f, 64) if has_filter else 0
+    p_pad = bucket_size(max_p, 64) if has_phrase else 0
     k_eff = min(num_docs, max_k)
 
-    boost_arrays, boost_specs = [], []
-    for bp, fun, param, skip, expr in boost_key:
-        bv, pres = persistence.device_boost(bp)
-        expr_add = (
-            _expr_vec_jnp(ScoreExpression(expr), bv) if expr else None
-        )
-        boost_arrays.append((bv, pres, expr_add))
-        boost_specs.append((fun, param, skip))
+    boost_arrays, boost_specs = _boost_device_arrays(persistence, boost_key)
     facet_mats = tuple(facet_matrix(persistence, f)[0] for f in facet_fields)
 
     plane_bytes = num_slots * (num_docs + 1) * 4 + num_docs * 8
@@ -498,6 +559,9 @@ def _run_generic_group(persistence, comb, sig, entries, emit) -> None:
         fa_arr = (
             np.full((qc, f_pad), num_docs, dtype=np.int32) if has_filter else None
         )
+        pa_arr = (
+            np.full((qc, p_pad), num_docs, dtype=np.int32) if has_phrase else None
+        )
         for row, (_qi, _req, spec) in enumerate(chunk):
             for j, (g, sc, sl) in enumerate(spec["gtids"][:t_pad]):
                 tid_arr[row, j] = g
@@ -506,6 +570,9 @@ def _run_generic_group(persistence, comb, sig, entries, emit) -> None:
             if has_filter:
                 fa = spec["fanchors"]
                 fa_arr[row, : len(fa)] = fa.astype(np.int32)
+            if has_phrase:
+                pa = spec["panchors"]
+                pa_arr[row, : len(pa)] = pa.astype(np.int32)
         ids_b, scores_b, hits_b, fc_b = batched_generic_topk(
             comb.offsets,
             comb.anchors,
@@ -514,6 +581,7 @@ def _run_generic_group(persistence, comb, sig, entries, emit) -> None:
             jnp.asarray(ts_arr),
             jnp.asarray(sl_arr),
             jnp.asarray(fa_arr) if has_filter else None,
+            jnp.asarray(pa_arr) if has_phrase else None,
             tuple(boost_arrays),
             facet_mats,
             capacity=capacity,
@@ -535,6 +603,141 @@ def _run_generic_group(persistence, comb, sig, entries, emit) -> None:
                     facets[f_req.field] = format_counts(
                         persistence, f_req.field, fc_b[fi][row], f_req.top
                     )
+            emit(qi, req, ids_b[row], scores_b[row], hits_b[row], facets)
+
+
+def _boost_device_arrays(persistence, boost_key):
+    """(bv, pres, expr_add) device triples + static specs for a boost chain."""
+    from .boost import ScoreExpression, _expr_vec_jnp
+
+    boost_arrays, boost_specs = [], []
+    for bp, fun, param, skip, expr in boost_key:
+        bv, pres = persistence.device_boost(bp)
+        expr_add = _expr_vec_jnp(ScoreExpression(expr), bv) if expr else None
+        boost_arrays.append((bv, pres, expr_add))
+        boost_specs.append((fun, param, skip))
+    return tuple(boost_arrays), tuple(boost_specs)
+
+
+def _facets_of(persistence, req, facet_fields, fc_rows, row):
+    from .facet import format_counts
+
+    facets = {}
+    for f_req in req.facets or []:
+        fi = facet_fields.index(f_req.field)
+        facets[f_req.field] = format_counts(
+            persistence, f_req.field, fc_rows[fi][row], f_req.top
+        )
+    return facets
+
+
+def _run_fuzzy_generic_group(persistence, sig, entries, emit, results) -> None:
+    """Fuzzy leaf + filter/boost/facet/phrase extras: one fused program per
+    chunk (ops/fuzzy_step.batched_fuzzy_generic_topk), with the plain fuzzy
+    path's optimistic-capacity re-dispatch contract."""
+    import os
+
+    import jax
+    import jax.numpy as jnp
+
+    from ..ops.fuzzy_step import batched_fuzzy_generic_topk
+    from ..ops.levenshtein import encode_query
+    from ..ops.postings import bucket_size
+    from .executor import fuzzy_start_capacity, search
+    from .facet import facet_matrix
+
+    _tag, field, boost_key, facet_fields, has_filter, has_phrase = sig
+    dev = persistence.device_field(field)
+    num_docs = persistence.num_docs
+    max_terms = 256
+    worst = dev.fuzzy_capacity(max_terms)
+    use_banded = (
+        os.environ.get("VELOCI_PALLAS_SWEEP", "1") != "0"
+        and jax.default_backend() == "tpu"
+        and all(e[2]["fuzzy"][2] <= 4 for e in entries)
+    )
+    boost_arrays, boost_specs = _boost_device_arrays(persistence, boost_key)
+    facet_mats = tuple(facet_matrix(persistence, f)[0] for f in facet_fields)
+
+    n_pad, l = dev._chars_host.shape
+    if use_banded:
+        chunk_q = 128
+    else:
+        chunk_q = max(1, int(256e6 // max(n_pad * (l + 1) * 4, 1)))
+    chunk_q = min(chunk_q, max(1, int(_PLANE_BUDGET_BYTES // max(num_docs * 4, 1))))
+
+    max_f = max((len(e[2]["fanchors"]) for e in entries), default=1) if has_filter else 0
+    max_p = max((len(e[2]["panchors"]) for e in entries), default=1) if has_phrase else 0
+    f_pad = bucket_size(max(max_f, 1), 64) if has_filter else 0
+    p_pad = bucket_size(max(max_p, 1), 64) if has_phrase else 0
+
+    for base in range(0, len(entries), chunk_q):
+        chunk = entries[base : base + chunk_q]
+        qc = len(chunk)
+        queries = np.zeros((qc, 32), dtype=np.uint16)
+        qlens = np.zeros(qc, dtype=np.int32)
+        dists = np.zeros(qc, dtype=np.int32)
+        fa_arr = (
+            np.full((qc, f_pad), num_docs, dtype=np.int32) if has_filter else None
+        )
+        pa_arr = (
+            np.full((qc, p_pad), num_docs, dtype=np.int32) if has_phrase else None
+        )
+        max_k = 1
+        for row, (qi, req, spec) in enumerate(chunk):
+            _field, term, distance = spec["fuzzy"]
+            q, qlen = encode_query(term)
+            queries[row] = q
+            qlens[row] = qlen
+            dists[row] = distance
+            if has_filter:
+                fa = spec["fanchors"]
+                fa_arr[row, : len(fa)] = fa.astype(np.int32)
+            if has_phrase:
+                pa = spec["panchors"]
+                pa_arr[row, : len(pa)] = pa.astype(np.int32)
+            top = req.top if req.top is not None else 10
+            max_k = max(max_k, top + (req.skip or 0))
+        k_eff = min(num_docs, max_k)
+        chars_arg = dev.chars_t if use_banded else dev.chars
+        capacity = min(worst, fuzzy_start_capacity(persistence, field))
+        while True:
+            out = batched_fuzzy_generic_topk(
+                chars_arg,
+                dev.lengths,
+                jnp.asarray(queries),
+                jnp.asarray(qlens),
+                jnp.asarray(dists),
+                dev.offsets,
+                dev.anchors,
+                dev.scores01,
+                jnp.asarray(fa_arr) if has_filter else None,
+                jnp.asarray(pa_arr) if has_phrase else None,
+                boost_arrays,
+                facet_mats,
+                max_terms=max_terms,
+                capacity=capacity,
+                num_docs=num_docs,
+                k=k_eff,
+                banded=use_banded,
+                boost_specs=boost_specs,
+            )
+            ids_b, scores_b, hits_b, totals_b, post_b, fc_b = jax.device_get(out)
+            need = int(post_b.max()) if len(post_b) else 0
+            if need <= capacity or capacity >= worst:
+                break
+            capacity = min(worst, bucket_size(need))
+        persistence._fuzzy_cap_hint[field] = capacity
+        for row, (qi, req, _spec) in enumerate(chunk):
+            if int(totals_b[row]) > max_terms:
+                # selection window clipped — per-request path decides
+                results[qi] = search(req, persistence)
+                continue
+            facets = (
+                _facets_of(persistence, req, facet_fields, fc_b, row)
+                if facet_fields
+                else None
+            )
             emit(qi, req, ids_b[row], scores_b[row], hits_b[row], facets)
 
 

@@ -490,22 +490,26 @@ def _try_fast_path(request: Request, persistence, top: int) -> Optional[SearchRe
     return result
 
 
-def _fuzzy_fast_eligible(request: Request, persistence):
+def _fuzzy_fast_eligible(request: Request, persistence, allow_extras: bool = False):
     """Eligibility for the fused fuzzy path -> (field, lower_term, distance)
-    or None. Shared by search() and search_batch()."""
+    or None. Shared by search() and search_batch(). With ``allow_extras``
+    filters / boost columns / facets / phrase boosts are permitted (the
+    batched fuzzy-generic kernel fuses them; search/batch.py)."""
+    extras = (
+        request.filter,
+        request.boost,
+        request.phrase_boosts,
+        request.facets,
+    )
     if any(
         (
-            request.filter,
-            request.boost,
             request.boost_term,
-            request.phrase_boosts,
-            request.facets,
             request.why_found,
             request.text_locality,
             request.explain,
             request.suggest,
         )
-    ):
+    ) or (any(extras) and not allow_extras):
         return None
     if persistence.num_docs < SMALL_DOCS:
         return None
