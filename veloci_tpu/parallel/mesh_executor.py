@@ -105,6 +105,9 @@ class MeshContext:
         self.boosts: Dict[str, tuple] = {}
         self.facet_rel: Dict[str, tuple] = {}
         self._sharding = None
+        self._combined = None
+        self._facet_mats: Dict[str, tuple] = {}
+        self._generic_jit: Dict[tuple, object] = {}
 
     # ------------------------------------------------------------- plumbing
     def sharding(self):
@@ -244,6 +247,274 @@ class MeshContext:
         ids, scores, num_hits = fn(dense)
         ids, scores, num_hits = jax.device_get((ids, scores, num_hits))
         return ids[0], scores[0], int(num_hits[0])
+
+    def combined(self):
+        """Document-sharded COMBINED global-key anchor-score CSR (the mesh
+        twin of `Persistence.device_combined`): every searchable field's
+        postings concatenated under global term ids, then anchor-range
+        sharded over the mesh. Backs the batched generic path at capacity
+        beyond one chip's HBM."""
+        if self._combined is not None:
+            return self._combined
+        from types import SimpleNamespace
+
+        suffix = TEXTINDEX + TO_ANCHOR_ID_SCORE
+        parts = []
+        for path in sorted(self.persistence.anchor_scores):
+            if path.endswith(suffix):
+                parts.append((path[: -len(suffix)], self.persistence.anchor_scores[path]))
+        if not parts:
+            return None
+        key_base: Dict[str, Tuple[int, int]] = {}
+        off_parts, anc_parts, sc_parts = [], [], []
+        nnz_base = 0
+        kbase = 0
+        for field, store in parts:
+            ho = np.asarray(store.offsets, dtype=np.int64)
+            key_base[field] = (kbase, store.num_keys)
+            off_parts.append(ho[:-1] + nnz_base)
+            nnz_base += int(ho[-1])
+            kbase += store.num_keys
+            anc_parts.append(store.anchors)
+            sc_parts.append(store.scores)
+        off_parts.append(np.array([nnz_base], dtype=np.int64))
+        ns = SimpleNamespace(
+            offsets=np.concatenate(off_parts),
+            anchors=(
+                np.concatenate(anc_parts) if nnz_base else np.zeros(0, np.int64)
+            ),
+            scores=(
+                np.concatenate(sc_parts) if nnz_base else np.zeros(0, np.uint16)
+            ),
+            num_keys=kbase,
+        )
+        sf = _ShardedField(ns, self.num_docs, self.mesh)
+        sf.key_base = key_base
+        self._combined = sf
+        return sf
+
+    def facet_matrix_sharded(self, field: str):
+        """Row-sharded facet relation matrix [D, dps, G] bf16, or None."""
+        cached = self._facet_mats.get(field)
+        if cached is not None:
+            return cached
+        import jax
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from ..search.facet import facet_matrix_host
+
+        host = facet_matrix_host(self.persistence, field)
+        if host is None:
+            return None
+        m, num_targets = host
+        padded = np.zeros((self.d * self.dps, num_targets), dtype=np.float32)
+        padded[: m.shape[0]] = m
+        import jax.numpy as jnp
+
+        stacked = padded.reshape(self.d, self.dps, num_targets).astype(jnp.bfloat16)
+        sh = NamedSharding(self.mesh, P("d", None, None))
+        cached = (jax.device_put(stacked, sh), num_targets)
+        self._facet_mats[field] = cached
+        return cached
+
+    def generic_batch(
+        self,
+        tid_arr: np.ndarray,  # [Q, T] int32 global combined ids (pad -1)
+        tsc_arr: np.ndarray,  # [Q, T] f32
+        sl_arr: np.ndarray,  # [Q, T] int32
+        fa_arr,  # [Q, F] int32 GLOBAL anchor ids (pad num_docs) | None
+        pa_arr,  # [Q, P] int32 GLOBAL anchor ids (pad num_docs) | None
+        boost_key: tuple,  # ((path, fun, param, skip, expr), ...)
+        facet_fields: tuple,
+        num_slots: int,
+        is_and: bool,
+        k: int,
+        capacity: int,
+    ):
+        """A batch of filtered/boosted/faceted/phrase-boosted exact-tree
+        queries over the mesh in ONE shard_map program: per-shard local
+        dense planes, elementwise boosts on sharded columns, local facet
+        matmul + `psum`, exact per-shard top-k merged over ICI `all_gather`
+        — the multichip twin of ops/generic_step.batched_generic_topk."""
+        import jax
+        import jax.numpy as jnp
+        from jax.sharding import PartitionSpec as P
+
+        from ..ops.search_step import _gather_postings
+        from ..ops.topk import topk_dense_exact
+        from ..ops.generic_step import _apply_boost, _precompute_boost
+        from ..search.boost import ScoreExpression, _expr_vec
+
+        sf = self.combined()
+        dps = self.dps
+        d = self.d
+        kk = min(k, dps)
+        km = min(k, kk * d)
+
+        boost_cols = []
+        for bp, fun, param, skip, expr in boost_key:
+            bv_sh, pres_sh = self.boost_column(bp)
+            if expr:
+                vals, present = self.persistence.get_boost(bp)
+                v = np.zeros(self.num_docs, dtype=np.float32)
+                v[: min(self.num_docs, len(vals))] = vals[: self.num_docs]
+                expr_add = self.shard_host_vector(
+                    _expr_vec(ScoreExpression(expr), v)
+                )
+            else:
+                expr_add = None
+            boost_cols.append((bv_sh, pres_sh, expr_add))
+        boost_specs = tuple((fun, param, skip) for _bp, fun, param, skip, _e in boost_key)
+        mats = [self.facet_matrix_sharded(f)[0] for f in facet_fields]
+
+        jkey = (
+            "generic",
+            tid_arr.shape,
+            fa_arr.shape if fa_arr is not None else None,
+            pa_arr.shape if pa_arr is not None else None,
+            boost_specs,
+            tuple(facet_fields),
+            num_slots,
+            is_and,
+            k,
+            capacity,
+        )
+        fn = self._generic_jit.get(jkey)
+        if fn is None:
+
+            def step(offs, anc, sc, tids, tscs, slots, fa, pa, bcols, fmats):
+                shard = jax.lax.axis_index("d").astype(jnp.int32)
+                local_base = shard * dps
+                pre_boosts = tuple(
+                    _precompute_boost(
+                        bv[0], pres[0], spec + (ea[0] if ea is not None else None,)
+                    )
+                    for (bv, pres, ea), spec in zip(bcols, boost_specs)
+                )
+
+                def one(tid, tsc, slot, fanch, panch):
+                    a, s, sl = _gather_postings(
+                        offs[0], anc[0], sc[0], tid, tsc, capacity, dps,
+                        term_slots=slot,
+                    )
+                    plane = sl * (dps + 1) + a
+                    per_slot = jax.ops.segment_max(
+                        s, plane, num_segments=num_slots * (dps + 1)
+                    ).reshape(num_slots, dps + 1)[:, :dps]
+                    per_slot = jnp.where(jnp.isfinite(per_slot), per_slot, 0.0)
+                    if is_and:
+                        all_hit = jnp.all(per_slot > 0, axis=0)
+                        dense = jnp.where(
+                            all_hit, jnp.sum(per_slot, axis=0), 0.0
+                        )
+                    else:
+                        distinct = jnp.sum(per_slot >= 1e-5, axis=0).astype(
+                            jnp.float32
+                        )
+                        dense = jnp.sum(per_slot, axis=0) * distinct * distinct
+                    if fanch is not None:
+                        loc = fanch - local_base
+                        loc = jnp.where((loc >= 0) & (loc < dps), loc, dps)
+                        mask = (
+                            jnp.zeros(dps + 1, dtype=bool)
+                            .at[loc]
+                            .set(True)[:dps]
+                        )
+                        dense = jnp.where(mask, dense, 0.0)
+                    for pre in pre_boosts:
+                        dense = _apply_boost(dense, pre)
+                    if panch is not None:
+                        loc = panch - local_base
+                        loc = jnp.where((loc >= 0) & (loc < dps), loc, dps)
+                        pf = (
+                            jnp.ones(dps + 1, dtype=jnp.float32)
+                            .at[loc]
+                            .multiply(jnp.float32(5.0))[:dps]
+                        )
+                        dense = dense * pf
+                    return dense
+
+                in_axes = (
+                    0, 0, 0,
+                    0 if fa is not None else None,
+                    0 if pa is not None else None,
+                )
+                dense_b = jax.vmap(one, in_axes=in_axes)(tids, tscs, slots, fa, pa)
+
+                def tk(local):
+                    ids, scores = topk_dense_exact(local, kk)
+                    gids = ids + local_base
+                    s_all = jax.lax.all_gather(scores, "d")  # [D, kk]
+                    i_all = jax.lax.all_gather(gids, "d")
+                    s_flat = s_all[::-1].reshape(-1)
+                    i_flat = i_all[::-1].reshape(-1)
+                    ms, mi = jax.lax.top_k(s_flat, km)
+                    return i_flat[mi], ms
+
+                ids_q, scores_q = jax.vmap(tk)(dense_b)
+                hits_b = dense_b > 0
+                num_hits = jax.lax.psum(
+                    jnp.sum(hits_b, axis=1, dtype=jnp.int32), "d"
+                )
+                counts = tuple(
+                    jax.lax.psum(
+                        jnp.dot(
+                            hits_b.astype(jnp.bfloat16),
+                            m[0],
+                            preferred_element_type=jnp.float32,
+                        ),
+                        "d",
+                    ).astype(jnp.int32)
+                    for m in fmats
+                )
+                return ids_q[None], scores_q[None], num_hits[None], counts
+
+            n_mats = len(mats)
+            fn = jax.jit(
+                jax.shard_map(
+                    step,
+                    mesh=self.mesh,
+                    in_specs=(
+                        P("d", None), P("d", None), P("d", None),  # CSR
+                        P(None, None), P(None, None), P(None, None),  # queries
+                        P(None, None) if fa_arr is not None else None,
+                        P(None, None) if pa_arr is not None else None,
+                        tuple(
+                            (P("d", None), P("d", None),
+                             P("d", None) if ea is not None else None)
+                            for (_b, _p, ea) in boost_cols
+                        ),
+                        tuple(P("d", None, None) for _ in range(n_mats)),
+                    ),
+                    out_specs=(
+                        P(None, None, None),
+                        P(None, None, None),
+                        P(None, None),
+                        tuple(P(None, None) for _ in range(n_mats)),
+                    ),
+                    check_vma=False,
+                )
+            )
+            if len(self._generic_jit) > 64:
+                self._generic_jit.clear()
+            self._generic_jit[jkey] = fn
+
+        import jax.numpy as jnp
+
+        ids, scores, num_hits, counts = fn(
+            sf.offsets, sf.anchors, sf.scores01,
+            jnp.asarray(tid_arr), jnp.asarray(tsc_arr), jnp.asarray(sl_arr),
+            jnp.asarray(fa_arr) if fa_arr is not None else None,
+            jnp.asarray(pa_arr) if pa_arr is not None else None,
+            tuple(boost_cols),
+            tuple(mats),
+        )
+        import jax
+
+        ids, scores, num_hits, counts = jax.device_get(
+            (ids, scores, num_hits, counts)
+        )
+        return ids[0], scores[0], num_hits[0], list(counts)
 
     def facet_counts(self, path: str, store, dense) -> np.ndarray:
         """Sharded facet counting: local masked segment-sum + psum over d."""

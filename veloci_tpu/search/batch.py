@@ -146,10 +146,12 @@ def _filter_anchor_list(persistence, node) -> Optional[np.ndarray]:
     return out
 
 
-def _generic_eligible(request: Request, persistence, comb):
+def _generic_eligible(request: Request, persistence, comb, require_extras=True):
     """Batched generic-path eligibility: flat exact tree + optional filter /
     anchor-level boost columns / fast-path facets. Returns a per-request
-    spec dict (with a hashable group signature) or None."""
+    spec dict (with a hashable group signature) or None. The mesh path
+    passes ``require_extras=False`` — there, plain exact trees batch
+    through the same sharded kernel."""
     if comb is None or persistence.num_docs < SMALL_DOCS:
         return None
     if any(
@@ -162,7 +164,7 @@ def _generic_eligible(request: Request, persistence, comb):
         )
     ):
         return None
-    if not (
+    if require_extras and not (
         request.filter or request.boost or request.facets or request.phrase_boosts
     ):
         return None  # plain trees belong to the leaner exact/fuzzy kernels
@@ -198,11 +200,11 @@ def _generic_eligible(request: Request, persistence, comb):
             )
         )
 
-    from .facet import facet_matrix
+    from .facet import facet_matrix_host
 
     facet_fields = []
     for f in request.facets or []:
-        if facet_matrix(persistence, f.field) is None:
+        if facet_matrix_host(persistence, f.field) is None:
             return None
         facet_fields.append(f.field)
 
@@ -352,6 +354,10 @@ def search_batch(requests: List[Request], persistence) -> List[SearchResult]:
 
     start = time.time_ns()
     results: List[Optional[SearchResult]] = [None] * len(requests)
+
+    mesh_ctx = getattr(persistence, "mesh_ctx", None)
+    if mesh_ctx is not None:
+        return _search_batch_mesh(requests, persistence, mesh_ctx, start)
 
     comb = persistence.device_combined() if persistence.num_docs >= SMALL_DOCS else None
 
@@ -836,3 +842,107 @@ def _run_fuzzy_group(persistence, field, entries, results, start) -> None:
             res.data = [Hit(int(i), float(s)) for i, s in window]
             res.execution_time_ns = time.time_ns() - start
             results[qi] = res
+
+
+def _search_batch_mesh(requests, persistence, mc, start) -> List[SearchResult]:
+    """Batched serving over the attached mesh: generic-eligible exact trees
+    (with or without filter/boost/facet/phrase extras) group into ONE
+    sharded program each (`MeshContext.generic_batch`); everything else
+    falls back to per-request `search()` (which routes to mesh_search)."""
+    import time
+
+    from ..ops.postings import bucket_size
+    from .facet import format_counts
+
+    results: List[Optional[SearchResult]] = [None] * len(requests)
+    comb = mc.combined()
+
+    groups: dict = {}
+    for qi, req in enumerate(requests):
+        spec = (
+            _generic_eligible(req, persistence, comb, require_extras=False)
+            if comb is not None
+            else None
+        )
+        if spec is None or spec["fuzzy"] is not None:
+            results[qi] = search(req, persistence)
+            continue
+        groups.setdefault(spec["sig"], []).append((qi, req, spec))
+
+    num_docs = persistence.num_docs
+    for sig, entries in groups.items():
+        num_slots, is_and, boost_key, facet_fields, has_filter, has_phrase = sig
+        ho = comb.host_offsets  # [D, num_keys + 2] per-shard offsets
+        max_terms, max_total, max_f, max_p, max_k = 1, 1, 1, 1, 1
+        for qi, req, spec in entries:
+            gtids = spec["gtids"]
+            max_terms = max(max_terms, len(gtids))
+            if gtids:
+                safe = np.array([g for g, _s, _sl in gtids], dtype=np.int64)
+                per_shard = (ho[:, safe + 1] - ho[:, safe]).sum(axis=1)
+                max_total = max(max_total, int(per_shard.max()))
+            if has_filter:
+                max_f = max(max_f, len(spec["fanchors"]))
+            if has_phrase:
+                max_p = max(max_p, len(spec["panchors"]))
+            top = req.top if req.top is not None else 10
+            max_k = max(max_k, top + (req.skip or 0))
+        t_pad = bucket_size(max_terms, 8)
+        capacity = bucket_size(max_total)
+        f_pad = bucket_size(max_f, 64) if has_filter else 0
+        p_pad = bucket_size(max_p, 64) if has_phrase else 0
+        k_eff = min(num_docs, max_k)
+
+        qc = len(entries)
+        q_pad = bucket_size(qc, 8)  # bound recompiles across batch sizes
+        tid_arr = np.full((q_pad, t_pad), -1, dtype=np.int32)
+        ts_arr = np.zeros((q_pad, t_pad), dtype=np.float32)
+        sl_arr = np.zeros((q_pad, t_pad), dtype=np.int32)
+        fa_arr = (
+            np.full((q_pad, f_pad), num_docs, dtype=np.int32)
+            if has_filter
+            else None
+        )
+        pa_arr = (
+            np.full((q_pad, p_pad), num_docs, dtype=np.int32)
+            if has_phrase
+            else None
+        )
+        for row, (_qi, _req, spec) in enumerate(entries):
+            for j, (g, sc, sl) in enumerate(spec["gtids"][:t_pad]):
+                tid_arr[row, j] = g
+                ts_arr[row, j] = sc
+                sl_arr[row, j] = sl
+            if has_filter:
+                fa = spec["fanchors"]
+                fa_arr[row, : len(fa)] = fa.astype(np.int32)
+            if has_phrase:
+                pa = spec["panchors"]
+                pa_arr[row, : len(pa)] = pa.astype(np.int32)
+
+        ids_b, scores_b, hits_b, fc_b = mc.generic_batch(
+            tid_arr, ts_arr, sl_arr, fa_arr, pa_arr,
+            boost_key, facet_fields,
+            num_slots=num_slots, is_and=is_and, k=k_eff, capacity=capacity,
+        )
+        for row, (qi, req, _spec) in enumerate(entries):
+            mask = scores_b[row] > 0
+            ids, scores = ids_b[row][mask], scores_b[row][mask]
+            top = req.top if req.top is not None else 10
+            skip = req.skip or 0
+            res = SearchResult()
+            res.num_hits = int(hits_b[row])
+            window = list(zip(ids, scores))[skip : skip + top]
+            res.data = [Hit(int(i), float(s)) for i, s in window]
+            if facet_fields:
+                facets = {}
+                for f_req in req.facets or []:
+                    fi = facet_fields.index(f_req.field)
+                    facets[f_req.field] = format_counts(
+                        persistence, f_req.field, fc_b[fi][row], f_req.top
+                    )
+                res.facets = facets
+            res.execution_time_ns = time.time_ns() - start
+            results[qi] = res
+
+    return results  # type: ignore[return-value]

@@ -78,20 +78,10 @@ def _count_kernel(dense_v, src, tgt, num_targets):
 _COUNT_JIT = None
 
 
-def facet_matrix(persistence, field: str):
-    """Dense relation matrix for the batched facet matmul, or None.
-
-    Returns ``(M_dev [num_docs, G] bf16, G)`` where ``M[d, g]`` = number of
-    (doc d -> facet value g) pairs in the fast-path relation — the same
-    pairs `get_facet`'s fast path counts with a masked bincount
-    (reference count_values_for_ids, facet.rs:95-161). Facet counting for a
-    query batch is then ONE MXU matmul: ``counts = hits @ M`` (hits are 0/1
-    so bf16 inputs with f32 accumulation give exact integer counts).
-
-    None when the field has no fast-path relation or the matrix would
-    exceed the cardinality/memory gates (those requests take the
-    per-request path instead).
-    """
+def facet_matrix_host(persistence, field: str):
+    """Host-side dense relation matrix (f32 [num_docs, G]) + G, or None —
+    the un-uploaded form of :func:`facet_matrix` (the mesh path shards it
+    over devices instead of uploading it whole)."""
     steps = get_steps_to_anchor(field)
     fast_anchor_path = steps[-1] + ANCHOR_TO_TEXT_ID
     if len(steps) == 1:
@@ -103,12 +93,10 @@ def facet_matrix(persistence, field: str):
     store = persistence.key_value_stores.get(path)
     if store is None:
         return None
-    key = (id(persistence), "\x02mat:" + path)
+    key = (id(persistence), "\x02hostmat:" + path)
     cached = _DEVICE_PAIRS.get(key)
     if cached is not None:
         return cached
-    import jax.numpy as jnp
-
     sources, targets = _pairs_of(store)
     num_docs = persistence.num_docs
     keep = sources < num_docs
@@ -121,6 +109,34 @@ def facet_matrix(persistence, field: str):
         return None
     m = np.zeros((num_docs, num_targets), dtype=np.float32)
     np.add.at(m, (sources, targets), 1.0)
+    cached = (m, num_targets)
+    if len(_DEVICE_PAIRS) > 256:
+        _DEVICE_PAIRS.clear()
+    _DEVICE_PAIRS[key] = cached
+    return cached
+
+
+def facet_matrix(persistence, field: str):
+    """Device (bf16) relation matrix for the batched facet matmul, or None.
+
+    ``M[d, g]`` = number of (doc d -> facet value g) pairs in the fast-path
+    relation — the same pairs `get_facet`'s fast path counts with a masked
+    bincount (reference count_values_for_ids, facet.rs:95-161). Facet
+    counting for a query batch is then ONE MXU matmul: ``counts = hits @ M``
+    (hits are 0/1 so bf16 inputs with f32 accumulation give exact integer
+    counts). None when no fast-path relation exists or the matrix exceeds
+    the cardinality/memory gates (FACET_MAX_TARGETS / FACET_MAX_BYTES).
+    """
+    host = facet_matrix_host(persistence, field)
+    if host is None:
+        return None
+    m, num_targets = host
+    key = (id(persistence), "\x02mat:" + field)
+    cached = _DEVICE_PAIRS.get(key)
+    if cached is not None:
+        return cached
+    import jax.numpy as jnp
+
     cached = (jnp.asarray(m.astype(jnp.bfloat16)), num_targets)
     if len(_DEVICE_PAIRS) > 256:
         _DEVICE_PAIRS.clear()
