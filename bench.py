@@ -379,29 +379,31 @@ def main() -> None:
         g_tids = (tid_host + base_t).astype(np.int32)[:, None]  # [Q, 1]
         g_tscs = np.full((gq, 1), 10.0, np.float32)
         g_slots = np.zeros((gq, 1), np.int32)
-        # per-query filter: rotate over the 16 "cat" values (anchor lists
-        # resolved host-side, exact host parity — see batch._filter_anchor_list)
-        fa_lists = []
-        for i in range(gq):
-            cid = int(cat_dict.get_ignore_case(f"c{i % 16}")[0])
+        # per-query filter: rotate over the 16 "cat" values. The 16 distinct
+        # masks build once (device-resident cache semantics of the serving
+        # path); per query only a mask index ships.
+        masks = []
+        for i in range(16):
+            cid = int(cat_dict.get_ignore_case(f"c{i}")[0])
             s, e = int(cat_ho[cid]), int(cat_ho[cid + 1])
-            fa_lists.append(np.asarray(cat_store.anchors[s:e], dtype=np.int32))
-        f_pad = bucket_size(max(len(f) for f in fa_lists), 64)
-        fa_arr = np.full((gq, f_pad), num_docs, dtype=np.int32)
-        for i, f in enumerate(fa_lists):
-            fa_arr[i, : len(f)] = f
+            fa = np.asarray(cat_store.anchors[s:e], dtype=np.int32)
+            m = np.zeros(num_docs, dtype=bool)
+            m[fa] = True
+            masks.append(m)
+        fmask_stack = jnp.asarray(np.stack(masks))
+        fi_arr = (np.arange(gq) % 16).astype(np.int32)
         bv_j, pres_j = pers.device_boost("pop" + BOOST_VALID_TO_VALUE)
         fmat, _g = facet_matrix(pers, "cat")
         g_tids_j = jnp.asarray(g_tids)
-        g_tscs_j, g_slots_j, fa_j = (
-            jnp.asarray(g_tscs), jnp.asarray(g_slots), jnp.asarray(fa_arr)
+        g_tscs_j, g_slots_j, fi_j = (
+            jnp.asarray(g_tscs), jnp.asarray(g_slots), jnp.asarray(fi_arr)
         )
 
         def generic_body(carry):
             off = (carry * jnp.float32(1e-20)).astype(jnp.int32)
             _ids, scores, _nh, _fc = batched_generic_topk(
                 offs_d_comb, anc_d_comb, sc_d_comb,
-                g_tids_j + off, g_tscs_j, g_slots_j, fa_j, None,
+                g_tids_j + off, g_tscs_j, g_slots_j, fmask_stack, fi_j, None,
                 ((bv_j, pres_j, None),),
                 (fmat,),
                 capacity=capacity,

@@ -273,7 +273,8 @@ def batched_fuzzy_generic_topk(
     offsets: jax.Array,
     anchors: jax.Array,
     scores01: jax.Array,
-    filter_anchors,  # [Q, F_pad] int32 (pad num_docs) | None
+    filter_masks,  # [NF, num_docs] bool | None (cached device masks)
+    filter_idx,  # [Q] int32 into filter_masks | None
     phrase_anchors,  # [Q, P_pad] int32 (pad num_docs) | None
     boost_arrays,  # tuple of (bv, pres, expr_add|None)
     facet_mats,  # tuple of M [num_docs, G_i] bf16
@@ -311,18 +312,13 @@ def batched_fuzzy_generic_topk(
         for (bv, pres, expr_add), spec in zip(boost_arrays, boost_specs)
     )
 
-    def tail(d, p, dd, fanch, panch):
+    def tail(d, p, dd, fidx, panch):
         dense, total_matches, total_postings = _select_resolve_dense(
             d, p, dd, offsets, anchors, scores01,
             max_terms, capacity, num_docs,
         )
-        if fanch is not None:
-            mask = (
-                jnp.zeros(num_docs + 1, dtype=bool)
-                .at[jnp.clip(fanch, 0, num_docs)]
-                .set(True)[:num_docs]
-            )
-            dense = jnp.where(mask, dense, 0.0)
+        if fidx is not None:
+            dense = jnp.where(filter_masks[fidx], dense, 0.0)
         for pre in pre_boosts:
             dense = _apply_boost(dense, pre)
         if panch is not None:
@@ -334,10 +330,10 @@ def batched_fuzzy_generic_topk(
             dense = dense * pf
         return dense, total_matches, total_postings
 
-    in_axes = (0, 0, 0, 0 if filter_anchors is not None else None,
+    in_axes = (0, 0, 0, 0 if filter_idx is not None else None,
                0 if phrase_anchors is not None else None)
     dense_b, totals_b, post_b = jax.vmap(tail, in_axes=in_axes)(
-        dist, is_prefix, distances, filter_anchors, phrase_anchors
+        dist, is_prefix, distances, filter_idx, phrase_anchors
     )
     hits = (dense_b > 0).astype(jnp.bfloat16)
     num_hits = jnp.sum(dense_b > 0, axis=1, dtype=jnp.int32)

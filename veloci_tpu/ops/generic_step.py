@@ -13,8 +13,9 @@ TPU-first lowerings:
 
 * the query tree evaluates on a per-slot dense plane (segment-max over the
   gathered posting runs) exactly like union/intersect_search_topk;
-* the filter is a host-resolved anchor list (exact parity with the host
-  executor's `_eval_ids`) scattered into a [num_docs] mask in-program;
+* filters are host-resolved anchor sets (exact parity with the host
+  executor's `_eval_ids`) materialised ONCE per distinct filter as cached
+  device-resident [num_docs] masks; per query only a mask index ships;
 * boost columns are resident [num_docs] vectors; each boost family
   precomputes its per-doc factor ONCE per batch (loop-invariant outside the
   vmap) and applies as an elementwise select per query;
@@ -97,7 +98,8 @@ def batched_generic_topk(
     term_ids: jax.Array,  # [Q, T_pad] int32 (pad -1); GLOBAL combined ids
     term_scores: jax.Array,  # [Q, T_pad] f32
     term_slots: jax.Array,  # [Q, T_pad] int32
-    filter_anchors: Optional[jax.Array],  # [Q, F_pad] int32 (pad num_docs) | None
+    filter_masks: Optional[jax.Array],  # [NF, num_docs] bool | None (cached)
+    filter_idx: Optional[jax.Array],  # [Q] int32 into filter_masks | None
     phrase_anchors: Optional[jax.Array],  # [Q, P_pad] int32 (pad num_docs) | None
     boost_arrays: Tuple,  # tuple of (bv [num_docs] f32, pres [num_docs] bool, expr_add|None)
     facet_mats: Tuple,  # tuple of M [num_docs, G_i] bf16
@@ -112,7 +114,7 @@ def batched_generic_topk(
     facet_counts tuple of [Q, G_i] i32) in one program.
 
     Order of operations matches `search()` (reference search.rs:143-228):
-    tree -> filter mask -> boost columns (in request order) -> phrase-anchor
+    tree -> cached filter mask -> boost columns (in request order) -> phrase-anchor
     x5 factors (BoostAnchorFromPhraseResults, plan_steps.rs:262-283; an
     anchor hit by g phrase groups appears g times in its row -> factor 5^g)
     -> facet counts over the final hit set -> exact top-k (score desc,
@@ -123,7 +125,7 @@ def batched_generic_topk(
         for (bv, pres, expr_add), spec in zip(boost_arrays, boost_specs)
     )
 
-    def one(tids, tscs, tslots, fanch, panch):
+    def one(tids, tscs, tslots, fidx, panch):
         a, s, slot = _gather_postings(
             offsets, anchors, scores01, tids, tscs, capacity, num_docs,
             term_slots=tslots,
@@ -139,13 +141,11 @@ def batched_generic_topk(
         else:
             distinct = jnp.sum(per_slot >= 1e-5, axis=0).astype(jnp.float32)
             dense = jnp.sum(per_slot, axis=0) * distinct * distinct
-        if fanch is not None:
-            mask = (
-                jnp.zeros(num_docs + 1, dtype=bool)
-                .at[jnp.clip(fanch, 0, num_docs)]
-                .set(True)[:num_docs]
-            )
-            dense = jnp.where(mask, dense, 0.0)
+        if fidx is not None:
+            # distinct filter masks are cached device-resident; per query
+            # only a row index ships (the FilterChannel broadcast, built
+            # once per filter — zero steady-state H2D)
+            dense = jnp.where(filter_masks[fidx], dense, 0.0)
         for pre in pre_boosts:
             dense = _apply_boost(dense, pre)
         if panch is not None:
@@ -157,10 +157,10 @@ def batched_generic_topk(
             dense = dense * pf
         return dense
 
-    in_axes = (0, 0, 0, 0 if filter_anchors is not None else None,
+    in_axes = (0, 0, 0, 0 if filter_idx is not None else None,
                0 if phrase_anchors is not None else None)
     dense_b = jax.vmap(one, in_axes=in_axes)(
-        term_ids, term_scores, term_slots, filter_anchors, phrase_anchors
+        term_ids, term_scores, term_slots, filter_idx, phrase_anchors
     )
 
     hits = (dense_b > 0).astype(jnp.bfloat16)

@@ -146,6 +146,30 @@ def _filter_anchor_list(persistence, node) -> Optional[np.ndarray]:
     return out
 
 
+def _filter_mask_device(persistence, node):
+    """Device-resident [num_docs] bool mask for a filter subtree, built ONCE
+    per distinct filter (scatter of the host-parity anchor set) and cached —
+    the FilterChannel broadcast as a resident vector; per batch only mask
+    INDICES ship to the kernel."""
+    import jax.numpy as jnp
+
+    memo = getattr(persistence, "_filter_mask_dev", None)
+    if memo is None:
+        memo = persistence._filter_mask_dev = {}
+    tkey = _filter_tree_key(node)
+    hit = memo.get(tkey)
+    if hit is not None:
+        return tkey, hit
+    anchors = _filter_anchor_list(persistence, node)
+    mask = jnp.zeros(persistence.num_docs, dtype=bool)
+    if len(anchors):
+        mask = mask.at[jnp.asarray(anchors.astype(np.int32))].set(True)
+    if len(memo) > 512:
+        memo.clear()
+    memo[tkey] = mask
+    return tkey, mask
+
+
 def _generic_eligible(request: Request, persistence, comb, require_extras=True):
     """Batched generic-path eligibility: flat exact tree + optional filter /
     anchor-level boost columns / fast-path facets. Returns a per-request
@@ -209,10 +233,10 @@ def _generic_eligible(request: Request, persistence, comb, require_extras=True):
         facet_fields.append(f.field)
 
     fanchors = None
+    fkey = None
     if request.filter is not None:
         fanchors = _filter_anchor_list(persistence, request.filter)
-        if len(fanchors) > _MAX_FILTER_ANCHORS:
-            return None
+        fkey = _filter_tree_key(request.filter)
 
     panchors = None
     if request.phrase_boosts:
@@ -245,6 +269,7 @@ def _generic_eligible(request: Request, persistence, comb, require_extras=True):
         "is_and": is_and,
         "fuzzy": fuzzy,
         "fanchors": fanchors,
+        "fkey": fkey,
         "panchors": panchors,
         "boost_key": tuple(boost_key),
         "facet_fields": tuple(facet_fields),
@@ -532,24 +557,33 @@ def _run_generic_group(persistence, comb, sig, entries, emit) -> None:
     num_docs = persistence.num_docs
     ho = comb.host_offsets
 
-    max_terms, max_total, max_f, max_p, max_k = 1, 1, 1, 1, 1
+    max_terms, max_total, max_p, max_k = 1, 1, 1, 1
     for qi, req, spec in entries:
         gtids = spec["gtids"]
         max_terms = max(max_terms, len(gtids))
         max_total = max(
             max_total, sum(int(ho[g + 1] - ho[g]) for g, _s, _sl in gtids)
         )
-        if has_filter:
-            max_f = max(max_f, len(spec["fanchors"]))
         if has_phrase:
             max_p = max(max_p, len(spec["panchors"]))
         top = req.top if req.top is not None else 10
         max_k = max(max_k, top + (req.skip or 0))
     t_pad = bucket_size(max_terms, 8)
     capacity = bucket_size(max_total)
-    f_pad = bucket_size(max_f, 64) if has_filter else 0
     p_pad = bucket_size(max_p, 64) if has_phrase else 0
     k_eff = min(num_docs, max_k)
+
+    # distinct filter masks (cached device-resident); per query an index
+    fmask_stack = None
+    fkey_slot: dict = {}
+    if has_filter:
+        masks = []
+        for _qi, req, spec in entries:
+            if spec["fkey"] not in fkey_slot:
+                _tk, m = _filter_mask_device(persistence, req.filter)
+                fkey_slot[spec["fkey"]] = len(masks)
+                masks.append(m)
+        fmask_stack = jnp.stack(masks)
 
     boost_arrays, boost_specs = _boost_device_arrays(persistence, boost_key)
     facet_mats = tuple(facet_matrix(persistence, f)[0] for f in facet_fields)
@@ -562,9 +596,7 @@ def _run_generic_group(persistence, comb, sig, entries, emit) -> None:
         tid_arr = np.full((qc, t_pad), -1, dtype=np.int32)
         ts_arr = np.zeros((qc, t_pad), dtype=np.float32)
         sl_arr = np.zeros((qc, t_pad), dtype=np.int32)
-        fa_arr = (
-            np.full((qc, f_pad), num_docs, dtype=np.int32) if has_filter else None
-        )
+        fi_arr = np.zeros(qc, dtype=np.int32) if has_filter else None
         pa_arr = (
             np.full((qc, p_pad), num_docs, dtype=np.int32) if has_phrase else None
         )
@@ -574,8 +606,7 @@ def _run_generic_group(persistence, comb, sig, entries, emit) -> None:
                 ts_arr[row, j] = sc
                 sl_arr[row, j] = sl
             if has_filter:
-                fa = spec["fanchors"]
-                fa_arr[row, : len(fa)] = fa.astype(np.int32)
+                fi_arr[row] = fkey_slot[spec["fkey"]]
             if has_phrase:
                 pa = spec["panchors"]
                 pa_arr[row, : len(pa)] = pa.astype(np.int32)
@@ -586,7 +617,8 @@ def _run_generic_group(persistence, comb, sig, entries, emit) -> None:
             jnp.asarray(tid_arr),
             jnp.asarray(ts_arr),
             jnp.asarray(sl_arr),
-            jnp.asarray(fa_arr) if has_filter else None,
+            fmask_stack,
+            jnp.asarray(fi_arr) if has_filter else None,
             jnp.asarray(pa_arr) if has_phrase else None,
             tuple(boost_arrays),
             facet_mats,
@@ -672,10 +704,19 @@ def _run_fuzzy_generic_group(persistence, sig, entries, emit, results) -> None:
         chunk_q = max(1, int(256e6 // max(n_pad * (l + 1) * 4, 1)))
     chunk_q = min(chunk_q, max(1, int(_PLANE_BUDGET_BYTES // max(num_docs * 4, 1))))
 
-    max_f = max((len(e[2]["fanchors"]) for e in entries), default=1) if has_filter else 0
     max_p = max((len(e[2]["panchors"]) for e in entries), default=1) if has_phrase else 0
-    f_pad = bucket_size(max(max_f, 1), 64) if has_filter else 0
     p_pad = bucket_size(max(max_p, 1), 64) if has_phrase else 0
+
+    fmask_stack = None
+    fkey_slot: dict = {}
+    if has_filter:
+        masks = []
+        for _qi, req, spec in entries:
+            if spec["fkey"] not in fkey_slot:
+                _tk, m = _filter_mask_device(persistence, req.filter)
+                fkey_slot[spec["fkey"]] = len(masks)
+                masks.append(m)
+        fmask_stack = jnp.stack(masks)
 
     for base in range(0, len(entries), chunk_q):
         chunk = entries[base : base + chunk_q]
@@ -683,9 +724,7 @@ def _run_fuzzy_generic_group(persistence, sig, entries, emit, results) -> None:
         queries = np.zeros((qc, 32), dtype=np.uint16)
         qlens = np.zeros(qc, dtype=np.int32)
         dists = np.zeros(qc, dtype=np.int32)
-        fa_arr = (
-            np.full((qc, f_pad), num_docs, dtype=np.int32) if has_filter else None
-        )
+        fi_arr = np.zeros(qc, dtype=np.int32) if has_filter else None
         pa_arr = (
             np.full((qc, p_pad), num_docs, dtype=np.int32) if has_phrase else None
         )
@@ -697,8 +736,7 @@ def _run_fuzzy_generic_group(persistence, sig, entries, emit, results) -> None:
             qlens[row] = qlen
             dists[row] = distance
             if has_filter:
-                fa = spec["fanchors"]
-                fa_arr[row, : len(fa)] = fa.astype(np.int32)
+                fi_arr[row] = fkey_slot[spec["fkey"]]
             if has_phrase:
                 pa = spec["panchors"]
                 pa_arr[row, : len(pa)] = pa.astype(np.int32)
@@ -717,7 +755,8 @@ def _run_fuzzy_generic_group(persistence, sig, entries, emit, results) -> None:
                 dev.offsets,
                 dev.anchors,
                 dev.scores01,
-                jnp.asarray(fa_arr) if has_filter else None,
+                fmask_stack,
+                jnp.asarray(fi_arr) if has_filter else None,
                 jnp.asarray(pa_arr) if has_phrase else None,
                 boost_arrays,
                 facet_mats,
@@ -864,7 +903,14 @@ def _search_batch_mesh(requests, persistence, mc, start) -> List[SearchResult]:
             if comb is not None
             else None
         )
-        if spec is None or spec["fuzzy"] is not None:
+        if (
+            spec is None
+            or spec["fuzzy"] is not None
+            or (
+                spec["fanchors"] is not None
+                and len(spec["fanchors"]) > _MAX_FILTER_ANCHORS
+            )
+        ):
             results[qi] = search(req, persistence)
             continue
         groups.setdefault(spec["sig"], []).append((qi, req, spec))
