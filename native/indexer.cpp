@@ -17,6 +17,7 @@
 #include <thread>
 #include <cstdint>
 #include <cstring>
+#include <deque>
 #include <memory>
 #include <string>
 #include <unordered_map>
@@ -327,11 +328,6 @@ struct PathConfig {
 
 // ---------------------------------------------------------------- per-path state
 
-struct TermEntry {
-    uint32_t count = 0;
-    uint32_t id = 0;
-};
-
 // packed .to_anchor_id_score index (built on demand by vl_pack_scores)
 struct PackedScores {
     std::vector<uint64_t> offsets;  // [num_keys + 1]
@@ -583,9 +579,12 @@ struct Walker {
 
     // fused parse+walk: consumes one JSON value from the scanner and emits
     // leaves/ids directly — no document tree, no per-node heap churn.
-    // Per-depth string pools are reused across documents.
-    std::vector<std::string> key_pool;
-    std::vector<std::string> path_pool;
+    // Per-depth string pools are reused across documents. std::deque keeps
+    // element addresses STABLE across growth — callers hold references into
+    // the pools while recursing, and a vector resize at depth >= initial
+    // capacity would dangle them.
+    std::deque<std::string> key_pool;
+    std::deque<std::string> path_pool;
     std::string text_scratch;
 
     bool stream_value(Parser& p, uint32_t anchor, uint32_t parent,

@@ -183,3 +183,21 @@ def test_mt_ingest_bit_parity():
                 vb = getattr(xb, attr, None)
                 if va is not None:
                     np.testing.assert_array_equal(va, vb, err_msg=f"{group}/{key}/{attr}")
+
+
+def test_deeply_nested_document():
+    """Nesting beyond the walker's initial per-depth pool size must not
+    corrupt paths/terms (the pools are deques precisely so references held
+    across recursive growth stay valid)."""
+    import json
+
+    from veloci_tpu import Persistence
+
+    doc = v = {}
+    for i in range(40):
+        v["lvl%d" % i] = {}
+        v = v["lvl%d" % i]
+    v["leaf"] = "deepterm hello"
+    p = Persistence.create_from_str(json.dumps(doc), "{}")
+    deep_field = ".".join("lvl%d" % i for i in range(40)) + ".leaf"
+    assert "deepterm hello" in list(p.get_dictionary(deep_field).terms)

@@ -354,15 +354,18 @@ class MeshContext:
         boost_cols = []
         for bp, fun, param, skip, expr in boost_key:
             bv_sh, pres_sh = self.boost_column(bp)
+            expr_add = None
             if expr:
-                vals, present = self.persistence.get_boost(bp)
-                v = np.zeros(self.num_docs, dtype=np.float32)
-                v[: min(self.num_docs, len(vals))] = vals[: self.num_docs]
-                expr_add = self.shard_host_vector(
-                    _expr_vec(ScoreExpression(expr), v)
-                )
-            else:
-                expr_add = None
+                ekey = "\x01expr:" + bp + "\x00" + expr
+                expr_add = self.boosts.get(ekey)
+                if expr_add is None:
+                    vals, present = self.persistence.get_boost(bp)
+                    v = np.zeros(self.num_docs, dtype=np.float32)
+                    v[: min(self.num_docs, len(vals))] = vals[: self.num_docs]
+                    expr_add = self.shard_host_vector(
+                        _expr_vec(ScoreExpression(expr), v)
+                    )
+                    self.boosts[ekey] = expr_add
             boost_cols.append((bv_sh, pres_sh, expr_add))
         boost_specs = tuple((fun, param, skip) for _bp, fun, param, skip, _e in boost_key)
         mats = [self.facet_matrix_sharded(f)[0] for f in facet_fields]
@@ -372,7 +375,7 @@ class MeshContext:
             tid_arr.shape,
             fa_arr.shape if fa_arr is not None else None,
             pa_arr.shape if pa_arr is not None else None,
-            boost_specs,
+            boost_key,  # full key: in_specs depend on expression presence
             tuple(facet_fields),
             num_slots,
             is_and,

@@ -146,6 +146,33 @@ def _filter_anchor_list(persistence, node) -> Optional[np.ndarray]:
     return out
 
 
+def _filter_mask_stack(persistence, entries):
+    """Stack of DISTINCT cached filter masks for a group + per-spec slot map.
+    The stacked [NF, num_docs] array itself is cached keyed by the ordered
+    fkey tuple, so steady-state batches reuse it with zero device copies."""
+    import jax.numpy as jnp
+
+    fkey_slot: dict = {}
+    order = []
+    for _qi, req, spec in entries:
+        if spec["fkey"] not in fkey_slot:
+            fkey_slot[spec["fkey"]] = len(order)
+            order.append((spec["fkey"], req.filter))
+    memo = getattr(persistence, "_filter_stack_dev", None)
+    if memo is None:
+        memo = persistence._filter_stack_dev = {}
+    skey = tuple(k for k, _n in order)
+    stack = memo.get(skey)
+    if stack is None:
+        stack = jnp.stack(
+            [_filter_mask_device(persistence, node)[1] for _k, node in order]
+        )
+        if len(memo) > 128:
+            memo.clear()
+        memo[skey] = stack
+    return stack, fkey_slot
+
+
 def _filter_mask_device(persistence, node):
     """Device-resident [num_docs] bool mask for a filter subtree, built ONCE
     per distinct filter (scatter of the host-parity anchor set) and cached —
@@ -577,13 +604,7 @@ def _run_generic_group(persistence, comb, sig, entries, emit) -> None:
     fmask_stack = None
     fkey_slot: dict = {}
     if has_filter:
-        masks = []
-        for _qi, req, spec in entries:
-            if spec["fkey"] not in fkey_slot:
-                _tk, m = _filter_mask_device(persistence, req.filter)
-                fkey_slot[spec["fkey"]] = len(masks)
-                masks.append(m)
-        fmask_stack = jnp.stack(masks)
+        fmask_stack, fkey_slot = _filter_mask_stack(persistence, entries)
 
     boost_arrays, boost_specs = _boost_device_arrays(persistence, boost_key)
     facet_mats = tuple(facet_matrix(persistence, f)[0] for f in facet_fields)
@@ -633,14 +654,11 @@ def _run_generic_group(persistence, comb, sig, entries, emit) -> None:
             (ids_b, scores_b, hits_b, fc_b)
         )
         for row, (qi, req, _spec) in enumerate(chunk):
-            facets = None
-            if facet_fields:
-                facets = {}
-                for f_req in req.facets:
-                    fi = facet_fields.index(f_req.field)
-                    facets[f_req.field] = format_counts(
-                        persistence, f_req.field, fc_b[fi][row], f_req.top
-                    )
+            facets = (
+                _facets_of(persistence, req, facet_fields, fc_b, row)
+                if facet_fields
+                else None
+            )
             emit(qi, req, ids_b[row], scores_b[row], hits_b[row], facets)
 
 
@@ -710,13 +728,7 @@ def _run_fuzzy_generic_group(persistence, sig, entries, emit, results) -> None:
     fmask_stack = None
     fkey_slot: dict = {}
     if has_filter:
-        masks = []
-        for _qi, req, spec in entries:
-            if spec["fkey"] not in fkey_slot:
-                _tk, m = _filter_mask_device(persistence, req.filter)
-                fkey_slot[spec["fkey"]] = len(masks)
-                masks.append(m)
-        fmask_stack = jnp.stack(masks)
+        fmask_stack, fkey_slot = _filter_mask_stack(persistence, entries)
 
     for base in range(0, len(entries), chunk_q):
         chunk = entries[base : base + chunk_q]
@@ -981,13 +993,7 @@ def _search_batch_mesh(requests, persistence, mc, start) -> List[SearchResult]:
             window = list(zip(ids, scores))[skip : skip + top]
             res.data = [Hit(int(i), float(s)) for i, s in window]
             if facet_fields:
-                facets = {}
-                for f_req in req.facets or []:
-                    fi = facet_fields.index(f_req.field)
-                    facets[f_req.field] = format_counts(
-                        persistence, f_req.field, fc_b[fi][row], f_req.top
-                    )
-                res.facets = facets
+                res.facets = _facets_of(persistence, req, facet_fields, fc_b, row)
             res.execution_time_ns = time.time_ns() - start
             results[qi] = res
 

@@ -109,6 +109,11 @@ def facet_matrix_host(persistence, field: str):
         return None
     m = np.zeros((num_docs, num_targets), dtype=np.float32)
     np.add.at(m, (sources, targets), 1.0)
+    if len(sources) and float(m.max()) > 256.0:
+        # bf16 integers are exact only to 2^8 — a doc with >256 pairs for
+        # one facet value would silently miscount through the bf16 matmul;
+        # such fields take the per-request exact path instead
+        return None
     cached = (m, num_targets)
     if len(_DEVICE_PAIRS) > 256:
         _DEVICE_PAIRS.clear()
