@@ -510,50 +510,19 @@ def search_batch(requests: List[Request], persistence) -> List[SearchResult]:
                 _emit(qi, req, ids_b[row], scores_b[row], hits_b[row])
 
         if multis:
-            max_terms = 1
-            max_total = 1
-            max_k = 1
-            for qi, req, gtids in multis:
-                max_terms = max(max_terms, len(gtids))
-                max_total = max(
-                    max_total, sum(int(ho[g + 1] - ho[g]) for g, _s, _sl in gtids)
-                )
-                top = req.top if req.top is not None else 10
-                max_k = max(max_k, top + (req.skip or 0))
-
-            t_pad = bucket_size(max_terms, 8)
-            capacity = bucket_size(max_total)
-            k_eff = min(num_docs, max_k)
-            q = len(multis)
-            tid_arr = np.full((q, t_pad), -1, dtype=np.int32)
-            ts_arr = np.zeros((q, t_pad), dtype=np.float32)
-            sl_arr = np.zeros((q, t_pad), dtype=np.int32)
-            for row, (_qi, _req, gtids) in enumerate(multis):
-                for j, (g, sc, sl) in enumerate(gtids[:t_pad]):
-                    tid_arr[row, j] = g
-                    ts_arr[row, j] = sc
-                    sl_arr[row, j] = sl
-            ids_b, scores_b, hits_b = batched_union_search_topk(
-                comb.offsets,
-                comb.anchors,
-                comb.scores01,
-                jnp.asarray(tid_arr),
-                jnp.asarray(ts_arr),
-                jnp.asarray(sl_arr),
-                capacity=capacity,
-                num_docs=num_docs,
-                k=k_eff,
-                num_slots=num_slots,
-                # NOTE: win= (slice packing) must NOT be used under vmap —
-                # vmapped dynamic_update_slice lowers to a serial scatter
-                # (measured 1.7s/batch); the searchsorted gather is the
-                # better batched lowering until the Pallas ragged-pack lands
+            # multi-term ORs share the plane kernel; route through the
+            # generic runner for its capacity sub-bucketing + single sync
+            entries2 = [
+                (qi, req, {"gtids": gtids, "fkey": None, "panchors": None})
+                for qi, req, gtids in multis
+            ]
+            _run_generic_group(
+                persistence,
+                comb,
+                (num_slots, False, (), (), False, False),
+                entries2,
+                _emit,
             )
-            ids_b, scores_b, hits_b = (
-                np.asarray(ids_b), np.asarray(scores_b), np.asarray(hits_b)
-            )
-            for row, (qi, req, _gtids) in enumerate(multis):
-                _emit(qi, req, ids_b[row], scores_b[row], hits_b[row])
 
     # generic batches (filter/boost/facet/phrase requests): one fused
     # program each — exact trees and fuzzy leaves take separate kernels
@@ -571,34 +540,24 @@ def search_batch(requests: List[Request], persistence) -> List[SearchResult]:
 
 
 def _run_generic_group(persistence, comb, sig, entries, emit) -> None:
-    """Dispatch one signature group through `batched_generic_topk` — the
-    whole filtered+boosted+faceted batch is one XLA program per chunk."""
+    """Dispatch one signature group through `batched_generic_topk`.
+
+    Entries sub-group by their OWN capacity bucket (total postings of the
+    query's terms): the plane scatter — the dominant kernel cost — scales
+    with the bucket, and under a zipfian term distribution most queries
+    need a far smaller window than the group max. All sub-dispatches are
+    issued asynchronously and synced with ONE device_get (one D2H round
+    trip regardless of sub-group count)."""
     import jax
     import jax.numpy as jnp
 
     from ..ops.generic_step import batched_generic_topk
     from ..ops.postings import bucket_size
-    from .facet import facet_matrix, format_counts
+    from .facet import facet_matrix
 
     num_slots, is_and, boost_key, facet_fields, has_filter, has_phrase = sig
     num_docs = persistence.num_docs
     ho = comb.host_offsets
-
-    max_terms, max_total, max_p, max_k = 1, 1, 1, 1
-    for qi, req, spec in entries:
-        gtids = spec["gtids"]
-        max_terms = max(max_terms, len(gtids))
-        max_total = max(
-            max_total, sum(int(ho[g + 1] - ho[g]) for g, _s, _sl in gtids)
-        )
-        if has_phrase:
-            max_p = max(max_p, len(spec["panchors"]))
-        top = req.top if req.top is not None else 10
-        max_k = max(max_k, top + (req.skip or 0))
-    t_pad = bucket_size(max_terms, 8)
-    capacity = bucket_size(max_total)
-    p_pad = bucket_size(max_p, 64) if has_phrase else 0
-    k_eff = min(num_docs, max_k)
 
     # distinct filter masks (cached device-resident); per query an index
     fmask_stack = None
@@ -609,50 +568,77 @@ def _run_generic_group(persistence, comb, sig, entries, emit) -> None:
     boost_arrays, boost_specs = _boost_device_arrays(persistence, boost_key)
     facet_mats = tuple(facet_matrix(persistence, f)[0] for f in facet_fields)
 
+    # capacity sub-buckets (floor 256 bounds the bucket count)
+    sub: dict = {}
+    for qi, req, spec in entries:
+        gtids = spec["gtids"]
+        tot = sum(int(ho[g + 1] - ho[g]) for g, _s, _sl in gtids)
+        sub.setdefault(bucket_size(max(tot, 1), 256), []).append((qi, req, spec))
+
     plane_bytes = num_slots * (num_docs + 1) * 4 + num_docs * 8
     chunk_q = max(1, int(_PLANE_BUDGET_BYTES // max(plane_bytes, 1)))
-    for base in range(0, len(entries), chunk_q):
-        chunk = entries[base : base + chunk_q]
-        qc = len(chunk)
-        tid_arr = np.full((qc, t_pad), -1, dtype=np.int32)
-        ts_arr = np.zeros((qc, t_pad), dtype=np.float32)
-        sl_arr = np.zeros((qc, t_pad), dtype=np.int32)
-        fi_arr = np.zeros(qc, dtype=np.int32) if has_filter else None
-        pa_arr = (
-            np.full((qc, p_pad), num_docs, dtype=np.int32) if has_phrase else None
-        )
-        for row, (_qi, _req, spec) in enumerate(chunk):
-            for j, (g, sc, sl) in enumerate(spec["gtids"][:t_pad]):
-                tid_arr[row, j] = g
-                ts_arr[row, j] = sc
-                sl_arr[row, j] = sl
-            if has_filter:
-                fi_arr[row] = fkey_slot[spec["fkey"]]
+
+    pending = []  # (chunk, device outputs)
+    for capacity, sub_entries in sorted(sub.items()):
+        max_terms, max_p, max_k = 1, 1, 1
+        for qi, req, spec in sub_entries:
+            max_terms = max(max_terms, len(spec["gtids"]))
             if has_phrase:
-                pa = spec["panchors"]
-                pa_arr[row, : len(pa)] = pa.astype(np.int32)
-        ids_b, scores_b, hits_b, fc_b = batched_generic_topk(
-            comb.offsets,
-            comb.anchors,
-            comb.scores01,
-            jnp.asarray(tid_arr),
-            jnp.asarray(ts_arr),
-            jnp.asarray(sl_arr),
-            fmask_stack,
-            jnp.asarray(fi_arr) if has_filter else None,
-            jnp.asarray(pa_arr) if has_phrase else None,
-            tuple(boost_arrays),
-            facet_mats,
-            capacity=capacity,
-            num_docs=num_docs,
-            k=k_eff,
-            num_slots=num_slots,
-            is_and=is_and,
-            boost_specs=tuple(boost_specs),
-        )
-        ids_b, scores_b, hits_b, fc_b = jax.device_get(
-            (ids_b, scores_b, hits_b, fc_b)
-        )
+                max_p = max(max_p, len(spec["panchors"]))
+            top = req.top if req.top is not None else 10
+            max_k = max(max_k, top + (req.skip or 0))
+        t_pad = bucket_size(max_terms, 8)
+        p_pad = bucket_size(max_p, 64) if has_phrase else 0
+        k_eff = min(num_docs, max_k)
+
+        for base in range(0, len(sub_entries), chunk_q):
+            chunk = sub_entries[base : base + chunk_q]
+            qc = len(chunk)
+            q_pad = bucket_size(qc, 8)  # bound recompiles across batch sizes
+            tid_arr = np.full((q_pad, t_pad), -1, dtype=np.int32)
+            ts_arr = np.zeros((q_pad, t_pad), dtype=np.float32)
+            sl_arr = np.zeros((q_pad, t_pad), dtype=np.int32)
+            fi_arr = np.zeros(q_pad, dtype=np.int32) if has_filter else None
+            pa_arr = (
+                np.full((q_pad, p_pad), num_docs, dtype=np.int32)
+                if has_phrase
+                else None
+            )
+            for row, (_qi, _req, spec) in enumerate(chunk):
+                for j, (g, sc, sl) in enumerate(spec["gtids"][:t_pad]):
+                    tid_arr[row, j] = g
+                    ts_arr[row, j] = sc
+                    sl_arr[row, j] = sl
+                if has_filter:
+                    fi_arr[row] = fkey_slot[spec["fkey"]]
+                if has_phrase:
+                    pa = spec["panchors"]
+                    pa_arr[row, : len(pa)] = pa.astype(np.int32)
+            out = batched_generic_topk(
+                comb.offsets,
+                comb.anchors,
+                comb.scores01,
+                jnp.asarray(tid_arr),
+                jnp.asarray(ts_arr),
+                jnp.asarray(sl_arr),
+                fmask_stack,
+                jnp.asarray(fi_arr) if has_filter else None,
+                jnp.asarray(pa_arr) if has_phrase else None,
+                tuple(boost_arrays),
+                facet_mats,
+                capacity=capacity,
+                num_docs=num_docs,
+                k=k_eff,
+                num_slots=num_slots,
+                is_and=is_and,
+                boost_specs=tuple(boost_specs),
+            )
+            pending.append((chunk, out))
+
+    if not pending:
+        return
+    fetched = jax.device_get([p[1] for p in pending])  # ONE sync
+    for (chunk, _), (ids_b, scores_b, hits_b, fc_b) in zip(pending, fetched):
         for row, (qi, req, _spec) in enumerate(chunk):
             facets = (
                 _facets_of(persistence, req, facet_fields, fc_b, row)
