@@ -770,7 +770,13 @@ def _run_fuzzy_generic_group(persistence, sig, entries, emit, results) -> None:
             if need <= capacity or capacity >= worst:
                 break
             capacity = min(worst, bucket_size(need))
-        persistence._fuzzy_cap_hint[field] = capacity
+        # adapt DOWN too (at most one bucket per batch, so an oscillating
+        # workload can't thrash re-dispatch + recompile): the old
+        # high-water-mark hint pinned every later batch to the worst query
+        # ever seen
+        persistence._fuzzy_cap_hint[field] = max(
+            bucket_size(max(need, 64)), capacity // 2
+        )
         for row, (qi, req, _spec) in enumerate(chunk):
             if int(totals_b[row]) > max_terms:
                 # selection window clipped — per-request path decides
@@ -860,7 +866,13 @@ def _run_fuzzy_group(persistence, field, entries, results, start) -> None:
             if need <= capacity or capacity >= worst:
                 break
             capacity = min(worst, bucket_size(need))
-        persistence._fuzzy_cap_hint[field] = capacity
+        # adapt DOWN too (at most one bucket per batch, so an oscillating
+        # workload can't thrash re-dispatch + recompile): the old
+        # high-water-mark hint pinned every later batch to the worst query
+        # ever seen
+        persistence._fuzzy_cap_hint[field] = max(
+            bucket_size(max(need, 64)), capacity // 2
+        )
         for row, (qi, req, _term, _distance) in enumerate(chunk):
             if int(totals_b[row]) > max_terms:
                 # selection window clipped — generic path decides

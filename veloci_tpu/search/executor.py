@@ -641,7 +641,12 @@ def _try_fuzzy_fast_path(
         from ..ops.postings import bucket_size
 
         capacity = min(worst, bucket_size(int(total_postings)))
-    persistence._fuzzy_cap_hint[field] = capacity
+    from ..ops.postings import bucket_size as _bs
+
+    # adapt down too (at most one bucket per dispatch — bounds thrash)
+    persistence._fuzzy_cap_hint[field] = max(
+        _bs(max(int(total_postings), 64)), capacity // 2
+    )
     mask = scores > 0
     ids, scores = ids[mask], scores[mask]
     result = SearchResult()
