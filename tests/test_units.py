@@ -607,3 +607,34 @@ def test_explain_plan_shows_1n_boost_split():
     dot = explain_plan(req, pers)
     assert "boost_to_anchor" in dot
     assert "apply_anchor_boost" in dot
+
+
+def test_native_radix_sorts_match_numpy():
+    """Fuzz the native LSD radix sorts (u64, u64-key/u32-payload stable,
+    lexicographic pair) against numpy across sizes incl. empty/tiny."""
+    import numpy as np
+
+    from veloci_tpu import native
+
+    if not native.native_available():
+        import pytest
+
+        pytest.skip("native lib unavailable")
+    rng = np.random.default_rng(7)
+    for n in [0, 1, 2, 5, 63, 1000, 40001]:
+        a = rng.integers(0, 1 << 63, size=n, dtype=np.uint64)
+        b = a.copy()
+        assert native.sort_u64(a)
+        assert np.array_equal(a, np.sort(b))
+        k = rng.integers(0, 1 << 40, size=n, dtype=np.uint64)
+        # few distinct keys -> exercises the stable (payload-order) contract
+        k = k % 17 if n else k
+        v = rng.integers(0, 1 << 32, size=n, dtype=np.uint32)
+        k2, v2 = k.copy(), v.copy()
+        assert native.sort_kv_u64_u32(k2, v2)
+        order = np.argsort(k, kind="stable")
+        assert np.array_equal(k2, k[order]) and np.array_equal(v2, v[order])
+        k3, v3 = k.copy(), v.copy()
+        assert native.lexsort_kv_u64_u32(k3, v3)
+        order = np.lexsort((v, k))
+        assert np.array_equal(k3, k[order]) and np.array_equal(v3, v[order])

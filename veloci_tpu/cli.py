@@ -82,7 +82,19 @@ def cmd_test_large_search(args) -> None:
     t0 = time.time()
     req = search_query(pers, SearchQueryGeneratorParameters(search_term="buch"))
     res = search(req, pers)
-    print(f"search 'buch': {res.num_hits} hits in {(time.time() - t0) * 1e3:.1f}ms")
+    print(
+        f"search 'buch' (cold: compile + H2D of the index): "
+        f"{res.num_hits} hits in {(time.time() - t0) * 1e3:.1f}ms"
+    )
+    lat = []
+    for _ in range(5):
+        t0 = time.time()
+        res = search(req, pers)
+        lat.append((time.time() - t0) * 1e3)
+    print(
+        f"search 'buch' warm: {res.num_hits} hits, "
+        f"p50 {sorted(lat)[len(lat) // 2]:.1f}ms over {len(lat)} runs"
+    )
 
 
 def main(argv=None) -> None:

@@ -87,6 +87,42 @@ def _apply_boost(dense, pre):
     return jnp.where(apply_mask, boosted, dense)
 
 
+def tree_dense(
+    offsets, anchors, scores01, tids, tscs, tslots, capacity, nd, num_slots,
+    is_and,
+):
+    """One query's tree -> dense [nd] score vector: gathered posting runs,
+    per-slot segment-max plane, union (sum x distinct^2, set_op.rs:87-220)
+    or intersect (all-hit mask x sum, set_op.rs:368-448). Shared by the
+    single-chip kernel and the mesh shard step (there ``nd`` is the local
+    docs-per-shard) so the set-op math exists exactly once."""
+    a, s, slot = _gather_postings(
+        offsets, anchors, scores01, tids, tscs, capacity, nd,
+        term_slots=tslots,
+    )
+    plane = slot * (nd + 1) + a
+    per_slot = jax.ops.segment_max(
+        s, plane, num_segments=num_slots * (nd + 1)
+    ).reshape(num_slots, nd + 1)[:, :nd]
+    per_slot = jnp.where(jnp.isfinite(per_slot), per_slot, 0.0)
+    if is_and:
+        all_hit = jnp.all(per_slot > 0, axis=0)
+        return jnp.where(all_hit, jnp.sum(per_slot, axis=0), 0.0)
+    distinct = jnp.sum(per_slot >= 1e-5, axis=0).astype(jnp.float32)
+    return jnp.sum(per_slot, axis=0) * distinct * distinct
+
+
+def phrase_factor(panch, nd):
+    """Phrase-anchor x5 multiplicative factor over [nd] (an anchor present
+    g times gets 5^g — BoostAnchorFromPhraseResults, plan_steps.rs:262-283);
+    out-of-range/pad entries land in the discarded sentinel slot."""
+    return (
+        jnp.ones(nd + 1, dtype=jnp.float32)
+        .at[jnp.clip(panch, 0, nd)]
+        .multiply(jnp.float32(5.0))[:nd]
+    )
+
+
 @partial(
     jax.jit,
     static_argnames=("capacity", "num_docs", "k", "num_slots", "is_and", "boost_specs"),
@@ -126,21 +162,10 @@ def batched_generic_topk(
     )
 
     def one(tids, tscs, tslots, fidx, panch):
-        a, s, slot = _gather_postings(
-            offsets, anchors, scores01, tids, tscs, capacity, num_docs,
-            term_slots=tslots,
+        dense = tree_dense(
+            offsets, anchors, scores01, tids, tscs, tslots, capacity,
+            num_docs, num_slots, is_and,
         )
-        plane = slot * (num_docs + 1) + a
-        per_slot = jax.ops.segment_max(
-            s, plane, num_segments=num_slots * (num_docs + 1)
-        ).reshape(num_slots, num_docs + 1)[:, :num_docs]
-        per_slot = jnp.where(jnp.isfinite(per_slot), per_slot, 0.0)
-        if is_and:
-            all_hit = jnp.all(per_slot > 0, axis=0)
-            dense = jnp.where(all_hit, jnp.sum(per_slot, axis=0), 0.0)
-        else:
-            distinct = jnp.sum(per_slot >= 1e-5, axis=0).astype(jnp.float32)
-            dense = jnp.sum(per_slot, axis=0) * distinct * distinct
         if fidx is not None:
             # distinct filter masks are cached device-resident; per query
             # only a row index ships (the FilterChannel broadcast, built
@@ -149,12 +174,7 @@ def batched_generic_topk(
         for pre in pre_boosts:
             dense = _apply_boost(dense, pre)
         if panch is not None:
-            pf = (
-                jnp.ones(num_docs + 1, dtype=jnp.float32)
-                .at[jnp.clip(panch, 0, num_docs)]
-                .multiply(jnp.float32(5.0))[:num_docs]
-            )
-            dense = dense * pf
+            dense = dense * phrase_factor(panch, num_docs)
         return dense
 
     in_axes = (0, 0, 0, 0 if filter_idx is not None else None,

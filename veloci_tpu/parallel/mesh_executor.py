@@ -256,37 +256,18 @@ class MeshContext:
         beyond one chip's HBM."""
         if self._combined is not None:
             return self._combined
+        built = self.persistence.combined_host_csr()
+        if built is None:
+            return None
+        ns, key_base = built
+        # _ShardedField takes standard [num_keys + 1] offsets
         from types import SimpleNamespace
 
-        suffix = TEXTINDEX + TO_ANCHOR_ID_SCORE
-        parts = []
-        for path in sorted(self.persistence.anchor_scores):
-            if path.endswith(suffix):
-                parts.append((path[: -len(suffix)], self.persistence.anchor_scores[path]))
-        if not parts:
-            return None
-        key_base: Dict[str, Tuple[int, int]] = {}
-        off_parts, anc_parts, sc_parts = [], [], []
-        nnz_base = 0
-        kbase = 0
-        for field, store in parts:
-            ho = np.asarray(store.offsets, dtype=np.int64)
-            key_base[field] = (kbase, store.num_keys)
-            off_parts.append(ho[:-1] + nnz_base)
-            nnz_base += int(ho[-1])
-            kbase += store.num_keys
-            anc_parts.append(store.anchors)
-            sc_parts.append(store.scores)
-        off_parts.append(np.array([nnz_base], dtype=np.int64))
         ns = SimpleNamespace(
-            offsets=np.concatenate(off_parts),
-            anchors=(
-                np.concatenate(anc_parts) if nnz_base else np.zeros(0, np.int64)
-            ),
-            scores=(
-                np.concatenate(sc_parts) if nnz_base else np.zeros(0, np.uint16)
-            ),
-            num_keys=kbase,
+            offsets=ns.offsets[: ns.num_keys + 1],
+            anchors=ns.anchors,
+            scores=ns.scores,
+            num_keys=ns.num_keys,
         )
         sf = _ShardedField(ns, self.num_docs, self.mesh)
         sf.key_base = key_base
@@ -340,9 +321,13 @@ class MeshContext:
         import jax.numpy as jnp
         from jax.sharding import PartitionSpec as P
 
-        from ..ops.search_step import _gather_postings
         from ..ops.topk import topk_dense_exact
-        from ..ops.generic_step import _apply_boost, _precompute_boost
+        from ..ops.generic_step import (
+            _apply_boost,
+            _precompute_boost,
+            phrase_factor,
+            tree_dense,
+        )
         from ..search.boost import ScoreExpression, _expr_vec
 
         sf = self.combined()
@@ -396,25 +381,10 @@ class MeshContext:
                 )
 
                 def one(tid, tsc, slot, fanch, panch):
-                    a, s, sl = _gather_postings(
-                        offs[0], anc[0], sc[0], tid, tsc, capacity, dps,
-                        term_slots=slot,
+                    dense = tree_dense(
+                        offs[0], anc[0], sc[0], tid, tsc, slot, capacity,
+                        dps, num_slots, is_and,
                     )
-                    plane = sl * (dps + 1) + a
-                    per_slot = jax.ops.segment_max(
-                        s, plane, num_segments=num_slots * (dps + 1)
-                    ).reshape(num_slots, dps + 1)[:, :dps]
-                    per_slot = jnp.where(jnp.isfinite(per_slot), per_slot, 0.0)
-                    if is_and:
-                        all_hit = jnp.all(per_slot > 0, axis=0)
-                        dense = jnp.where(
-                            all_hit, jnp.sum(per_slot, axis=0), 0.0
-                        )
-                    else:
-                        distinct = jnp.sum(per_slot >= 1e-5, axis=0).astype(
-                            jnp.float32
-                        )
-                        dense = jnp.sum(per_slot, axis=0) * distinct * distinct
                     if fanch is not None:
                         loc = fanch - local_base
                         loc = jnp.where((loc >= 0) & (loc < dps), loc, dps)
@@ -429,12 +399,7 @@ class MeshContext:
                     if panch is not None:
                         loc = panch - local_base
                         loc = jnp.where((loc >= 0) & (loc < dps), loc, dps)
-                        pf = (
-                            jnp.ones(dps + 1, dtype=jnp.float32)
-                            .at[loc]
-                            .multiply(jnp.float32(5.0))[:dps]
-                        )
-                        dense = dense * pf
+                        dense = dense * phrase_factor(loc, dps)
                     return dense
 
                 in_axes = (
@@ -504,7 +469,9 @@ class MeshContext:
 
         import jax.numpy as jnp
 
-        ids, scores, num_hits, counts = fn(
+        # returns DEVICE arrays (leading broadcast dim still on ids/scores/
+        # num_hits) — the caller batches the D2H sync across all groups
+        return fn(
             sf.offsets, sf.anchors, sf.scores01,
             jnp.asarray(tid_arr), jnp.asarray(tsc_arr), jnp.asarray(sl_arr),
             jnp.asarray(fa_arr) if fa_arr is not None else None,
@@ -512,12 +479,6 @@ class MeshContext:
             tuple(boost_cols),
             tuple(mats),
         )
-        import jax
-
-        ids, scores, num_hits, counts = jax.device_get(
-            (ids, scores, num_hits, counts)
-        )
-        return ids[0], scores[0], num_hits[0], list(counts)
 
     def facet_counts(self, path: str, store, dense) -> np.ndarray:
         """Sharded facet counting: local masked segment-sum + psum over d."""

@@ -510,16 +510,20 @@ class Persistence:
         self._device_fields[key] = cached
         return cached
 
-    def device_combined(self):
-        """All searchable fields' anchor-score postings concatenated into ONE
-        global-key CSR on device. A multi-field OR (the search-query
-        generator's expansion of a term across every field) then fuses into
-        a single `union_search_topk` dispatch with global term ids
-        ``key_base[field] + token_id`` — instead of one program per field.
+    def combined_host_csr(self):
+        """Host-side COMBINED global-key anchor-score CSR: every searchable
+        field's postings concatenated under global term ids
+        ``key_base[field] + token_id``. The SINGLE source of the combined
+        layout — both the single-chip device copy (`device_combined`) and
+        the mesh sharding (`MeshContext.combined`) build from it, so the
+        global id convention cannot desynchronise between paths.
+
+        Returns ``(ns, key_base)`` with ``ns.offsets`` int64 ``[nk + 2]``
+        (double tail sentinel), ``ns.anchors``/``ns.scores`` (u16, raw
+        x100) concatenated, ``ns.num_keys`` — or None with no postings.
         """
-        cached = self._device_fields.get("\x00combined")
-        if cached is not None:
-            return cached
+        from types import SimpleNamespace
+
         suffix = TEXTINDEX + TO_ANCHOR_ID_SCORE
         parts = []
         for path in sorted(self.anchor_scores):
@@ -540,7 +544,40 @@ class Persistence:
             anc_parts.append(store.anchors)
             sc_parts.append(store.scores)
         off_parts.append(np.array([nnz_base, nnz_base], dtype=np.int64))
-        host_offsets = np.concatenate(off_parts)  # [kbase + 2] int64
+        ns = SimpleNamespace(
+            offsets=np.concatenate(off_parts),  # [kbase + 2] int64
+            anchors=(
+                np.concatenate(anc_parts)
+                if nnz_base
+                else np.zeros(0, np.int64)
+            ),
+            scores=(
+                np.concatenate(sc_parts)
+                if nnz_base
+                else np.zeros(0, np.uint16)
+            ),
+            num_keys=kbase,
+            nnz=nnz_base,
+        )
+        return ns, key_base
+
+    def device_combined(self):
+        """All searchable fields' anchor-score postings concatenated into ONE
+        global-key CSR on device. A multi-field OR (the search-query
+        generator's expansion of a term across every field) then fuses into
+        a single `union_search_topk` dispatch with global term ids
+        ``key_base[field] + token_id`` — instead of one program per field.
+        """
+        cached = self._device_fields.get("\x00combined")
+        if cached is not None:
+            return cached
+        built = self.combined_host_csr()
+        if built is None:
+            return None
+        ns, key_base = built
+        host_offsets = ns.offsets
+        kbase = ns.num_keys
+        nnz_base = ns.nnz
         assert nnz_base < (1 << 31)
         from .ops.postings import bucket_size
 
@@ -551,10 +588,10 @@ class Persistence:
         anchors_p = np.full(nnz_pad, self.num_docs, dtype=np.int32)
         scores_p = np.zeros(nnz_pad, dtype=np.float32)
         if nnz_base:
-            anchors_p[:nnz_base] = np.concatenate(anc_parts)
-            scores_p[:nnz_base] = np.concatenate(sc_parts).astype(
-                np.float32
-            ) / np.float32(100.0)
+            anchors_p[:nnz_base] = ns.anchors
+            scores_p[:nnz_base] = ns.scores.astype(np.float32) / np.float32(
+                100.0
+            )
         dev = DeviceField(
             chars_host=np.zeros((8, 1), dtype=np.uint16),
             lengths_host=np.zeros(8, dtype=np.int32),

@@ -148,25 +148,31 @@ def _filter_anchor_list(persistence, node) -> Optional[np.ndarray]:
 
 def _filter_mask_stack(persistence, entries):
     """Stack of DISTINCT cached filter masks for a group + per-spec slot map.
-    The stacked [NF, num_docs] array itself is cached keyed by the ordered
-    fkey tuple, so steady-state batches reuse it with zero device copies."""
+
+    The stack is CANONICAL: distinct fkeys sort before stacking, so the
+    same filter set arriving in any order reuses one cached device array;
+    the row count pads to a bucket (all-False rows) so NF is not a jit
+    recompile axis for the generic kernels."""
     import jax.numpy as jnp
 
-    fkey_slot: dict = {}
-    order = []
+    from ..ops.postings import bucket_size
+
+    node_of: dict = {}
     for _qi, req, spec in entries:
-        if spec["fkey"] not in fkey_slot:
-            fkey_slot[spec["fkey"]] = len(order)
-            order.append((spec["fkey"], req.filter))
+        node_of.setdefault(spec["fkey"], req.filter)
+    skey = tuple(sorted(node_of))
+    fkey_slot = {k: i for i, k in enumerate(skey)}
     memo = getattr(persistence, "_filter_stack_dev", None)
     if memo is None:
         memo = persistence._filter_stack_dev = {}
-    skey = tuple(k for k, _n in order)
     stack = memo.get(skey)
     if stack is None:
-        stack = jnp.stack(
-            [_filter_mask_device(persistence, node)[1] for _k, node in order]
-        )
+        masks = [_filter_mask_device(persistence, node_of[k])[1] for k in skey]
+        nf_pad = bucket_size(len(masks), 4)
+        num_docs = persistence.num_docs
+        while len(masks) < nf_pad:
+            masks.append(jnp.zeros(num_docs, dtype=bool))
+        stack = jnp.stack(masks)
         if len(memo) > 128:
             memo.clear()
         memo[skey] = stack
@@ -926,73 +932,94 @@ def _search_batch_mesh(requests, persistence, mc, start) -> List[SearchResult]:
         groups.setdefault(spec["sig"], []).append((qi, req, spec))
 
     num_docs = persistence.num_docs
+    pending = []  # (entries_chunk, facet_fields, device outputs)
     for sig, entries in groups.items():
         num_slots, is_and, boost_key, facet_fields, has_filter, has_phrase = sig
         ho = comb.host_offsets  # [D, num_keys + 2] per-shard offsets
-        max_terms, max_total, max_f, max_p, max_k = 1, 1, 1, 1, 1
-        for qi, req, spec in entries:
-            gtids = spec["gtids"]
-            max_terms = max(max_terms, len(gtids))
-            if gtids:
-                safe = np.array([g for g, _s, _sl in gtids], dtype=np.int64)
-                per_shard = (ho[:, safe + 1] - ho[:, safe]).sum(axis=1)
-                max_total = max(max_total, int(per_shard.max()))
-            if has_filter:
-                max_f = max(max_f, len(spec["fanchors"]))
-            if has_phrase:
-                max_p = max(max_p, len(spec["panchors"]))
-            top = req.top if req.top is not None else 10
-            max_k = max(max_k, top + (req.skip or 0))
-        t_pad = bucket_size(max_terms, 8)
-        capacity = bucket_size(max_total)
-        f_pad = bucket_size(max_f, 64) if has_filter else 0
-        p_pad = bucket_size(max_p, 64) if has_phrase else 0
-        k_eff = min(num_docs, max_k)
 
-        qc = len(entries)
-        q_pad = bucket_size(qc, 8)  # bound recompiles across batch sizes
-        tid_arr = np.full((q_pad, t_pad), -1, dtype=np.int32)
-        ts_arr = np.zeros((q_pad, t_pad), dtype=np.float32)
-        sl_arr = np.zeros((q_pad, t_pad), dtype=np.int32)
-        fa_arr = (
-            np.full((q_pad, f_pad), num_docs, dtype=np.int32)
-            if has_filter
-            else None
-        )
-        pa_arr = (
-            np.full((q_pad, p_pad), num_docs, dtype=np.int32)
-            if has_phrase
-            else None
-        )
-        for row, (_qi, _req, spec) in enumerate(entries):
-            for j, (g, sc, sl) in enumerate(spec["gtids"][:t_pad]):
-                tid_arr[row, j] = g
-                ts_arr[row, j] = sc
-                sl_arr[row, j] = sl
-            if has_filter:
-                fa = spec["fanchors"]
-                fa_arr[row, : len(fa)] = fa.astype(np.int32)
-            if has_phrase:
-                pa = spec["panchors"]
-                pa_arr[row, : len(pa)] = pa.astype(np.int32)
+        # per-chip plane budget bounds the vmapped query count per dispatch
+        plane_bytes = num_slots * (mc.dps + 1) * 4 + mc.dps * 8
+        chunk_q = max(1, int(_PLANE_BUDGET_BYTES // max(plane_bytes, 1)))
 
-        ids_b, scores_b, hits_b, fc_b = mc.generic_batch(
-            tid_arr, ts_arr, sl_arr, fa_arr, pa_arr,
-            boost_key, facet_fields,
-            num_slots=num_slots, is_and=is_and, k=k_eff, capacity=capacity,
-        )
-        for row, (qi, req, _spec) in enumerate(entries):
-            mask = scores_b[row] > 0
-            ids, scores = ids_b[row][mask], scores_b[row][mask]
-            top = req.top if req.top is not None else 10
-            skip = req.skip or 0
-            res = SearchResult()
-            res.num_hits = int(hits_b[row])
-            window = list(zip(ids, scores))[skip : skip + top]
-            res.data = [Hit(int(i), float(s)) for i, s in window]
-            if facet_fields:
-                res.facets = _facets_of(persistence, req, facet_fields, fc_b, row)
-            res.execution_time_ns = time.time_ns() - start
-            results[qi] = res
+        for cbase in range(0, len(entries), chunk_q):
+            chunk = entries[cbase : cbase + chunk_q]
+            max_terms, max_total, max_f, max_p, max_k = 1, 1, 1, 1, 1
+            for qi, req, spec in chunk:
+                gtids = spec["gtids"]
+                max_terms = max(max_terms, len(gtids))
+                if gtids:
+                    safe = np.array([g for g, _s, _sl in gtids], dtype=np.int64)
+                    per_shard = (ho[:, safe + 1] - ho[:, safe]).sum(axis=1)
+                    max_total = max(max_total, int(per_shard.max()))
+                if has_filter:
+                    max_f = max(max_f, len(spec["fanchors"]))
+                if has_phrase:
+                    max_p = max(max_p, len(spec["panchors"]))
+                top = req.top if req.top is not None else 10
+                max_k = max(max_k, top + (req.skip or 0))
+            t_pad = bucket_size(max_terms, 8)
+            capacity = bucket_size(max_total)
+            f_pad = bucket_size(max_f, 64) if has_filter else 0
+            p_pad = bucket_size(max_p, 64) if has_phrase else 0
+            k_eff = min(num_docs, max_k)
+
+            qc = len(chunk)
+            q_pad = bucket_size(qc, 8)  # bound recompiles across batch sizes
+            tid_arr = np.full((q_pad, t_pad), -1, dtype=np.int32)
+            ts_arr = np.zeros((q_pad, t_pad), dtype=np.float32)
+            sl_arr = np.zeros((q_pad, t_pad), dtype=np.int32)
+            fa_arr = (
+                np.full((q_pad, f_pad), num_docs, dtype=np.int32)
+                if has_filter
+                else None
+            )
+            pa_arr = (
+                np.full((q_pad, p_pad), num_docs, dtype=np.int32)
+                if has_phrase
+                else None
+            )
+            for row, (_qi, _req, spec) in enumerate(chunk):
+                for j, (g, sc, sl) in enumerate(spec["gtids"][:t_pad]):
+                    tid_arr[row, j] = g
+                    ts_arr[row, j] = sc
+                    sl_arr[row, j] = sl
+                if has_filter:
+                    fa = spec["fanchors"]
+                    fa_arr[row, : len(fa)] = fa.astype(np.int32)
+                if has_phrase:
+                    pa = spec["panchors"]
+                    pa_arr[row, : len(pa)] = pa.astype(np.int32)
+
+            out = mc.generic_batch(
+                tid_arr, ts_arr, sl_arr, fa_arr, pa_arr,
+                boost_key, facet_fields,
+                num_slots=num_slots, is_and=is_and, k=k_eff, capacity=capacity,
+            )
+            pending.append((chunk, facet_fields, out))
+
+    if pending:
+        import jax
+
+        fetched = jax.device_get([p[2] for p in pending])  # ONE sync
+        for (chunk, facet_fields, _), (ids_r, scores_r, hits_r, counts_r) in zip(
+            pending, fetched
+        ):
+            ids_b, scores_b, hits_b = ids_r[0], scores_r[0], hits_r[0]
+            fc_b = list(counts_r)
+            for row, (qi, req, _spec) in enumerate(chunk):
+                mask = scores_b[row] > 0
+                ids, scores = ids_b[row][mask], scores_b[row][mask]
+                top = req.top if req.top is not None else 10
+                skip = req.skip or 0
+                res = SearchResult()
+                res.num_hits = int(hits_b[row])
+                window = list(zip(ids, scores))[skip : skip + top]
+                res.data = [Hit(int(i), float(s)) for i, s in window]
+                if facet_fields:
+                    res.facets = _facets_of(
+                        persistence, req, facet_fields, fc_b, row
+                    )
+                res.execution_time_ns = time.time_ns() - start
+                results[qi] = res
 
     return results  # type: ignore[return-value]

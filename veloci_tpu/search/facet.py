@@ -96,7 +96,12 @@ def facet_matrix_host(persistence, field: str):
     key = (id(persistence), "\x02hostmat:" + path)
     cached = _DEVICE_PAIRS.get(key)
     if cached is not None:
-        return cached
+        return None if cached == "ineligible" else cached
+    def remember(value):
+        if len(_DEVICE_PAIRS) > 256:
+            _DEVICE_PAIRS.clear()
+        _DEVICE_PAIRS[key] = value
+
     sources, targets = _pairs_of(store)
     num_docs = persistence.num_docs
     keep = sources < num_docs
@@ -106,6 +111,9 @@ def facet_matrix_host(persistence, field: str):
         num_targets > FACET_MAX_TARGETS
         or num_docs * num_targets * 2 > FACET_MAX_BYTES
     ):
+        # cache the verdict: eligibility probes run per request and must
+        # not rebuild (and discard) the matrix each time
+        remember("ineligible")
         return None
     m = np.zeros((num_docs, num_targets), dtype=np.float32)
     np.add.at(m, (sources, targets), 1.0)
@@ -113,11 +121,12 @@ def facet_matrix_host(persistence, field: str):
         # bf16 integers are exact only to 2^8 — a doc with >256 pairs for
         # one facet value would silently miscount through the bf16 matmul;
         # such fields take the per-request exact path instead
+        remember("ineligible")
         return None
-    cached = (m, num_targets)
-    if len(_DEVICE_PAIRS) > 256:
-        _DEVICE_PAIRS.clear()
-    _DEVICE_PAIRS[key] = cached
+    # store as f16 (counts <= 2048 are exact; bf16 conversion of values
+    # <= 256 is exact) — half the resident bytes of the f32 build array
+    cached = (m.astype(np.float16), num_targets)
+    remember(cached)
     return cached
 
 
