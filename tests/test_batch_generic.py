@@ -268,3 +268,61 @@ def test_batch_generic_mixed_with_fast_paths(pers, monkeypatch):
         ref = search(Request.from_dict(d), pers)
         assert [h.id for h in br.data] == [h.id for h in ref.data]
         assert br.num_hits == ref.num_hits
+
+
+PLAIN_TREE_REQUESTS = [
+    # prefix leaf (starts_with): distance-based prefix scores per term
+    {
+        "search_req": {
+            "search": {"terms": ["majest"], "path": "meanings.ger[]", "starts_with": True}
+        }
+    },
+    # prefix + exact mixed OR across fields
+    {
+        "search_req": {
+            "or": {
+                "queries": [
+                    {"search": {"terms": ["majest"], "path": "meanings.ger[]", "starts_with": True}},
+                    {"search": {"terms": ["urge"], "path": "meanings.eng[]"}},
+                ]
+            }
+        }
+    },
+    # AND of exact leaves (plain tree, no extras)
+    {
+        "search_req": {
+            "and": {
+                "queries": [
+                    {"search": {"terms": ["majestät"], "path": "meanings.ger[]"}},
+                    {"search": {"terms": ["majestic"], "path": "meanings.eng[]"}},
+                ]
+            }
+        }
+    },
+    # prefix with extras -> generic kernel
+    {
+        "search_req": {
+            "search": {"terms": ["majest"], "path": "meanings.ger[]", "starts_with": True}
+        },
+        "boost": [{"path": "commonness", "boost_fun": "Log10", "param": 1}],
+        "facets": [{"field": "tags[]"}],
+    },
+]
+
+
+def test_batch_plain_trees_parity(pers, monkeypatch):
+    """Prefix / mixed / AND plain trees batch with host parity (leaf term
+    ids AND scores come from the memoized field search, so prefix distance
+    scoring is host-parity by construction)."""
+    monkeypatch.setattr(batch_mod, "SMALL_DOCS", 1)
+    monkeypatch.setattr(ex_mod, "SMALL_DOCS", 1)
+    reqs = [Request.from_dict(d) for d in PLAIN_TREE_REQUESTS]
+    batch_res = search_batch(reqs, pers)
+    for d, br in zip(PLAIN_TREE_REQUESTS, batch_res):
+        ref = search(Request.from_dict(d), pers)
+        got, want = _result_tuple(br), _result_tuple(ref)
+        assert got[0] == want[0], (d, got, want)
+        assert got[1] == want[1], (d, got, want)
+        for gs, ws in zip(got[2], want[2]):
+            assert gs == pytest.approx(ws, rel=1e-4), (d, got, want)
+        assert got[3] == want[3], (d, got, want)

@@ -1,12 +1,14 @@
 """True batched serving: many requests -> one device dispatch.
 
-`search_batch` partitions a request batch into (a) fast-path-eligible exact
-requests — single- or multi-field, single- or multi-term ORs — executed as
-vmapped XLA programs over the COMBINED global-key postings
-(`batched_union_search_topk`, grouped by distinct-term-count bucket), and
-(b) everything else, executed individually. This is the API behind the
-server's ``/search_batch`` route — the TPU-native replacement for the
-reference's per-request thread pool.
+`search_batch` partitions a request batch into (a) single-term exact
+queries (the scatter-free slice kernel), (b) plain flat trees — OR/AND of
+distance-0 leaves incl. prefix/starts_with — through the batched generic
+runner over the COMBINED global-key postings, (c) fuzzy leaves through the
+fused sweep kernels, (d) filter/boost/facet/phrase-carrying requests
+through the batched generic kernels, and (e) everything else per request.
+With a mesh attached the groups dispatch as sharded `shard_map` programs
+instead. This is the API behind the server's ``/search_batch`` route — the
+TPU-native replacement for the reference's per-request thread pool.
 """
 
 from __future__ import annotations
@@ -27,24 +29,32 @@ _MAX_FILTER_ANCHORS = 8192  # larger filter hit lists -> per-request path
 _PLANE_BUDGET_BYTES = 256 * 1024 * 1024  # per-chunk [Qc, slots, num_docs] f32
 
 
+_MAX_LEAF_TERMS = 64  # prefix leaves expanding past this -> per-request path
+
+
 def _leaf_ok(part) -> bool:
-    """Exact-term leaf constraints shared by the fast paths."""
+    """Distance-0 leaf constraints for the batched tree paths (prefix /
+    starts_with, case handling, token_value and per-term top-n pruning all
+    resolve through the memoized host field search — only fuzzy, regex and
+    per-leaf option trees stay per-request)."""
     return not (
         (part.levenshtein_distance or 0) != 0
         or len(part.terms) != 1
-        or part.starts_with
         or part.is_regex
-        or part.token_value is not None
         or part.snippet
-        or part.top is not None
-        or part.skip is not None
         or (part.options or None)
-        or part.ignore_case is False
     )
 
 
 def _leaf_gtids(persistence, comb, part, slot):
-    """One leaf -> [(global_tid, f32 score, slot)] or None."""
+    """One leaf -> [(global_tid, f32 score, slot)] or None.
+
+    Term ids AND scores come from the memoized field search (the same
+    results the host executor resolves from), so prefix distance scoring,
+    `boost`, `ignore_case`, token_value boosts and `top` pruning are
+    host-parity by construction."""
+    from .field_search import get_term_ids_in_field
+
     f = part.path
     if f.endswith(TEXTINDEX):
         f = f[: -len(TEXTINDEX)]
@@ -52,12 +62,23 @@ def _leaf_gtids(persistence, comb, part, slot):
     if kb is None:
         return None
     base, nk = kb
-    boost = part.boost if part.boost is not None else 1.0
-    score = float(np.float32(np.float32(10.0) * np.float32(boost)))
+
+    memo = getattr(persistence, "_field_search_cache", None)
+    if memo is None:
+        memo = persistence._field_search_cache = {}
+    mkey = (part.key(), True, False, False, False)
+    fsr = memo.get(mkey)
+    if fsr is None:
+        fsr = get_term_ids_in_field(persistence, part, get_scores=True)
+        if len(memo) > 4096:
+            memo.clear()
+        memo[mkey] = fsr
+    if len(fsr.term_ids) > _MAX_LEAF_TERMS:
+        return None
     out = []
-    for tid in persistence.get_dictionary(f).get_ignore_case(part.terms[0]):
-        if tid < nk:
-            out.append((base + tid, score, slot))
+    for tid, score in zip(fsr.term_ids, fsr.term_scores):
+        if int(tid) < nk:
+            out.append((base + int(tid), float(score), slot))
     return out
 
 
@@ -345,8 +366,9 @@ def _phrase_anchor_list(persistence, phrase_boosts) -> Optional[np.ndarray]:
     return np.concatenate(parts)
 
 
-def _eligible(request: Request, persistence) -> Optional[list]:
-    """Exact fast-path eligibility -> leaf parts, or None."""
+def _plain_eligible(request: Request, persistence, comb):
+    """Plain-tree eligibility (no extras): flat SEARCH/OR/AND of distance-0
+    leaves -> (gtids, num_slots, is_and), or None."""
     if persistence.num_docs < SMALL_DOCS:
         return None
     if any(
@@ -363,38 +385,7 @@ def _eligible(request: Request, persistence) -> Optional[list]:
         )
     ):
         return None
-    node = request.search_req
-    if node is None:
-        return None
-    if node.kind == SearchRequest.SEARCH:
-        leaves = [node.part]
-    elif node.kind == SearchRequest.OR and all(
-        q.kind == SearchRequest.SEARCH for q in node.queries
-    ):
-        leaves = [q.part for q in node.queries]
-    else:
-        return None
-    for part in leaves:
-        if (
-            (part.levenshtein_distance or 0) != 0
-            or part.starts_with
-            or part.is_regex
-            or part.token_value is not None
-            or part.snippet
-            or part.top is not None
-            or part.skip is not None
-            or (part.options or None)
-            or part.ignore_case is False
-        ):
-            return None
-    return leaves
-
-
-def _slot_bucket(ns: int) -> int:
-    b = 1
-    while b < ns:
-        b *= 2
-    return b
+    return _tree_spec(persistence, comb, request.search_req)
 
 
 def search_batch(requests: List[Request], persistence) -> List[SearchResult]:
@@ -405,10 +396,7 @@ def search_batch(requests: List[Request], persistence) -> List[SearchResult]:
     import jax.numpy as jnp
 
     from ..ops.postings import bucket_size
-    from ..ops.search_step import (
-        batched_single_term_topk,
-        batched_union_search_topk,
-    )
+    from ..ops.search_step import batched_single_term_topk
 
     start = time.time_ns()
     results: List[Optional[SearchResult]] = [None] * len(requests)
@@ -419,49 +407,34 @@ def search_batch(requests: List[Request], persistence) -> List[SearchResult]:
 
     comb = persistence.device_combined() if persistence.num_docs >= SMALL_DOCS else None
 
-    # group eligible requests by distinct-term-count bucket (static num_slots)
-    groups: dict = {}
+    # plain trees -> singles (scatter-free) / generic runner; fuzzy leaves
+    # and extras-carrying requests -> their fused kernels
+    singles: list = []  # (qi, req, gtids) with exactly one term id
+    plain_groups: dict = {}  # (num_slots, is_and) -> [(qi, req, spec)]
     fuzzy_groups: dict = {}  # field -> [(qi, req, term, distance)]
     generic_groups: dict = {}  # sig -> [(qi, req, spec)]
     for qi, req in enumerate(requests):
-        leaves = _eligible(req, persistence) if comb is not None else None
-        if leaves is None:
-            fz = _fuzzy_fast_eligible(req, persistence)
-            if fz is not None:
-                field, term, distance = fz
-                fuzzy_groups.setdefault(field, []).append((qi, req, term, distance))
-                continue
-            gen = _generic_eligible(req, persistence, comb)
-            if gen is not None:
-                generic_groups.setdefault(gen["sig"], []).append((qi, req, gen))
+        tree = _plain_eligible(req, persistence, comb) if comb is not None else None
+        if tree is not None:
+            gtids, num_slots, is_and = tree
+            if len(gtids) == 1 and num_slots == 1:
+                singles.append((qi, req, gtids))
             else:
-                results[qi] = search(req, persistence)
+                spec = {"gtids": gtids, "fkey": None, "panchors": None}
+                plain_groups.setdefault((num_slots, is_and), []).append(
+                    (qi, req, spec)
+                )
             continue
-        term_strings = sorted({p.terms[0] for p in leaves})
-        slots = {t: i for i, t in enumerate(term_strings)}
-        ns = len(term_strings)
-        gtids: List[Tuple[int, float, int]] = []  # (global_tid, score, slot)
-        ok = ns <= _MAX_SLOTS
-        for part in leaves:
-            if not ok:
-                break
-            f = part.path
-            if f.endswith(TEXTINDEX):
-                f = f[: -len(TEXTINDEX)]
-            kb = comb.key_base.get(f)
-            if kb is None:
-                ok = False
-                break
-            base, nk = kb
-            boost = part.boost if part.boost is not None else 1.0
-            score = float(np.float32(np.float32(10.0) * np.float32(boost)))
-            for tid in persistence.get_dictionary(f).get_ignore_case(part.terms[0]):
-                if tid < nk:
-                    gtids.append((base + tid, score, slots[part.terms[0]]))
-        if not ok:
+        fz = _fuzzy_fast_eligible(req, persistence)
+        if fz is not None:
+            field, term, distance = fz
+            fuzzy_groups.setdefault(field, []).append((qi, req, term, distance))
+            continue
+        gen = _generic_eligible(req, persistence, comb)
+        if gen is not None:
+            generic_groups.setdefault(gen["sig"], []).append((qi, req, gen))
+        else:
             results[qi] = search(req, persistence)
-            continue
-        groups.setdefault(_slot_bucket(ns), []).append((qi, req, gtids))
 
     num_docs = persistence.num_docs
     ho = comb.host_offsets if comb is not None else None
@@ -481,54 +454,42 @@ def search_batch(requests: List[Request], persistence) -> List[SearchResult]:
         res.execution_time_ns = time.time_ns() - start
         results[qi] = res
 
-    for num_slots, entries in groups.items():
-        singles = [e for e in entries if len(e[2]) == 1]
-        multis = [e for e in entries if len(e[2]) != 1]
-        if num_slots > 1:
-            multis, singles = entries, []
+    if singles:
+        # dominant shape: ONE term id per query -> scatter-free kernel
+        max_count = 1
+        max_k = 1
+        for qi, req, gtids in singles:
+            g = gtids[0][0]
+            max_count = max(max_count, int(ho[g + 1] - ho[g]))
+            top = req.top if req.top is not None else 10
+            max_k = max(max_k, top + (req.skip or 0))
+        capacity = bucket_size(max_count)
+        k_eff = min(num_docs, max_k, capacity)
+        tid_arr = np.array([g[2][0][0] for g in singles], dtype=np.int32)
+        ts_arr = np.array([g[2][0][1] for g in singles], dtype=np.float32)
+        ids_b, scores_b, hits_b = batched_single_term_topk(
+            comb.offsets,
+            comb.anchors,
+            comb.scores01,
+            jnp.asarray(tid_arr),
+            jnp.asarray(ts_arr),
+            capacity=capacity,
+            k=k_eff,
+        )
+        ids_b, scores_b, hits_b = (
+            np.asarray(ids_b), np.asarray(scores_b), np.asarray(hits_b)
+        )
+        for row, (qi, req, _g) in enumerate(singles):
+            _emit(qi, req, ids_b[row], scores_b[row], hits_b[row])
 
-        if singles:
-            # dominant shape: ONE term id per query -> scatter-free kernel
-            max_count = 1
-            max_k = 1
-            for qi, req, gtids in singles:
-                g = gtids[0][0]
-                max_count = max(max_count, int(ho[g + 1] - ho[g]))
-                top = req.top if req.top is not None else 10
-                max_k = max(max_k, top + (req.skip or 0))
-            capacity = bucket_size(max_count)
-            k_eff = min(num_docs, max_k, capacity)
-            tid_arr = np.array([g[2][0][0] for g in singles], dtype=np.int32)
-            ts_arr = np.array([g[2][0][1] for g in singles], dtype=np.float32)
-            ids_b, scores_b, hits_b = batched_single_term_topk(
-                comb.offsets,
-                comb.anchors,
-                comb.scores01,
-                jnp.asarray(tid_arr),
-                jnp.asarray(ts_arr),
-                capacity=capacity,
-                k=k_eff,
-            )
-            ids_b, scores_b, hits_b = (
-                np.asarray(ids_b), np.asarray(scores_b), np.asarray(hits_b)
-            )
-            for row, (qi, req, _g) in enumerate(singles):
-                _emit(qi, req, ids_b[row], scores_b[row], hits_b[row])
-
-        if multis:
-            # multi-term ORs share the plane kernel; route through the
-            # generic runner for its capacity sub-bucketing + single sync
-            entries2 = [
-                (qi, req, {"gtids": gtids, "fkey": None, "panchors": None})
-                for qi, req, gtids in multis
-            ]
-            _run_generic_group(
-                persistence,
-                comb,
-                (num_slots, False, (), (), False, False),
-                entries2,
-                _emit,
-            )
+    for (num_slots, is_and), entries in plain_groups.items():
+        _run_generic_group(
+            persistence,
+            comb,
+            (num_slots, is_and, (), (), False, False),
+            entries,
+            _emit,
+        )
 
     # generic batches (filter/boost/facet/phrase requests): one fused
     # program each — exact trees and fuzzy leaves take separate kernels
