@@ -1,0 +1,293 @@
+// Honest single-core CPU baseline: the reference engine's query hot path,
+// re-implemented faithfully in C++ over the SAME index arrays the TPU
+// serving path uses.
+//
+// This is the stand-in for running the Rust reference itself (no cargo in
+// this image; jmdict is an LFS stub): per query it executes exactly the
+// algorithm of reference src/search/search_field.rs:400-504
+// (`resolve_token_to_anchor`: AnchorScoreIter posting scan, score =
+// term_score * (u16_score / 100), sort_unstable by anchor id, dedup keeping
+// the max) followed by src/search/sort.rs:5-34 (`top_n_sort`: threshold-
+// pruned partial sort with a top_n + 200 buffer, final order score desc /
+// id desc — `sort_by_score_and_id`, src/search.rs:122-130).
+//
+// It is deliberately ADVANTAGED versus the real reference: the posting
+// arrays here are raw (no vint+delta decode, which the reference pays per
+// element — token_to_anchor_score_vint.rs:127+), and the dictionary lookup
+// is done once outside the timed loop. A >=10x TPU speedup against this
+// number therefore understates the true gap.
+//
+// Built into libveloci_native.so next to the indexer (see
+// veloci_tpu/native.py); exercised by bench.py as `vs_baseline_native_cpu`
+// and parity-tested against the engine in tests/test_native.py.
+
+#include <algorithm>
+#include <cstdint>
+#include <cstring>
+#include <vector>
+
+namespace {
+
+struct Hit {
+    uint32_t id;
+    float score;
+};
+
+// sort_by_score_and_id (reference src/search.rs:122-130): score desc, then
+// id desc.
+inline bool score_id_less(const Hit& a, const Hit& b) {
+    if (a.score != b.score) return a.score > b.score;
+    return a.id > b.id;
+}
+
+// reference top_n_sort (src/search/sort.rs:5-34): threshold-pruned partial
+// sort over a top_n + 200 buffer.
+inline void top_n_sort(std::vector<Hit>& data, uint32_t top_n,
+                       std::vector<Hit>& out) {
+    float worst_score = -3.4e38f;
+    out.clear();
+    out.reserve(top_n * 5 + 1);
+    const size_t buf = static_cast<size_t>(top_n) + 200;
+    for (const Hit& el : data) {
+        if (el.score < worst_score) continue;
+        if (!out.empty() && out.size() == buf) {
+            std::sort(out.begin(), out.end(), score_id_less);
+            out.resize(top_n);
+            worst_score = out.back().score;
+        }
+        out.push_back(el);
+    }
+    std::sort(out.begin(), out.end(), score_id_less);
+    if (out.size() > top_n) out.resize(top_n);
+}
+
+}  // namespace
+
+extern "C" {
+
+// One batch of exact-term queries, single thread. Per query `t_per_q` term
+// ids (pad -1) resolve against the CSR anchor-score index; union semantics
+// for multi-term queries follow union_hits_score (set_op.rs:87-220): max
+// per (distinct term slot, anchor), score = sum over slots * distinct^2.
+// For the dominant single-term shape this degenerates to the plain
+// resolve + sort + dedup + top_n_sort pipeline.
+void vbl_exact_topk(const int64_t* offsets,      // [num_keys + 1]
+                    const uint32_t* anchors,     // [nnz]
+                    const uint16_t* scores,      // [nnz] (index score * 100)
+                    const int32_t* term_ids,     // [nq * t_per_q], -1 pad
+                    const float* term_scores,    // [nq * t_per_q]
+                    const int32_t* term_slots,   // [nq * t_per_q]
+                    int32_t nq, int32_t t_per_q, int32_t num_keys,
+                    int32_t top_n,
+                    uint32_t* out_ids,    // [nq * top_n]
+                    float* out_scores,    // [nq * top_n]
+                    int32_t* out_hits) {  // [nq]
+    std::vector<Hit> hits;
+    std::vector<Hit> merged;
+    std::vector<Hit> topk;
+    // per-slot hit lists for the (rare) multi-term case
+    std::vector<std::vector<Hit>> per_slot;
+    for (int32_t q = 0; q < nq; ++q) {
+        int32_t distinct_slots = 0;
+        for (int32_t t = 0; t < t_per_q; ++t) {
+            int32_t slot = term_slots[q * t_per_q + t];
+            if (term_ids[q * t_per_q + t] >= 0 && slot + 1 > distinct_slots)
+                distinct_slots = slot + 1;
+        }
+        if (static_cast<size_t>(distinct_slots) > per_slot.size())
+            per_slot.resize(distinct_slots);
+        for (auto& v : per_slot) v.clear();
+
+        // resolve_token_to_anchor per slot (search_field.rs:419-465)
+        for (int32_t t = 0; t < t_per_q; ++t) {
+            int32_t tid = term_ids[q * t_per_q + t];
+            if (tid < 0 || tid >= num_keys) continue;
+            float ts = term_scores[q * t_per_q + t];
+            std::vector<Hit>& slot_hits = per_slot[term_slots[q * t_per_q + t]];
+            int64_t s = offsets[tid], e = offsets[tid + 1];
+            slot_hits.reserve(slot_hits.size() + static_cast<size_t>(e - s));
+            for (int64_t i = s; i < e; ++i) {
+                // final_score = hit.score * (el.score / 100)
+                // (search_field.rs:426; u16 scores, the f16 contract)
+                slot_hits.push_back(
+                    Hit{anchors[i], ts * (static_cast<float>(scores[i]) / 100.0f)});
+            }
+        }
+        for (int32_t sl = 0; sl < distinct_slots; ++sl) {
+            std::vector<Hit>& v = per_slot[sl];
+            std::sort(v.begin(), v.end(),
+                      [](const Hit& a, const Hit& b) { return a.id < b.id; });
+            // dedup keep max (search_field.rs:451-465)
+            size_t w = 0;
+            for (size_t i = 0; i < v.size(); ++i) {
+                if (w > 0 && v[w - 1].id == v[i].id) {
+                    if (v[i].score > v[w - 1].score) v[w - 1].score = v[i].score;
+                } else {
+                    v[w++] = v[i];
+                }
+            }
+            v.resize(w);
+        }
+
+        const std::vector<Hit>* final_hits;
+        if (distinct_slots <= 1) {
+            final_hits = distinct_slots ? &per_slot[0] : &hits;
+            if (!distinct_slots) hits.clear();
+        } else {
+            // union_hits_score (set_op.rs:87-220): k-merge by id, max per
+            // slot, sum * distinct^2
+            merged.clear();
+            std::vector<size_t> pos(distinct_slots, 0);
+            for (;;) {
+                uint32_t min_id = 0xffffffffu;
+                for (int32_t sl = 0; sl < distinct_slots; ++sl)
+                    if (pos[sl] < per_slot[sl].size())
+                        min_id = std::min(min_id, per_slot[sl][pos[sl]].id);
+                if (min_id == 0xffffffffu) break;
+                float sum = 0.0f;
+                int32_t d = 0;
+                for (int32_t sl = 0; sl < distinct_slots; ++sl) {
+                    if (pos[sl] < per_slot[sl].size() &&
+                        per_slot[sl][pos[sl]].id == min_id) {
+                        float mx = per_slot[sl][pos[sl]].score;
+                        sum += mx;
+                        if (mx >= 1e-5f) ++d;
+                        ++pos[sl];
+                    }
+                }
+                merged.push_back(
+                    Hit{min_id, sum * static_cast<float>(d) * static_cast<float>(d)});
+            }
+            final_hits = &merged;
+        }
+
+        top_n_sort(const_cast<std::vector<Hit>&>(*final_hits),
+                   static_cast<uint32_t>(top_n), topk);
+        out_hits[q] = static_cast<int32_t>(final_hits->size());
+        for (int32_t i = 0; i < top_n; ++i) {
+            if (static_cast<size_t>(i) < topk.size()) {
+                out_ids[q * top_n + i] = topk[i].id;
+                out_scores[q * top_n + i] = topk[i].score;
+            } else {
+                out_ids[q * top_n + i] = 0;
+                out_scores[q * top_n + i] = 0.0f;
+            }
+        }
+    }
+}
+
+}  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Storage-faithful variant: the reference does NOT scan raw arrays — its
+// anchor-score index is delta + varint compressed and decoded per query
+// (TokenToAnchorScoreVintFlushing / AnchorScoreIter,
+// src/indices/persistence_score/token_to_anchor_score_vint.rs:26-160). The
+// vint variant below reproduces that storage contract (per-term blob:
+// varint(count), then per posting varint(anchor_delta), varint(score)), so
+// its throughput includes the decode cost the reference pays on every
+// element.
+
+namespace {
+
+inline void write_varint(std::vector<uint8_t>& out, uint32_t v) {
+    while (v >= 0x80) {
+        out.push_back(static_cast<uint8_t>(v) | 0x80);
+        v >>= 7;
+    }
+    out.push_back(static_cast<uint8_t>(v));
+}
+
+inline uint32_t read_varint(const uint8_t*& p) {
+    uint32_t v = 0;
+    int shift = 0;
+    for (;;) {
+        uint8_t b = *p++;
+        v |= static_cast<uint32_t>(b & 0x7f) << shift;
+        if (!(b & 0x80)) return v;
+        shift += 7;
+    }
+}
+
+}  // namespace
+
+extern "C" {
+
+// Encode the CSR arrays into the reference's storage shape. Returns the
+// blob size; call once with blob=nullptr to size, then again to fill.
+// blob_offsets has num_keys + 1 entries.
+int64_t vbl_encode_vint(const int64_t* offsets, const uint32_t* anchors,
+                        const uint16_t* scores, int32_t num_keys,
+                        uint8_t* blob, int64_t* blob_offsets) {
+    std::vector<uint8_t> buf;
+    int64_t pos = 0;
+    for (int32_t t = 0; t < num_keys; ++t) {
+        buf.clear();
+        int64_t s = offsets[t], e = offsets[t + 1];
+        write_varint(buf, static_cast<uint32_t>(e - s));
+        uint32_t prev = 0;
+        for (int64_t i = s; i < e; ++i) {
+            write_varint(buf, anchors[i] - prev);  // delta (ids ascend)
+            write_varint(buf, scores[i]);
+            prev = anchors[i];
+        }
+        if (blob_offsets) blob_offsets[t] = pos;
+        if (blob) std::memcpy(blob + pos, buf.data(), buf.size());
+        pos += static_cast<int64_t>(buf.size());
+    }
+    if (blob_offsets) blob_offsets[num_keys] = pos;
+    return pos;
+}
+
+// Same query loop as vbl_exact_topk but over the vint-compressed blobs —
+// the decode-per-element cost profile of the actual reference engine.
+void vbl_exact_topk_vint(const uint8_t* blob, const int64_t* blob_offsets,
+                         const int32_t* term_ids, const float* term_scores,
+                         int32_t nq, int32_t t_per_q, int32_t num_keys,
+                         int32_t top_n, uint32_t* out_ids, float* out_scores,
+                         int32_t* out_hits) {
+    std::vector<Hit> hits;
+    std::vector<Hit> topk;
+    for (int32_t q = 0; q < nq; ++q) {
+        hits.clear();
+        for (int32_t t = 0; t < t_per_q; ++t) {
+            int32_t tid = term_ids[q * t_per_q + t];
+            if (tid < 0 || tid >= num_keys) continue;
+            float ts = term_scores[q * t_per_q + t];
+            const uint8_t* p = blob + blob_offsets[tid];
+            uint32_t count = read_varint(p);
+            hits.reserve(hits.size() + count);
+            uint32_t id = 0;
+            for (uint32_t i = 0; i < count; ++i) {
+                id += read_varint(p);
+                uint32_t sc = read_varint(p);
+                hits.push_back(Hit{id, ts * (static_cast<float>(sc) / 100.0f)});
+            }
+        }
+        std::sort(hits.begin(), hits.end(),
+                  [](const Hit& a, const Hit& b) { return a.id < b.id; });
+        size_t w = 0;
+        for (size_t i = 0; i < hits.size(); ++i) {
+            if (w > 0 && hits[w - 1].id == hits[i].id) {
+                if (hits[i].score > hits[w - 1].score)
+                    hits[w - 1].score = hits[i].score;
+            } else {
+                hits[w++] = hits[i];
+            }
+        }
+        hits.resize(w);
+        top_n_sort(hits, static_cast<uint32_t>(top_n), topk);
+        out_hits[q] = static_cast<int32_t>(hits.size());
+        for (int32_t i = 0; i < top_n; ++i) {
+            if (static_cast<size_t>(i) < topk.size()) {
+                out_ids[q * top_n + i] = topk[i].id;
+                out_scores[q * top_n + i] = topk[i].score;
+            } else {
+                out_ids[q * top_n + i] = 0;
+                out_scores[q * top_n + i] = 0.0f;
+            }
+        }
+    }
+}
+
+}  // extern "C"

@@ -1,0 +1,340 @@
+"""Canonical query-language shapes through the batched tree kernel.
+
+The reference's primary user surface — ``GET /<db>/search?query=…`` — runs
+free text through the query generator, which auto-assigns
+levenshtein_distance 0/1/2 by term length and expands every term across all
+searchable fields (reference src/query_generator.rs:85-99,
+query_parser_to_veloci_request.rs:82-110). The resulting shapes are a flat
+OR with FUZZY leaves (``"mein buch"``) and an AND of per-term ORs
+(``"mein AND buch"``). Round 2 executed both per request; round 3 batches
+them through the sorted tree kernel (`ops/tree_step.batched_tree_topk`)
+with the fuzzy term sweeps bulk-primed by `prefetch_fuzzy_matches`.
+
+Parity reference: the HOST executor (SMALL_DOCS forced high so `search`
+takes the numpy tree path, not the same device kernels under test).
+"""
+
+import importlib
+
+import pytest
+
+from corpus import TEST_CONFIG, data_ndjson
+from veloci_tpu import Persistence, Request, search
+from veloci_tpu.query.generator import (
+    SearchQueryGeneratorParameters as P,
+    search_query,
+)
+
+batch_mod = importlib.import_module("veloci_tpu.search.batch")
+ex_mod = importlib.import_module("veloci_tpu.search.executor")
+
+
+@pytest.fixture(scope="module")
+def pers():
+    return Persistence.create_from_str(data_ndjson(), TEST_CONFIG)
+
+
+def _host_search(monkeypatch, pers, req):
+    """Per-request HOST executor (numpy tree) as the parity reference."""
+    monkeypatch.setattr(batch_mod, "SMALL_DOCS", 1 << 60)
+    monkeypatch.setattr(ex_mod, "SMALL_DOCS", 1 << 60)
+    try:
+        return search(req, pers)
+    finally:
+        monkeypatch.setattr(batch_mod, "SMALL_DOCS", 1)
+        monkeypatch.setattr(ex_mod, "SMALL_DOCS", 1)
+
+
+def _tuple(res):
+    return (
+        res.num_hits,
+        [h.id for h in res.data],
+        [round(float(h.score), 4) for h in res.data],
+        {k: list(v) for k, v in (res.facets or {}).items()} or None,
+    )
+
+
+def _assert_parity(monkeypatch, pers, dicts_or_reqs, check_route=None):
+    reqs = [
+        Request.from_dict(d) if isinstance(d, dict) else d
+        for d in dicts_or_reqs
+    ]
+    monkeypatch.setattr(batch_mod, "SMALL_DOCS", 1)
+    monkeypatch.setattr(ex_mod, "SMALL_DOCS", 1)
+    if check_route is not None:
+        comb = pers.device_combined()
+        batch_mod._prefetch_request_fuzzy(pers, reqs)
+        for r in reqs:
+            if check_route == "plain":
+                assert batch_mod._plain_eligible(r, pers, comb) is not None, (
+                    r.to_dict() if hasattr(r, "to_dict") else r
+                )
+            elif check_route == "generic":
+                assert (
+                    batch_mod._generic_eligible(r, pers, comb) is not None
+                )
+    got_batch = batch_mod.search_batch(
+        [
+            Request.from_dict(d) if isinstance(d, dict) else d
+            for d in dicts_or_reqs
+        ],
+        pers,
+    )
+    for d, br in zip(dicts_or_reqs, got_batch):
+        req2 = Request.from_dict(d) if isinstance(d, dict) else d
+        ref = _host_search(monkeypatch, pers, req2)
+        got, want = _tuple(br), _tuple(ref)
+        assert got[0] == want[0], (d, got, want)
+        assert got[1] == want[1], (d, got, want)
+        for gs, ws in zip(got[2], want[2]):
+            assert gs == pytest.approx(ws, rel=1e-4), (d, got, want)
+        assert got[3] == want[3], (d, got, want)
+
+
+FUZZY_TREE_REQUESTS = [
+    # flat OR with fuzzy leaves across fields (the "mein buch" shape)
+    {
+        "search_req": {
+            "or": {
+                "queries": [
+                    {
+                        "search": {
+                            "terms": ["majestat"],
+                            "path": "meanings.ger[]",
+                            "levenshtein_distance": 1,
+                        }
+                    },
+                    {
+                        "search": {
+                            "terms": ["majestat"],
+                            "path": "meanings.eng[]",
+                            "levenshtein_distance": 1,
+                        }
+                    },
+                    {
+                        "search": {
+                            "terms": ["anblick"],
+                            "path": "meanings.ger[]",
+                            "levenshtein_distance": 1,
+                        }
+                    },
+                ]
+            }
+        }
+    },
+    # fuzzy + exact mixed OR
+    {
+        "search_req": {
+            "or": {
+                "queries": [
+                    {
+                        "search": {
+                            "terms": ["majestat"],
+                            "path": "meanings.ger[]",
+                            "levenshtein_distance": 2,
+                        }
+                    },
+                    {"search": {"terms": ["urge"], "path": "meanings.eng[]"}},
+                ]
+            }
+        }
+    },
+    # AND of fuzzy leaves
+    {
+        "search_req": {
+            "and": {
+                "queries": [
+                    {
+                        "search": {
+                            "terms": ["majestat"],
+                            "path": "meanings.ger[]",
+                            "levenshtein_distance": 1,
+                        }
+                    },
+                    {
+                        "search": {
+                            "terms": ["majestik"],
+                            "path": "meanings.eng[]",
+                            "levenshtein_distance": 2,
+                        }
+                    },
+                ]
+            }
+        }
+    },
+]
+
+AND_OF_ORS_REQUESTS = [
+    # the "mein AND buch" shape: AND of per-term field-expanded ORs
+    {
+        "search_req": {
+            "and": {
+                "queries": [
+                    {
+                        "or": {
+                            "queries": [
+                                {
+                                    "search": {
+                                        "terms": ["majestat"],
+                                        "path": "meanings.ger[]",
+                                        "levenshtein_distance": 1,
+                                    }
+                                },
+                                {
+                                    "search": {
+                                        "terms": ["majestat"],
+                                        "path": "meanings.eng[]",
+                                        "levenshtein_distance": 1,
+                                    }
+                                },
+                            ]
+                        }
+                    },
+                    {
+                        "or": {
+                            "queries": [
+                                {
+                                    "search": {
+                                        "terms": ["anblick"],
+                                        "path": "meanings.ger[]",
+                                        "levenshtein_distance": 1,
+                                    }
+                                },
+                                {
+                                    "search": {
+                                        "terms": ["anblick"],
+                                        "path": "meanings.eng[]",
+                                        "levenshtein_distance": 1,
+                                    }
+                                },
+                            ]
+                        }
+                    },
+                ]
+            }
+        }
+    },
+    # mixed: AND of (leaf, OR-group), exact + fuzzy
+    {
+        "search_req": {
+            "and": {
+                "queries": [
+                    {"search": {"terms": ["majestät"], "path": "meanings.ger[]"}},
+                    {
+                        "or": {
+                            "queries": [
+                                {
+                                    "search": {
+                                        "terms": ["majestik"],
+                                        "path": "meanings.eng[]",
+                                        "levenshtein_distance": 2,
+                                    }
+                                },
+                                {"search": {"terms": ["urge"], "path": "meanings.eng[]"}},
+                            ]
+                        }
+                    },
+                ]
+            }
+        }
+    },
+]
+
+TREE_WITH_EXTRAS = [
+    # AND-of-ORs + boost column
+    {
+        **AND_OF_ORS_REQUESTS[0],
+        "boost": [{"path": "commonness", "boost_fun": "Log10", "param": 1}],
+    },
+    # fuzzy flat OR + filter + facets
+    {
+        **FUZZY_TREE_REQUESTS[0],
+        "filter": {"search": {"terms": ["1587680"], "path": "ent_seq"}},
+        "facets": [{"field": "tags[]"}],
+    },
+    # fuzzy OR + phrase boost
+    {
+        **FUZZY_TREE_REQUESTS[0],
+        "phrase_boosts": [
+            {
+                "search1": {"terms": ["majestätischer"], "path": "meanings.ger[]"},
+                "search2": {"terms": ["anblick"], "path": "meanings.ger[]"},
+            }
+        ],
+    },
+]
+
+
+def test_fuzzy_trees_take_plain_batch_path(pers, monkeypatch):
+    _assert_parity(monkeypatch, pers, FUZZY_TREE_REQUESTS, check_route="plain")
+
+
+def test_and_of_ors_take_plain_batch_path(pers, monkeypatch):
+    _assert_parity(monkeypatch, pers, AND_OF_ORS_REQUESTS, check_route="plain")
+
+
+def test_tree_with_extras_take_generic_batch_path(pers, monkeypatch):
+    _assert_parity(monkeypatch, pers, TREE_WITH_EXTRAS, check_route="generic")
+
+
+def test_generator_queries_batch(pers, monkeypatch):
+    """End-to-end: free text through the generator (auto-levenshtein, field
+    expansion) -> search_batch, against the host executor."""
+    queries = [
+        "majestat",  # len 8 -> distance 2 leaves on every field
+        "majestat anblick",  # flat OR, two fuzzy terms
+        "majestat AND anblick",  # AND of per-term ORs
+        "urge",  # len 4 -> distance 1
+        "will AND testo",
+    ]
+    reqs = [search_query(pers, P(search_term=q)) for q in queries]
+    monkeypatch.setattr(batch_mod, "SMALL_DOCS", 1)
+    monkeypatch.setattr(ex_mod, "SMALL_DOCS", 1)
+    comb = pers.device_combined()
+    batch_mod._prefetch_request_fuzzy(pers, reqs)
+    for q, r in zip(queries, reqs):
+        assert batch_mod._plain_eligible(r, pers, comb) is not None, q
+    _assert_parity(
+        monkeypatch, pers, [search_query(pers, P(search_term=q)) for q in queries]
+    )
+
+
+def test_single_fused_matches_host(pers, monkeypatch):
+    """search() routes generator shapes through ONE fused program
+    (search_single_fused) with host parity."""
+    monkeypatch.setattr(batch_mod, "SMALL_DOCS", 1)
+    monkeypatch.setattr(ex_mod, "SMALL_DOCS", 1)
+    for d in FUZZY_TREE_REQUESTS + AND_OF_ORS_REQUESTS + TREE_WITH_EXTRAS:
+        req = Request.from_dict(d)
+        fused = batch_mod.search_single_fused(req, pers)
+        assert fused is not None, d
+        ref = _host_search(monkeypatch, pers, Request.from_dict(d))
+        got, want = _tuple(fused), _tuple(ref)
+        assert got[0] == want[0], (d, got, want)
+        assert got[1] == want[1], (d, got, want)
+        for gs, ws in zip(got[2], want[2]):
+            assert gs == pytest.approx(ws, rel=1e-4), (d, got, want)
+
+
+def test_prefetch_primes_memo(pers, monkeypatch):
+    monkeypatch.setattr(batch_mod, "SMALL_DOCS", 1)
+    monkeypatch.setattr(ex_mod, "SMALL_DOCS", 1)
+    from veloci_tpu.search.field_search import _fuzzy_match_cache
+
+    reqs = [Request.from_dict(d) for d in FUZZY_TREE_REQUESTS]
+    _fuzzy_match_cache(pers).clear()
+    batch_mod._prefetch_request_fuzzy(pers, reqs)
+    memo = _fuzzy_match_cache(pers)
+    assert ("meanings.ger[]", "majestat", 1, False) in memo
+    assert ("meanings.eng[]", "majestat", 1, False) in memo
+    # prefetched results equal the solo sweep results
+    import numpy as np
+
+    m, d, p = memo[("meanings.ger[]", "majestat", 1, False)]
+    memo2 = dict(memo)
+    memo.clear()
+    m2, d2, p2 = ex_mod.get_term_ids_in_field.__globals__[
+        "_match_fuzzy_device"
+    ](pers, "meanings.ger[]", "majestat", 1, False)
+    assert np.array_equal(m, m2) and np.array_equal(d, d2)
+    assert np.array_equal(p, p2)

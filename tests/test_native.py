@@ -204,3 +204,71 @@ def test_deeply_nested_document():
     p = Persistence.create_from_str(json.dumps(doc), "{}")
     deep_field = ".".join("l%d" % i for i in range(14)) + ".leaf"
     assert "deepterm hello" in list(p.get_dictionary(deep_field).terms)
+
+
+def test_baseline_engine_parity():
+    """The single-core C++ baseline (native/baseline.cpp — the reference's
+    resolve_token_to_anchor + top_n_sort hot path over the same arrays)
+    must return the same top-k as the engine's host executor."""
+    from veloci_tpu import Persistence, Request, search
+    from veloci_tpu.native import baseline_available, baseline_exact_topk
+
+    if not baseline_available():
+        pytest.skip("native baseline unavailable")
+    pers = Persistence.create_from_str(data_ndjson(), TEST_CONFIG)
+    store = pers.anchor_scores["meanings.ger[].textindex.to_anchor_id_score"]
+    dictionary = pers.get_dictionary("meanings.ger[]")
+
+    terms = ["majestät", "majestätischer", "anblick", "aussehen"]
+    tids = np.full((len(terms), 1), -1, dtype=np.int32)
+    for i, t in enumerate(terms):
+        ids = dictionary.get_ignore_case(t)
+        tids[i, 0] = int(ids[0])
+    tscs = np.full((len(terms), 1), 10.0, dtype=np.float32)
+    tslots = np.zeros((len(terms), 1), dtype=np.int32)
+    ids_b, sc_b, nh_b = baseline_exact_topk(
+        store.offsets, store.anchors, store.scores, tids, tscs, tslots, 10
+    )
+    for i, t in enumerate(terms):
+        ref = search(
+            Request.from_dict(
+                {"search_req": {"search": {"terms": [t], "path": "meanings.ger[]"}}}
+            ),
+            pers,
+        )
+        got_ids = [int(x) for x in ids_b[i][: nh_b[i]]][: len(ref.data)]
+        assert got_ids == [h.id for h in ref.data], t
+        got_scores = [float(x) for x in sc_b[i][: len(ref.data)]]
+        for gs, ws in zip(got_scores, [h.score for h in ref.data]):
+            assert gs == pytest.approx(ws, rel=1e-5), t
+        assert int(nh_b[i]) == ref.num_hits, t
+
+    # union across two distinct term slots == OR request
+    tids2 = np.array(
+        [[int(dictionary.get_ignore_case("majestätischer")[0]),
+          int(dictionary.get_ignore_case("anblick")[0])]], dtype=np.int32
+    )
+    tscs2 = np.full((1, 2), 10.0, dtype=np.float32)
+    tslots2 = np.array([[0, 1]], dtype=np.int32)
+    ids_b, sc_b, nh_b = baseline_exact_topk(
+        store.offsets, store.anchors, store.scores, tids2, tscs2, tslots2, 10
+    )
+    ref = search(
+        Request.from_dict(
+            {
+                "search_req": {
+                    "or": {
+                        "queries": [
+                            {"search": {"terms": ["majestätischer"], "path": "meanings.ger[]"}},
+                            {"search": {"terms": ["anblick"], "path": "meanings.ger[]"}},
+                        ]
+                    }
+                }
+            }
+        ),
+        pers,
+    )
+    assert [int(x) for x in ids_b[0][: nh_b[0]]][: len(ref.data)] == [
+        h.id for h in ref.data
+    ]
+    assert int(nh_b[0]) == ref.num_hits

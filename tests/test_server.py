@@ -211,3 +211,39 @@ def test_db_name_missing_is_400_not_500(server):
     except urllib.error.HTTPError as e:
         status = e.code
     assert status in (400, 404)
+
+
+def test_stats_route(server):
+    """GET /stats exposes fleet-level dispatch counters (round-3 serving
+    observability: which execution path answered how much traffic, and why
+    fallbacks happened)."""
+    _get(server, "/DB/search?query=hi&top=5")
+    status, body = _get(server, "/stats")
+    assert status == 200
+    payload = json.loads(body)
+    assert payload["total_requests"] >= 1
+    assert "paths" in payload and "fallback_reasons" in payload
+    assert payload["fast_path_pct"] is None or 0 <= payload["fast_path_pct"] <= 100
+
+
+def test_request_folding_under_concurrency(server):
+    """32 parallel lone GET /search requests fold into micro-batches via the
+    dispatcher thread; every response must still be correct and /stats must
+    show folding activity."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from veloci_tpu.search import stats as stats_mod
+
+    stats_mod.reset()
+    paths = ["/DB/search?query=hi&top=5", "/DB/search?query=fred&top=5"] * 16
+
+    def one(path):
+        return _get(server, path)
+
+    with ThreadPoolExecutor(max_workers=32) as pool:
+        results = list(pool.map(one, paths))
+    for (status, body), path in zip(results, paths):
+        assert status == 200, path
+        assert json.loads(body)["num_hits"] >= 1, path
+    snap = stats_mod.snapshot()
+    assert snap["paths"].get("fold_dispatches", 0) >= 1

@@ -189,6 +189,37 @@ def test_expression():
     assert ScoreExpression("$SCORE * $SCORE").get_score(10.0) == 100.0
 
 
+def test_expression_division_by_zero_is_ieee():
+    """Defined semantics, silent: the reference evaluates `left / right` as
+    Rust f32 (expression.rs:40) — x/0 = inf, 0/0 = NaN, no warning."""
+    import warnings
+
+    import numpy as np
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")  # any RuntimeWarning fails the test
+        assert ScoreExpression("$SCORE / 0.0").get_score(10.0) == float("inf")
+        assert ScoreExpression("$SCORE / 0.0").get_score(-10.0) == float("-inf")
+        assert np.isnan(ScoreExpression("$SCORE / 0.0").get_score(0.0))
+        assert ScoreExpression("10.0 / $SCORE").get_score(0.0) == float("inf")
+
+
+def test_boost_scalar_log_of_zero_is_ieee():
+    """Zero-param Log boost on a 0 boost value: log10(0) = -inf in Rust f32
+    (boost.rs:292-309) — defined and warning-free."""
+    import warnings
+
+    from veloci_tpu.query.request import RequestBoostPart
+    from veloci_tpu.search.boost import apply_boost_scalar
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        b = RequestBoostPart(path="x", boost_fun="Log10", param=0)
+        assert apply_boost_scalar(2.0, 0.0, b) == float("-inf")
+        b2 = RequestBoostPart(path="x", boost_fun="Log2", param=0)
+        assert apply_boost_scalar(2.0, 0.0, b2) == float("-inf")
+
+
 def test_levenshtein_host():
     assert levenshtein_distance_host("a", "a") == 0
     assert levenshtein_distance_host("a", "b") == 1

@@ -40,16 +40,25 @@ def _source_digest(src: Path) -> str:
     return hashlib.sha256(src.read_bytes()).hexdigest()[:16]
 
 
+_SOURCES = ("indexer.cpp", "baseline.cpp")
+
+
 def _so_path() -> Path:
-    """Build-cache location keyed by a CONTENT hash of indexer.cpp.
+    """Build-cache location keyed by a CONTENT hash of the C++ sources.
 
     The library is never committed and never trusted by mtime (checkout
     mtimes are meaningless): a given source text maps to exactly one cached
     binary, so staleness detection is content-based. Override the cache dir
     with VELOCI_NATIVE_CACHE.
     """
-    src = _NATIVE_DIR / "indexer.cpp"
-    digest = _source_digest(src) if src.exists() else "nosrc"
+    import hashlib
+
+    h = hashlib.sha256()
+    for name in _SOURCES:
+        src = _NATIVE_DIR / name
+        if src.exists():
+            h.update(src.read_bytes())
+    digest = h.hexdigest()[:16] if (_NATIVE_DIR / _SOURCES[0]).exists() else "nosrc"
     cache = Path(
         os.environ.get(
             "VELOCI_NATIVE_CACHE",
@@ -73,8 +82,8 @@ _CONFIG_CB = ctypes.CFUNCTYPE(
 
 
 def _build_lib(so_path: Path) -> bool:
-    src = _NATIVE_DIR / "indexer.cpp"
-    if not src.exists():
+    srcs = [_NATIVE_DIR / name for name in _SOURCES if (_NATIVE_DIR / name).exists()]
+    if not srcs:
         return False
     try:
         so_path.parent.mkdir(parents=True, exist_ok=True)
@@ -88,8 +97,8 @@ def _build_lib(so_path: Path) -> bool:
                 "-fPIC",
                 "-o",
                 str(tmp),
-                str(src),
-            ],
+            ]
+            + [str(s) for s in srcs],
             check=True,
             capture_output=True,
         )
@@ -475,3 +484,122 @@ def lexsort_kv_u64_u32(keys, vals) -> bool:
         len(keys),
     )
     return True
+
+
+# ------------------------------------------------------- CPU baseline engine
+def baseline_available() -> bool:
+    lib = _load()
+    return lib is not None and hasattr(lib, "vbl_exact_topk")
+
+
+def baseline_exact_topk(
+    offsets: np.ndarray,  # uint64/int64 [num_keys + 1]
+    anchors: np.ndarray,  # uint32 [nnz]
+    scores: np.ndarray,  # uint16 [nnz]
+    term_ids: np.ndarray,  # int32 [nq, t_per_q] (-1 pad)
+    term_scores: np.ndarray,  # float32 [nq, t_per_q]
+    term_slots: np.ndarray,  # int32 [nq, t_per_q]
+    top_n: int,
+):
+    """Single-core reference-style query loop (native/baseline.cpp): the
+    honest CPU baseline for `vs_baseline_native_cpu` — AnchorScoreIter scan,
+    sort+dedup-max, top_n_sort exactly as reference
+    search_field.rs:400-504 + sort.rs:5-34. Returns (ids [nq, top_n],
+    scores [nq, top_n], num_hits [nq]) or None if the library is missing."""
+    lib = _load()
+    if lib is None or not hasattr(lib, "vbl_exact_topk"):
+        return None
+    offsets = np.ascontiguousarray(offsets.astype(np.int64, copy=False))
+    anchors = np.ascontiguousarray(anchors, dtype=np.uint32)
+    scores = np.ascontiguousarray(scores, dtype=np.uint16)
+    term_ids = np.ascontiguousarray(term_ids, dtype=np.int32)
+    term_scores = np.ascontiguousarray(term_scores, dtype=np.float32)
+    term_slots = np.ascontiguousarray(term_slots, dtype=np.int32)
+    nq, t_per_q = term_ids.shape
+    out_ids = np.zeros((nq, top_n), dtype=np.uint32)
+    out_scores = np.zeros((nq, top_n), dtype=np.float32)
+    out_hits = np.zeros(nq, dtype=np.int32)
+    lib.vbl_exact_topk(
+        offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        anchors.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+        scores.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)),
+        term_ids.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        term_scores.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        term_slots.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        ctypes.c_int32(nq),
+        ctypes.c_int32(t_per_q),
+        ctypes.c_int32(len(offsets) - 1),
+        ctypes.c_int32(top_n),
+        out_ids.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+        out_scores.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        out_hits.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+    )
+    return out_ids, out_scores, out_hits
+
+
+class VintBaselineIndex:
+    """Reference-storage (delta+varint) encoding of an anchor-score CSR for
+    the vint baseline (`vbl_exact_topk_vint`) — see native/baseline.cpp."""
+
+    def __init__(self, blob, blob_offsets, num_keys):
+        self.blob = blob
+        self.blob_offsets = blob_offsets
+        self.num_keys = num_keys
+
+
+def baseline_encode_vint(offsets, anchors, scores) -> Optional[VintBaselineIndex]:
+    lib = _load()
+    if lib is None or not hasattr(lib, "vbl_encode_vint"):
+        return None
+    offsets = np.ascontiguousarray(offsets.astype(np.int64, copy=False))
+    anchors = np.ascontiguousarray(anchors, dtype=np.uint32)
+    scores = np.ascontiguousarray(scores, dtype=np.uint16)
+    num_keys = len(offsets) - 1
+    lib.vbl_encode_vint.restype = ctypes.c_int64
+    size = lib.vbl_encode_vint(
+        offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        anchors.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+        scores.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)),
+        ctypes.c_int32(num_keys),
+        None,
+        None,
+    )
+    blob = np.zeros(max(int(size), 1), dtype=np.uint8)
+    blob_offsets = np.zeros(num_keys + 1, dtype=np.int64)
+    lib.vbl_encode_vint(
+        offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        anchors.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+        scores.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)),
+        ctypes.c_int32(num_keys),
+        blob.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        blob_offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+    )
+    return VintBaselineIndex(blob, blob_offsets, num_keys)
+
+
+def baseline_exact_topk_vint(index: VintBaselineIndex, term_ids, term_scores, top_n):
+    """Single-core query loop over the reference's compressed storage shape
+    (decode cost included) — the honest reference-engine stand-in."""
+    lib = _load()
+    if lib is None or not hasattr(lib, "vbl_exact_topk_vint"):
+        return None
+    term_ids = np.ascontiguousarray(term_ids, dtype=np.int32)
+    term_scores = np.ascontiguousarray(term_scores, dtype=np.float32)
+    nq, t_per_q = term_ids.shape
+    out_ids = np.zeros((nq, top_n), dtype=np.uint32)
+    out_scores = np.zeros((nq, top_n), dtype=np.float32)
+    out_hits = np.zeros(nq, dtype=np.int32)
+    lib.vbl_exact_topk_vint(
+        index.blob.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        index.blob_offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        term_ids.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        term_scores.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        ctypes.c_int32(nq),
+        ctypes.c_int32(t_per_q),
+        ctypes.c_int32(index.num_keys),
+        ctypes.c_int32(top_n),
+        out_ids.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+        out_scores.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        out_hits.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+    )
+    return out_ids, out_scores, out_hits

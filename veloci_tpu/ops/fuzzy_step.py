@@ -57,19 +57,27 @@ def _sweep(term_chars, term_lens, query, query_len):
     return jnp.where(valid, dist, _BIG), is_prefix & valid
 
 
-def _select_resolve_dense(
+def _select_resolve_sorted(
     dist, is_prefix, distance, offsets, anchors, scores01,
     max_terms, capacity, num_docs,
 ):
     """Shared tail: match -> term score -> on-device select -> resolve ->
-    dense [num_docs] score vector. `dist` may come from the XLA sweep or
-    the banded Pallas kernel.
+    sorted-run candidates. `dist` may come from the XLA sweep or the banded
+    Pallas kernel.
 
-    Returns (dense, total_matches, total_postings). Results are only valid
-    when total_matches <= max_terms AND total_postings <= capacity —
-    `capacity` is OPTIMISTIC (the static worst case, sum of the max_terms
-    largest runs, is absurd for typical fuzzy matches); callers re-dispatch
-    at the next bucket on overflow."""
+    Replaces the round-2 dense-plane `segment_max` (a ~10-30 ns/element
+    serial scatter into ``[num_docs]`` + a full-corpus top-k): the gathered
+    postings sort ONCE by (anchor desc, score desc) — a vectorised bitonic
+    network over ``[capacity]`` — and each anchor's first row IS its
+    dedup-max (resolve_token_to_anchor's sort+dedup, search_field.rs:451-465).
+    Cost is O(capacity), independent of corpus size.
+
+    Returns (a_s, final, total_matches, total_postings): anchors in
+    descending order and the per-anchor max score at each anchor's first
+    position (0 elsewhere). Results are only valid when total_matches <=
+    max_terms AND total_postings <= capacity — `capacity` is OPTIMISTIC
+    (the static worst case, sum of the max_terms largest runs, is absurd
+    for typical fuzzy matches); callers re-dispatch on overflow."""
     match = dist <= distance
     total_matches = jnp.sum(match, dtype=jnp.int32)
 
@@ -87,8 +95,8 @@ def _select_resolve_dense(
     term_ids = jnp.where(sel_valid & (sel_ids < num_keys), sel_ids, -1).astype(jnp.int32)
     term_scores = jnp.where(sel_valid, sel_scores, 0.0).astype(jnp.float32)
 
-    # resolve postings -> dense -> top-k. Segment mapping via scatter+cumsum
-    # fills (ops/postings.py) — searchsorted + small-table gathers lower to
+    # resolve postings. Segment mapping via scatter+cumsum fills
+    # (ops/postings.py) — searchsorted + small-table gathers lower to
     # serial loops on TPU (measured: they were 85% of the fused fuzzy cost)
     from .postings import fill_segments_f32, fill_segments_i32
 
@@ -108,23 +116,44 @@ def _select_resolve_dense(
     src = jnp.clip(jnp.where(in_range, src, 0), 0, anchors.shape[0] - 1)
     a = jnp.where(in_range, anchors[src], num_docs)
     s = jnp.where(in_range, scores01[src] * tsc_fill, -jnp.inf)
-    dense = jax.ops.segment_max(s, a, num_segments=num_docs + 1)[:num_docs]
-    dense = jnp.where(jnp.isfinite(dense), dense, 0.0)
-    return dense, total_matches, total_postings
+
+    # single-slot sorted-run dedup-max: sort by (anchor desc, score desc);
+    # each anchor's first row carries its max
+    neg_a, neg_s = jax.lax.sort(((-1 - a).astype(jnp.int32), -s), num_keys=2)
+    a_s = (-1 - neg_a).astype(jnp.int32)
+    s_s = -neg_s
+    new_anchor = jnp.concatenate(
+        [jnp.ones(1, dtype=bool), a_s[1:] != a_s[:-1]]
+    )
+    cand = new_anchor & (a_s >= 0) & (a_s < num_docs) & jnp.isfinite(s_s)
+    final = jnp.where(cand, s_s, jnp.float32(0.0))
+    return a_s, final, total_matches, total_postings
+
+
+def _candidates_topk(a_s, final, k):
+    """Exact (score desc, id desc) top-k over the candidate vector —
+    anchors are descending, so position-asc ties ARE id-desc
+    (sort_by_score_and_id, search.rs:122-130)."""
+    from .topk import topk_positions
+
+    vals = jnp.where(final > 0, final, -jnp.inf)
+    pos, scores = topk_positions(vals, k)
+    ids = jnp.where(scores > 0, a_s[pos], 0).astype(jnp.int32)
+    return ids, scores
 
 
 def _select_resolve_topk(
     dist, is_prefix, distance, offsets, anchors, scores01,
     max_terms, capacity, num_docs, k,
 ):
-    """`_select_resolve_dense` + exact top-k; returns
+    """`_select_resolve_sorted` + exact top-k; returns
     (ids, scores, num_hits, total_matches, total_postings)."""
-    dense, total_matches, total_postings = _select_resolve_dense(
+    a_s, final, total_matches, total_postings = _select_resolve_sorted(
         dist, is_prefix, distance, offsets, anchors, scores01,
         max_terms, capacity, num_docs,
     )
-    ids, scores = topk_dense_exact(dense, k)
-    num_hits = jnp.sum(dense > 0, dtype=jnp.int32)
+    ids, scores = _candidates_topk(a_s, final, k)
+    num_hits = jnp.sum(final > 0, dtype=jnp.int32)
     return ids, scores, num_hits, total_matches, total_postings
 
 
@@ -288,11 +317,12 @@ def batched_fuzzy_generic_topk(
 ):
     """Fuzzy queries WITH filters / boost columns / phrase factors / facets
     in ONE program — the fuzzy leg of the batched generic path (BASELINE
-    config 2 crossed with configs 3-5). Same order of operations as
-    `batched_generic_topk`; same overflow contract as the plain fuzzy
-    kernels (re-dispatch when total_matches > max_terms or total_postings
-    > capacity)."""
-    from .generic_step import _apply_boost, _precompute_boost
+    config 2 crossed with configs 3-5). Same sorted-run tail as the plain
+    fuzzy kernels (cost O(capacity), no dense plane); extras read at the
+    candidate anchors only. Same overflow contract (re-dispatch when
+    total_matches > max_terms or total_postings > capacity)."""
+    from .generic_step import _precompute_boost
+    from .tree_step import _apply_boost_gathered
 
     if banded:
         from .pallas_levenshtein import levenshtein_sweep_pallas_banded_batch
@@ -313,33 +343,43 @@ def batched_fuzzy_generic_topk(
     )
 
     def tail(d, p, dd, fidx, panch):
-        dense, total_matches, total_postings = _select_resolve_dense(
+        a_s, final, total_matches, total_postings = _select_resolve_sorted(
             d, p, dd, offsets, anchors, scores01,
             max_terms, capacity, num_docs,
         )
+        safe = jnp.clip(a_s, 0, num_docs - 1)
         if fidx is not None:
-            dense = jnp.where(filter_masks[fidx], dense, 0.0)
+            final = jnp.where(filter_masks[fidx][safe], final, 0.0)
         for pre in pre_boosts:
-            dense = _apply_boost(dense, pre)
+            final = _apply_boost_gathered(final, a_s, pre)
         if panch is not None:
             pf = (
                 jnp.ones(num_docs + 1, dtype=jnp.float32)
                 .at[jnp.clip(panch, 0, num_docs)]
-                .multiply(jnp.float32(5.0))[:num_docs]
+                .multiply(jnp.float32(5.0))
             )
-            dense = dense * pf
-        return dense, total_matches, total_postings
+            final = final * pf[safe]
+        num_hits = jnp.sum(final > 0, dtype=jnp.int32)
+        if facet_mats:
+            hit_row = (
+                jnp.zeros(num_docs + 1, dtype=jnp.float32)
+                .at[jnp.where(final > 0, a_s, num_docs)]
+                .add(1.0, mode="drop")[:num_docs]
+            )
+            fc = tuple(
+                jnp.dot(
+                    hit_row.astype(jnp.bfloat16), m,
+                    preferred_element_type=jnp.float32,
+                ).astype(jnp.int32)
+                for m in facet_mats
+            )
+        else:
+            fc = ()
+        ids, scores = _candidates_topk(a_s, final, k)
+        return ids, scores, num_hits, total_matches, total_postings, fc
 
     in_axes = (0, 0, 0, 0 if filter_idx is not None else None,
                0 if phrase_anchors is not None else None)
-    dense_b, totals_b, post_b = jax.vmap(tail, in_axes=in_axes)(
+    return jax.vmap(tail, in_axes=in_axes)(
         dist, is_prefix, distances, filter_idx, phrase_anchors
     )
-    hits = (dense_b > 0).astype(jnp.bfloat16)
-    num_hits = jnp.sum(dense_b > 0, axis=1, dtype=jnp.int32)
-    facet_counts = tuple(
-        jnp.dot(hits, m, preferred_element_type=jnp.float32).astype(jnp.int32)
-        for m in facet_mats
-    )
-    ids, scores = jax.vmap(lambda d: topk_dense_exact(d, k))(dense_b)
-    return ids, scores, num_hits, totals_b, post_b, facet_counts

@@ -1,0 +1,278 @@
+"""Sorted-run tree evaluation: the scatter-free, plane-free query kernel.
+
+The round-2 generic kernels evaluated the query tree on a dense
+``[num_slots, num_docs]`` score plane (`jax.ops.segment_max` scatter +
+top-k over the whole corpus). On TPU a per-element scatter lowers to a
+~10-30 ns serial loop and the plane materialises ``num_slots * num_docs``
+f32 in HBM — the dominant cost of batched serving, and it *scales with
+corpus size* even when a query touches 500 postings.
+
+This module replaces the plane with a **sorted-run** formulation whose cost
+scales with ``capacity`` (the actual gathered postings):
+
+1. gather the selected terms' posting runs into ``[capacity]`` arrays
+   (`ops.search_step._gather_postings`),
+2. ONE variadic `lax.sort` by ``(anchor desc, slot desc, score desc)`` —
+   three int32/f32 operands, a fully vectorised bitonic network,
+3. segmented scans (associative, O(log n) depth) extract
+   - the max score per (anchor, slot)  — per-term dedup-max, the
+     reference's sort+dedup in resolve_token_to_anchor
+     (search_field.rs:451-465),
+   - per (anchor, group): sum of slot maxima x distinct^2 — union
+     semantics (set_op.rs:87-220),
+   - per anchor: sum over groups, gated on every group hitting — intersect
+     semantics (set_op.rs:368-448),
+4. exact top-k by (score desc, id desc) directly over the candidate
+   positions (anchors appear in descending order, so the stable block
+   top-k's position-ascending tie rule IS id-descending).
+
+Tree shapes supported by the ONE kernel (no per-shape recompiles):
+
+* flat OR of leaves   — every slot in group 0,
+* flat AND of leaves  — one group per leaf, slot_in 0,
+* AND of OR-groups    — the canonical query-generator shape
+  (``"a AND b"`` -> AND over per-term field-expanded ORs,
+  query_generator.rs:85-99 + execution_plan.rs:272-387),
+
+encoded per term as ``slot = group << GROUP_SHIFT | slot_in_group`` with a
+*dynamic* per-query ``num_groups`` (a flat OR is "AND over 1 group").
+
+Extras (same order of operations as `search()`, search.rs:143-228):
+filter masks gather at candidate anchors; boost columns precompute their
+per-doc factor once per batch and gather at candidates; phrase anchors ride
+the SAME sort as pseudo-entries (slot sentinel) and become a segment count
+-> ``5^g`` factor (BoostAnchorFromPhraseResults, plan_steps.rs:262-283);
+facet counts scatter the final hit set into a dense row only when a query
+actually requests facets.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from .search_step import _gather_postings
+from .topk import topk_positions
+
+__all__ = ["batched_tree_topk", "tree_candidates", "GROUP_SHIFT"]
+
+GROUP_SHIFT = 8  # slot = group << 8 | slot_in_group; <= 256 slots per group
+_PHRASE_SLOT = 1 << 24  # sorts before every real slot (slot desc order)
+_EPS = jnp.float32(1e-5)
+_HIT_EPS = jnp.float32(1e-30)
+
+
+def _seg_scan(values, resets):
+    """Inclusive segmented sum: per position, the sum of ``values`` from the
+    last position where ``resets`` is True (segment start) through here.
+    Associative -> O(log n) depth on the VPU."""
+
+    def comb(x, y):
+        fx, vx = x
+        fy, vy = y
+        return fx | fy, vy + jnp.where(fy, jnp.zeros_like(vx), vx)
+
+    _f, v = jax.lax.associative_scan(comb, (resets, values))
+    return v
+
+
+def tree_candidates(
+    a: jax.Array,  # [cap] int32 anchors (pad -> num_docs)
+    s: jax.Array,  # [cap] f32 scores (pad -> -inf)
+    slot: jax.Array,  # [cap] int32 packed group<<GROUP_SHIFT|slot_in
+    num_docs: int,
+    num_groups: jax.Array,  # scalar int32 (dynamic)
+    phrase_count: Optional[jax.Array] = None,  # [cap] f32 marker (phrase rows)
+):
+    """Sorted-run tree evaluation -> (anchors_desc [cap], final [cap]).
+
+    ``final`` is non-zero only at each anchor's last (candidate) position.
+    When ``phrase_count`` is given, each anchor's final score multiplies by
+    ``5^(#phrase markers in its segment)``.
+    """
+    neg_a = (-1 - a).astype(jnp.int32)
+    neg_slot = (-1 - slot).astype(jnp.int32)
+    neg_s = -s
+    if phrase_count is None:
+        neg_a, neg_slot, neg_s = jax.lax.sort(
+            (neg_a, neg_slot, neg_s), num_keys=3
+        )
+        pcnt_in = None
+    else:
+        neg_a, neg_slot, neg_s, pcnt_in = jax.lax.sort(
+            (neg_a, neg_slot, neg_s, phrase_count), num_keys=3
+        )
+    a_s = (-1 - neg_a).astype(jnp.int32)
+    slot_s = (-1 - neg_slot).astype(jnp.int32)
+    s_s = -neg_s
+    group_s = slot_s >> GROUP_SHIFT
+
+    true1 = jnp.ones(1, dtype=bool)
+    new_anchor = jnp.concatenate([true1, a_s[1:] != a_s[:-1]])
+    new_group = new_anchor | jnp.concatenate([true1, group_s[1:] != group_s[:-1]])
+    new_slot = new_group | jnp.concatenate([true1, slot_s[1:] != slot_s[:-1]])
+
+    # stage 1: per-(anchor, slot) max = first row of its run (score desc)
+    slot_max = jnp.where(new_slot, s_s, jnp.float32(0.0))
+    slot_hit = (new_slot & (s_s >= _EPS)).astype(jnp.float32)
+
+    # stage 2: union within each (anchor, group): sum of slot maxima,
+    # distinct count, score = sum * distinct^2 (set_op.rs:87-220)
+    sum2 = _seg_scan(slot_max, new_group)
+    cnt2 = _seg_scan(slot_hit, new_group)
+    is_g_end = jnp.concatenate([new_group[1:], true1])
+    group_score = jnp.where(cnt2 > 0, sum2 * cnt2 * cnt2, jnp.float32(0.0))
+
+    # stage 3: AND over groups per anchor (set_op.rs:368-448); a flat OR is
+    # the single-group case
+    contrib3 = jnp.where(is_g_end, group_score, jnp.float32(0.0))
+    ghit3 = jnp.where(is_g_end & (group_score > 0), jnp.float32(1.0), jnp.float32(0.0))
+    sum3 = _seg_scan(contrib3, new_anchor)
+    cnt3 = _seg_scan(ghit3, new_anchor)
+    is_a_end = jnp.concatenate([new_anchor[1:], true1])
+    final = jnp.where(
+        cnt3 >= num_groups.astype(jnp.float32), sum3, jnp.float32(0.0)
+    )
+    if pcnt_in is not None:
+        # phrase rows carry s = -inf -> they can never be slot maxima of a
+        # real group (they sit in their own sentinel group, whose cnt2 = 0)
+        pc = _seg_scan(pcnt_in, new_anchor)
+        final = final * jnp.power(jnp.float32(5.0), pc)
+    final = jnp.where(
+        is_a_end & (a_s >= 0) & (a_s < num_docs), final, jnp.float32(0.0)
+    )
+    return a_s, final
+
+
+def candidates_topk(a_s: jax.Array, final: jax.Array, k: int):
+    """Exact (score desc, id desc) top-k over candidate positions.
+
+    ``a_s`` is anchor-descending, so the stable selection's position-asc tie
+    rule equals id-desc — the reference's sort_by_score_and_id
+    (search.rs:122-130)."""
+    vals = jnp.where(final > 0, final, -jnp.inf)
+    pos, scores = topk_positions(vals, k)
+    ids = jnp.where(scores > 0, a_s[pos], 0).astype(jnp.int32)
+    return ids, scores
+
+
+def _apply_boost_gathered(final, a_s, pre):
+    """Gathered-candidate variant of generic_step._apply_boost: the per-doc
+    factor arrays (precomputed once per batch) are read only at candidate
+    anchors."""
+    mode, fac, pres, skip, expr_add = pre
+    safe = jnp.clip(a_s, 0, pres.shape[0] - 1)
+    fac_g = fac[safe] if fac is not None else None
+    pres_g = pres[safe]
+    if mode == "mul":
+        boosted = final * fac_g
+    elif mode == "add":
+        boosted = final + fac_g
+    elif mode == "replace":
+        boosted = fac_g
+    else:
+        boosted = final
+    if expr_add is not None:
+        boosted = boosted + expr_add[safe]
+    apply_mask = (final > 0) & pres_g
+    for sv in skip:
+        apply_mask &= jnp.abs(final - jnp.float32(sv)) >= 1e-5
+    boosted = jnp.maximum(boosted, _HIT_EPS)
+    return jnp.where(apply_mask, boosted, final)
+
+
+@partial(
+    jax.jit,
+    static_argnames=("capacity", "num_docs", "k", "boost_specs", "has_phrase"),
+)
+def batched_tree_topk(
+    offsets: jax.Array,  # [num_keys + 2] int32 (combined-field CSR)
+    anchors: jax.Array,  # [nnz_pad] int32 (pad -> num_docs)
+    scores01: jax.Array,  # [nnz_pad] f32
+    term_ids: jax.Array,  # [Q, T_pad] int32 (pad -1); GLOBAL combined ids
+    term_scores: jax.Array,  # [Q, T_pad] f32
+    term_slots: jax.Array,  # [Q, T_pad] int32 — group << GROUP_SHIFT | slot_in
+    num_groups: jax.Array,  # [Q] int32 — groups that must all hit
+    filter_masks: Optional[jax.Array],  # [NF, num_docs] bool | None (cached)
+    filter_idx: Optional[jax.Array],  # [Q] int32 into filter_masks | None
+    phrase_anchors: Optional[jax.Array],  # [Q, P_pad] int32 (pad num_docs) | None
+    boost_arrays: Tuple,  # tuple of (bv [num_docs] f32, pres bool, expr_add|None)
+    facet_mats: Tuple,  # tuple of M [num_docs, G_i] bf16
+    capacity: int,
+    num_docs: int,
+    k: int,
+    boost_specs: Tuple = (),
+    has_phrase: bool = False,
+):
+    """A batch of tree queries -> (ids [Q,k], scores [Q,k], num_hits [Q],
+    facet_counts tuple of [Q, G_i] i32) — ONE program, cost O(capacity),
+    independent of corpus size.
+
+    Order of operations matches `search()` (search.rs:143-228): tree ->
+    filter -> boost columns (request order) -> phrase 5^g factors -> facet
+    counts over the final hit set -> exact top-k.
+    """
+    from .generic_step import _precompute_boost
+
+    pre_boosts = tuple(
+        _precompute_boost(bv, pres, spec + (expr_add,))
+        for (bv, pres, expr_add), spec in zip(boost_arrays, boost_specs)
+    )
+
+    def one(tids, tscs, tslots, ng, fidx, panch):
+        a, s, slot = _gather_postings(
+            offsets, anchors, scores01, tids, tscs, capacity, num_docs,
+            term_slots=tslots,
+        )
+        pcnt = None
+        if panch is not None:
+            # phrase anchors ride the same sort as pseudo-entries
+            p = panch.shape[0]
+            a = jnp.concatenate([a, panch])
+            s = jnp.concatenate([s, jnp.full((p,), -jnp.inf, jnp.float32)])
+            slot = jnp.concatenate(
+                [slot, jnp.full((p,), _PHRASE_SLOT, jnp.int32)]
+            )
+            pcnt = jnp.concatenate(
+                [
+                    jnp.zeros(a.shape[0] - p, jnp.float32),
+                    jnp.where(panch < num_docs, 1.0, 0.0).astype(jnp.float32),
+                ]
+            )
+        a_s, final = tree_candidates(a, s, slot, num_docs, ng, pcnt)
+        if fidx is not None:
+            safe = jnp.clip(a_s, 0, num_docs - 1)
+            final = jnp.where(filter_masks[fidx][safe], final, 0.0)
+        for pre in pre_boosts:
+            final = _apply_boost_gathered(final, a_s, pre)
+        num_hits = jnp.sum(final > 0, dtype=jnp.int32)
+        if facet_mats:
+            hit_row = (
+                jnp.zeros(num_docs + 1, dtype=jnp.float32)
+                .at[jnp.where(final > 0, a_s, num_docs)]
+                .add(1.0, mode="drop")[:num_docs]
+            )
+            fc = tuple(
+                jnp.dot(
+                    hit_row.astype(jnp.bfloat16), m,
+                    preferred_element_type=jnp.float32,
+                ).astype(jnp.int32)
+                for m in facet_mats
+            )
+        else:
+            fc = ()
+        ids, scores = candidates_topk(a_s, final, k)
+        return ids, scores, num_hits, fc
+
+    in_axes = (
+        0, 0, 0, 0,
+        0 if filter_idx is not None else None,
+        0 if phrase_anchors is not None else None,
+    )
+    return jax.vmap(one, in_axes=in_axes)(
+        term_ids, term_scores, term_slots, num_groups, filter_idx,
+        phrase_anchors,
+    )

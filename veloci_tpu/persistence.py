@@ -46,6 +46,41 @@ from .indices import AnchorScoreCsr, Csr, Direct, PhraseCsr, TermDictionary
 __all__ = ["Persistence", "DeviceField"]
 
 _MANIFEST = "metaData.json"
+
+_COMPILE_CACHE_ON = False
+
+
+def enable_compilation_cache() -> None:
+    """Turn on JAX's persistent compilation cache for the serving kernels.
+
+    The reference's warm path is an mmap load (persistence.rs:393-410); the
+    TPU equivalent must not pay minutes of XLA compilation on the first
+    query of every process. Compiled programs are keyed by HLO hash, so one
+    on-disk cache serves every persistence/corpus; ``VELOCI_COMPILE_CACHE=0``
+    disables, ``VELOCI_COMPILE_CACHE_DIR`` overrides the location. Called
+    automatically by `Persistence.load` / `create_*` (idempotent, cheap).
+    """
+    global _COMPILE_CACHE_ON
+    if _COMPILE_CACHE_ON or os.environ.get("VELOCI_COMPILE_CACHE") == "0":
+        return
+    try:
+        import jax
+
+        cache_dir = os.environ.get(
+            "VELOCI_COMPILE_CACHE_DIR",
+            os.path.join(
+                os.environ.get("XDG_CACHE_HOME", os.path.expanduser("~/.cache")),
+                "veloci_tpu",
+                "xla_cache",
+            ),
+        )
+        os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.3)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+        _COMPILE_CACHE_ON = True
+    except Exception:  # pragma: no cover - cache is an optimisation only
+        pass
 _DOCSTORE = "docs.bin"
 
 
@@ -182,6 +217,7 @@ class Persistence:
     def create_from_str(
         cls, data_str: str, indices: str = "{}", *, line_delimited: bool = True
     ) -> "Persistence":
+        enable_compilation_cache()
         built = create_indices_from_str(data_str, indices, line_delimited=line_delimited)
         return cls.from_built(built)
 
@@ -291,6 +327,7 @@ class Persistence:
 
     @classmethod
     def load(cls, directory: str) -> "Persistence":
+        enable_compilation_cache()
         d = Path(directory)
         manifest = json.loads((d / _MANIFEST).read_text())
         p = cls()
@@ -620,3 +657,88 @@ class Persistence:
         for field, dictionary in sorted(self.dictionaries.items()):
             lines.append(f"{field + '.terms':70} {dictionary.memory_bytes():>12}")
         return "\n".join(lines)
+
+    def warmup(self, queries: Optional[List[str]] = None, top: int = 10) -> float:
+        """Make the first real query fast: upload the device bundles and
+        compile the serving kernels NOW, at load time.
+
+        The reference's warm path is an mmap load; the TPU path otherwise
+        pays H2D upload + XLA compilation on the first query (minutes at 6M
+        docs). With the persistent compilation cache
+        (:func:`enable_compilation_cache`) the compiles here are disk hits
+        after the first process. ``queries`` defaults to self-derived
+        probes: the largest and a mid-size posting run (compiling the big
+        and typical capacity buckets of the fused kernels) plus a fuzzy
+        probe per distance (compiling sweep + resolve). Returns seconds
+        spent.
+        """
+        import time as _time
+
+        from .query.generator import get_levenshteinn
+        from .query.request import Request, RequestSearchPart, SearchRequest
+        from .search.batch import search_batch
+        from .search.executor import SMALL_DOCS
+
+        t0 = _time.time()
+        if self.num_docs < SMALL_DOCS:
+            return 0.0
+        comb = self.device_combined()  # H2D: combined CSR
+        fields = [
+            f
+            for f in self.get_all_fields()
+            if self.has_token_to_anchor(f + TEXTINDEX + TO_ANCHOR_ID_SCORE)
+        ]
+        for field in fields:
+            self.device_field(field)  # H2D: per-field bundle + chars
+        if comb is None or not fields:
+            return _time.time() - t0
+
+        if queries is None:
+            # self-derived probes: the largest and a median posting run —
+            # these compile the big and typical capacity buckets
+            queries = []
+            ho = comb.host_offsets
+            counts = np.diff(ho[: comb.num_score_keys + 1])
+            if len(counts):
+                big = int(np.argmax(counts))
+                mid = int(np.argsort(counts)[len(counts) // 2])
+                for gid in {big, mid}:
+                    for field, (base, nk) in comb.key_base.items():
+                        if base <= gid < base + nk:
+                            term = self.get_dictionary(field).terms[gid - base]
+                            if term.strip():
+                                queries.append(term)
+                            break
+        reqs = []
+        for term in queries:
+            # the generator's canonical expansion (auto-levenshtein fuzzy OR
+            # over all fields) plus the exact singles shape
+            for dist in (get_levenshteinn(term, None, None, False), 0):
+                leaves = [
+                    SearchRequest.search(
+                        RequestSearchPart(
+                            path=f, terms=[term], levenshtein_distance=dist
+                        )
+                    )
+                    for f in fields
+                ]
+                node = leaves[0] if len(leaves) == 1 else SearchRequest.or_(leaves)
+                reqs.append(Request(search_req=node, top=top))
+        if reqs:
+            search_batch(reqs, self)
+        return _time.time() - t0
+
+    def heap_size_bytes(self) -> int:
+        """Total index memory in bytes (the machine-readable counterpart of
+        :meth:`heap_size_report`; recorded by bench.py as ``index_bytes`` —
+        the BASELINE "equal index memory" clause needs a number)."""
+        total = 0
+        for _path, store in (
+            *self.key_value_stores.items(),
+            *self.anchor_scores.items(),
+            *self.phrase_indices.items(),
+        ):
+            total += store.memory_bytes()
+        for _field, dictionary in self.dictionaries.items():
+            total += dictionary.memory_bytes()
+        return total

@@ -22,24 +22,28 @@ from ..query.request import Request, SearchRequest
 from .executor import SMALL_DOCS, _fuzzy_fast_eligible, search
 from .result import Hit, SearchResult
 
-__all__ = ["search_batch"]
+__all__ = ["search_batch", "search_single_fused"]
 
-_MAX_SLOTS = 8  # distinct-term ORs beyond this fall back per request
+_MAX_SLOTS = 32  # distinct terms per OR group beyond this -> per request
+_MAX_GROUPS = 32  # AND width beyond this -> per request
 _MAX_FILTER_ANCHORS = 8192  # larger filter hit lists -> per-request path
-_PLANE_BUDGET_BYTES = 256 * 1024 * 1024  # per-chunk [Qc, slots, num_docs] f32
+_SORT_BUDGET_BYTES = 256 * 1024 * 1024  # per-chunk [Qc, capacity] sort state
+_PLANE_BUDGET_BYTES = 256 * 1024 * 1024  # mesh/fuzzy dense-plane chunking
 
 
-_MAX_LEAF_TERMS = 64  # prefix leaves expanding past this -> per-request path
+_MAX_LEAF_TERMS = 64  # exact/prefix leaves expanding past this -> per request
+_MAX_LEAF_TERMS_FUZZY = 256  # fuzzy leaves matching past this -> per request
+_MAX_QUERY_TERMS = 1024  # total resolved terms per query
 
 
 def _leaf_ok(part) -> bool:
-    """Distance-0 leaf constraints for the batched tree paths (prefix /
-    starts_with, case handling, token_value and per-term top-n pruning all
-    resolve through the memoized host field search — only fuzzy, regex and
-    per-leaf option trees stay per-request)."""
+    """Leaf constraints for the batched tree paths. Exact, prefix AND fuzzy
+    leaves qualify (case handling, token_value, per-term top-n pruning and
+    the fuzzy term sweep all resolve through the memoized host field search,
+    bulk-primed by `prefetch_fuzzy_matches`) — only regex, snippet and
+    per-leaf option trees stay per-request."""
     return not (
-        (part.levenshtein_distance or 0) != 0
-        or len(part.terms) != 1
+        len(part.terms) != 1
         or part.is_regex
         or part.snippet
         or (part.options or None)
@@ -50,9 +54,10 @@ def _leaf_gtids(persistence, comb, part, slot):
     """One leaf -> [(global_tid, f32 score, slot)] or None.
 
     Term ids AND scores come from the memoized field search (the same
-    results the host executor resolves from), so prefix distance scoring,
-    `boost`, `ignore_case`, token_value boosts and `top` pruning are
-    host-parity by construction."""
+    results the host executor resolves from), so prefix/fuzzy distance
+    scoring, `boost`, `ignore_case`, token_value boosts and `top` pruning
+    are host-parity by construction. Fuzzy leaves are primed in bulk by the
+    batched sweep (`prefetch_fuzzy_matches`) before this runs."""
     from .field_search import get_term_ids_in_field
 
     f = part.path
@@ -73,7 +78,12 @@ def _leaf_gtids(persistence, comb, part, slot):
         if len(memo) > 4096:
             memo.clear()
         memo[mkey] = fsr
-    if len(fsr.term_ids) > _MAX_LEAF_TERMS:
+    cap = (
+        _MAX_LEAF_TERMS_FUZZY
+        if (part.levenshtein_distance or 0) > 0
+        else _MAX_LEAF_TERMS
+    )
+    if len(fsr.term_ids) > cap:
         return None
     out = []
     for tid, score in zip(fsr.term_ids, fsr.term_scores):
@@ -82,8 +92,120 @@ def _leaf_gtids(persistence, comb, part, slot):
     return out
 
 
+def _node_groups(node):
+    """Tree -> list of leaf groups under an implicit top-level AND, or None.
+
+    The supported shapes are the reference plan compiler's post-simplify
+    surface for the query generator (execution_plan.rs:272-387 over
+    query_generator.rs:85-99 output):
+
+    * SEARCH                  -> 1 group  [leaf]
+    * OR of leaves            -> 1 group  [leaves]  (union)
+    * AND of leaves/OR-groups -> 1 group per child  (intersect of unions)
+
+    OR-of-ANDs and deeper nesting stay per-request.
+    """
+    if node is None:
+        return None
+    if node.kind == SearchRequest.SEARCH:
+        return [[node.part]]
+    if node.kind == SearchRequest.OR and all(
+        q.kind == SearchRequest.SEARCH for q in node.queries
+    ):
+        return [[q.part for q in node.queries]]
+    if node.kind == SearchRequest.AND:
+        groups = []
+        for q in node.queries:
+            if q.kind == SearchRequest.SEARCH:
+                groups.append([q.part])
+            elif q.kind == SearchRequest.OR and all(
+                c.kind == SearchRequest.SEARCH for c in q.queries
+            ):
+                groups.append([c.part for c in q.queries])
+            else:
+                return None
+        return groups
+    return None
+
+
 def _tree_spec(persistence, comb, node):
-    """Flat tree -> (gtids, num_slots, is_and) with GLOBAL term ids, or None."""
+    """Tree -> (gtids [(global_tid, score, packed_slot)], num_groups) or None.
+
+    ``packed_slot = group << GROUP_SHIFT | slot_in_group`` where slots
+    within a group are distinct term STRINGS (union groups by term,
+    set_op.rs:87-220). One kernel shape covers flat OR (1 group), flat AND
+    (one group per leaf) and the canonical AND-of-ORs.
+    """
+    from ..ops.tree_step import GROUP_SHIFT
+
+    groups = _node_groups(node)
+    if groups is None or len(groups) > _MAX_GROUPS:
+        return None
+    gtids = []
+    for gi, parts in enumerate(groups):
+        if not all(_leaf_ok(p) for p in parts):
+            return None
+        term_strings = sorted({p.terms[0] for p in parts})
+        if len(term_strings) > _MAX_SLOTS:
+            return None
+        slots = {t: i for i, t in enumerate(term_strings)}
+        for p in parts:
+            g = _leaf_gtids(
+                persistence, comb, p, (gi << GROUP_SHIFT) | slots[p.terms[0]]
+            )
+            if g is None:
+                return None
+            gtids.extend(g)
+    if len(gtids) > _MAX_QUERY_TERMS:
+        return None
+    return gtids, len(groups)
+
+
+def _walk_fuzzy_specs(persistence, node, out) -> None:
+    if node is None:
+        return
+    for part in node.walk_parts():
+        d = part.levenshtein_distance or 0
+        if d <= 0 or part.is_regex or len(part.terms) != 1:
+            continue
+        term = part.terms[0].lower()
+        d = min(d, max(len(term) - 1, 0))
+        if d <= 0:
+            continue
+        field = part.path
+        if field.endswith(TEXTINDEX):
+            field = field[: -len(TEXTINDEX)]
+        out.add((field, term, d, bool(part.starts_with)))
+
+
+def _prefetch_request_fuzzy(persistence, requests) -> None:
+    """Bulk-prime the fuzzy match memo for every fuzzy leaf a batch's tree /
+    filter / phrase searches will resolve — one batched sweep per field,
+    one device sync total (`prefetch_fuzzy_matches`)."""
+    from .field_search import prefetch_fuzzy_matches
+
+    specs: set = set()
+    for req in requests:
+        _walk_fuzzy_specs(persistence, req.search_req, specs)
+        _walk_fuzzy_specs(persistence, req.filter, specs)
+        for pb in req.phrase_boosts or []:
+            for part in (pb.search1, pb.search2):
+                d = part.levenshtein_distance or 0
+                if d > 0:
+                    term = part.terms[0].lower()
+                    d = min(d, max(len(term) - 1, 0))
+                    if d > 0:
+                        field = part.path
+                        if field.endswith(TEXTINDEX):
+                            field = field[: -len(TEXTINDEX)]
+                        specs.add((field, term, d, bool(part.starts_with)))
+    if specs:
+        prefetch_fuzzy_matches(persistence, specs)
+
+
+def _tree_spec_flat(persistence, comb, node):
+    """Flat tree -> (gtids, num_slots, is_and) with UNPACKED slots — the
+    round-2 spec shape still used by the mesh shard kernel."""
     if node is None:
         return None
     if node.kind == SearchRequest.SEARCH:
@@ -95,7 +217,9 @@ def _tree_spec(persistence, comb, node):
         is_and = node.kind == SearchRequest.AND
     else:
         return None
-    if not all(_leaf_ok(p) for p in leaves):
+    if not all(
+        _leaf_ok(p) and (p.levenshtein_distance or 0) == 0 for p in leaves
+    ):
         return None
     if is_and:
         slot_of = list(range(len(leaves)))
@@ -105,7 +229,7 @@ def _tree_spec(persistence, comb, node):
         slots = {t: i for i, t in enumerate(term_strings)}
         slot_of = [slots[p.terms[0]] for p in leaves]
         num_slots = len(term_strings)
-    if num_slots > _MAX_SLOTS:
+    if num_slots > 8:
         return None
     gtids = []
     for part, slot in zip(leaves, slot_of):
@@ -224,12 +348,15 @@ def _filter_mask_device(persistence, node):
     return tkey, mask
 
 
-def _generic_eligible(request: Request, persistence, comb, require_extras=True):
-    """Batched generic-path eligibility: flat exact tree + optional filter /
-    anchor-level boost columns / fast-path facets. Returns a per-request
-    spec dict (with a hashable group signature) or None. The mesh path
-    passes ``require_extras=False`` — there, plain exact trees batch
-    through the same sharded kernel."""
+def _generic_eligible(
+    request: Request, persistence, comb, require_extras=True, flat=False
+):
+    """Batched generic-path eligibility: tree (exact / prefix / fuzzy
+    leaves, flat or AND-of-ORs) + optional filter / anchor-level boost
+    columns / fast-path facets / phrase boosts. Returns a per-request spec
+    dict (with a hashable group signature) or None. The mesh path passes
+    ``flat=True`` (its shard kernel still takes the round-2 flat spec) and
+    ``require_extras=False``."""
     if comb is None or persistence.num_docs < SMALL_DOCS:
         return None
     if any(
@@ -247,15 +374,27 @@ def _generic_eligible(request: Request, persistence, comb, require_extras=True):
     ):
         return None  # plain trees belong to the leaner exact/fuzzy kernels
     fuzzy = None
-    tree = _tree_spec(persistence, comb, request.search_req)
-    if tree is not None:
-        gtids, num_slots, is_and = tree
+    num_groups = 1
+    if flat:
+        tree = _tree_spec_flat(persistence, comb, request.search_req)
+        if tree is not None:
+            gtids, num_slots, is_and = tree
+        else:
+            fuzzy = _fuzzy_fast_eligible(request, persistence, allow_extras=True)
+            if fuzzy is None:
+                return None
+            gtids, num_slots, is_and = [], 1, False
     else:
-        # fuzzy leaf + extras -> the fused fuzzy-generic kernel
+        num_slots, is_and = 0, False  # unused by the sorted tree kernel
+        # single fuzzy leaf: the fully-fused kernel (in-program sweep)
         fuzzy = _fuzzy_fast_eligible(request, persistence, allow_extras=True)
         if fuzzy is None:
-            return None
-        gtids, num_slots, is_and = [], 1, False
+            tree = _tree_spec(persistence, comb, request.search_req)
+            if tree is None:
+                return None
+            gtids, num_groups = tree
+        else:
+            gtids = []
 
     from ..create import BOOST_VALID_TO_VALUE
 
@@ -307,7 +446,7 @@ def _generic_eligible(request: Request, persistence, comb, require_extras=True):
             fanchors is not None,
             panchors is not None,
         )
-    else:
+    elif flat:
         sig = (
             num_slots,
             is_and,
@@ -316,9 +455,20 @@ def _generic_eligible(request: Request, persistence, comb, require_extras=True):
             fanchors is not None,
             panchors is not None,
         )
+    else:
+        # sorted tree kernel: groups/slots are DYNAMIC — one program per
+        # extras shape, not per tree shape
+        sig = (
+            "tree",
+            tuple(boost_key),
+            tuple(facet_fields),
+            fanchors is not None,
+            panchors is not None,
+        )
     return {
         "sig": sig,
         "gtids": gtids,
+        "num_groups": num_groups,
         "num_slots": num_slots,
         "is_and": is_and,
         "fuzzy": fuzzy,
@@ -367,8 +517,9 @@ def _phrase_anchor_list(persistence, phrase_boosts) -> Optional[np.ndarray]:
 
 
 def _plain_eligible(request: Request, persistence, comb):
-    """Plain-tree eligibility (no extras): flat SEARCH/OR/AND of distance-0
-    leaves -> (gtids, num_slots, is_and), or None."""
+    """Plain-tree eligibility (no extras): SEARCH / flat OR / flat AND /
+    AND-of-ORs over exact, prefix and fuzzy leaves ->
+    (gtids, num_groups), or None."""
     if persistence.num_docs < SMALL_DOCS:
         return None
     if any(
@@ -386,6 +537,79 @@ def _plain_eligible(request: Request, persistence, comb):
     ):
         return None
     return _tree_spec(persistence, comb, request.search_req)
+
+
+def _make_emit(results, start):
+    """Shared result emitter: kernels return exact (score desc, id desc)
+    order — window + wrap into a SearchResult."""
+    import time
+
+    def _emit(qi, req, ids, scores, num_hits, facets=None):
+        mask = scores > 0
+        ids, scores = ids[mask], scores[mask]
+        top = req.top if req.top is not None else 10
+        skip = req.skip or 0
+        res = SearchResult()
+        res.num_hits = int(num_hits)
+        window = list(zip(ids, scores))[skip : skip + top]
+        res.data = [Hit(int(i), float(s)) for i, s in window]
+        if facets is not None:
+            res.facets = facets
+        res.execution_time_ns = time.time_ns() - start
+        results[qi] = res
+
+    return _emit
+
+
+def search_single_fused(request: Request, persistence) -> Optional[SearchResult]:
+    """One request through the batched tree machinery (a batch of one).
+
+    This is the per-request front door for the canonical query-language
+    shapes — generator output with auto-levenshtein fuzzy leaves and
+    AND-of-ORs (query_generator.rs:85-99), plus filter / boost / facet /
+    phrase extras — ONE fused program instead of the executor's per-step
+    walk. Returns None when the shape isn't covered (caller falls through
+    to the full executor)."""
+    import time
+
+    start = time.time_ns()
+    if getattr(persistence, "mesh_ctx", None) is not None:
+        return None
+    if persistence.num_docs < SMALL_DOCS:
+        return None
+    comb = persistence.device_combined()
+    if comb is None:
+        return None
+    _prefetch_request_fuzzy(persistence, [request])
+    results: List[Optional[SearchResult]] = [None]
+    emit = _make_emit(results, start)
+    tree = _plain_eligible(request, persistence, comb)
+    if tree is not None:
+        gtids, num_groups = tree
+        spec = {
+            "gtids": gtids,
+            "num_groups": num_groups,
+            "fkey": None,
+            "panchors": None,
+        }
+        _run_generic_group(
+            persistence, comb, ("tree", (), (), False, False),
+            [(0, request, spec)], emit,
+        )
+        return results[0]
+    gen = _generic_eligible(request, persistence, comb)
+    if gen is None:
+        return None
+    if gen["sig"][0] == "fz":
+        _run_fuzzy_generic_group(
+            persistence, gen["sig"], [(0, request, gen)], emit, results,
+            fallback=None,
+        )
+    else:
+        _run_generic_group(
+            persistence, comb, gen["sig"], [(0, request, gen)], emit
+        )
+    return results[0]
 
 
 def search_batch(requests: List[Request], persistence) -> List[SearchResult]:
@@ -407,28 +631,39 @@ def search_batch(requests: List[Request], persistence) -> List[SearchResult]:
 
     comb = persistence.device_combined() if persistence.num_docs >= SMALL_DOCS else None
 
-    # plain trees -> singles (scatter-free) / generic runner; fuzzy leaves
-    # and extras-carrying requests -> their fused kernels
+    # plain single-leaf fuzzy -> the fully-fused sweep kernel (no host
+    # matching at all); everything else gets its fuzzy leaves bulk-primed
+    # by ONE batched sweep per field, then routes: single exact term ->
+    # scatter-free slice kernel, trees -> the sorted tree kernel, extras ->
+    # the generic/fuzzy-generic kernels, the rest per request
     singles: list = []  # (qi, req, gtids) with exactly one term id
-    plain_groups: dict = {}  # (num_slots, is_and) -> [(qi, req, spec)]
+    plain_entries: list = []  # [(qi, req, spec)] for the sorted tree kernel
     fuzzy_groups: dict = {}  # field -> [(qi, req, term, distance)]
     generic_groups: dict = {}  # sig -> [(qi, req, spec)]
+    rest: list = []
     for qi, req in enumerate(requests):
-        tree = _plain_eligible(req, persistence, comb) if comb is not None else None
-        if tree is not None:
-            gtids, num_slots, is_and = tree
-            if len(gtids) == 1 and num_slots == 1:
-                singles.append((qi, req, gtids))
-            else:
-                spec = {"gtids": gtids, "fkey": None, "panchors": None}
-                plain_groups.setdefault((num_slots, is_and), []).append(
-                    (qi, req, spec)
-                )
-            continue
         fz = _fuzzy_fast_eligible(req, persistence)
         if fz is not None:
             field, term, distance = fz
             fuzzy_groups.setdefault(field, []).append((qi, req, term, distance))
+            continue
+        rest.append((qi, req))
+    if comb is not None and rest:
+        _prefetch_request_fuzzy(persistence, [req for _qi, req in rest])
+    for qi, req in rest:
+        tree = _plain_eligible(req, persistence, comb) if comb is not None else None
+        if tree is not None:
+            gtids, num_groups = tree
+            if len(gtids) == 1 and num_groups == 1:
+                singles.append((qi, req, gtids))
+            else:
+                spec = {
+                    "gtids": gtids,
+                    "num_groups": num_groups,
+                    "fkey": None,
+                    "panchors": None,
+                }
+                plain_entries.append((qi, req, spec))
             continue
         gen = _generic_eligible(req, persistence, comb)
         if gen is not None:
@@ -436,58 +671,72 @@ def search_batch(requests: List[Request], persistence) -> List[SearchResult]:
         else:
             results[qi] = search(req, persistence)
 
+    from .stats import count_path
+
+    count_path("batched_single_term", len(singles))
+    count_path("batched_tree", len(plain_entries))
+    for sig, entries in generic_groups.items():
+        count_path(
+            "batched_fuzzy_generic" if sig[0] == "fz" else "batched_generic",
+            len(entries),
+        )
+    count_path("batched_fuzzy", sum(len(v) for v in fuzzy_groups.values()))
+
     num_docs = persistence.num_docs
     ho = comb.host_offsets if comb is not None else None
-
-    def _emit(qi, req, ids, scores, num_hits, facets=None):
-        # kernels return exact (score desc, id desc) order — window + emit
-        mask = scores > 0
-        ids, scores = ids[mask], scores[mask]
-        top = req.top if req.top is not None else 10
-        skip = req.skip or 0
-        res = SearchResult()
-        res.num_hits = int(num_hits)
-        window = list(zip(ids, scores))[skip : skip + top]
-        res.data = [Hit(int(i), float(s)) for i, s in window]
-        if facets is not None:
-            res.facets = facets
-        res.execution_time_ns = time.time_ns() - start
-        results[qi] = res
+    _emit = _make_emit(results, start)
 
     if singles:
-        # dominant shape: ONE term id per query -> scatter-free kernel
-        max_count = 1
-        max_k = 1
+        # dominant shape: ONE term id per query -> scatter-free kernel.
+        # Sub-bucket by each query's OWN posting count (zipfian: most
+        # queries touch tens of postings; one shared capacity would make
+        # every query pay for the batch's most common term). All buckets
+        # dispatch asynchronously; ONE device_get syncs them all.
+        sub: dict = {}
         for qi, req, gtids in singles:
             g = gtids[0][0]
-            max_count = max(max_count, int(ho[g + 1] - ho[g]))
-            top = req.top if req.top is not None else 10
-            max_k = max(max_k, top + (req.skip or 0))
-        capacity = bucket_size(max_count)
-        k_eff = min(num_docs, max_k, capacity)
-        tid_arr = np.array([g[2][0][0] for g in singles], dtype=np.int32)
-        ts_arr = np.array([g[2][0][1] for g in singles], dtype=np.float32)
-        ids_b, scores_b, hits_b = batched_single_term_topk(
-            comb.offsets,
-            comb.anchors,
-            comb.scores01,
-            jnp.asarray(tid_arr),
-            jnp.asarray(ts_arr),
-            capacity=capacity,
-            k=k_eff,
-        )
-        ids_b, scores_b, hits_b = (
-            np.asarray(ids_b), np.asarray(scores_b), np.asarray(hits_b)
-        )
-        for row, (qi, req, _g) in enumerate(singles):
-            _emit(qi, req, ids_b[row], scores_b[row], hits_b[row])
+            count = int(ho[g + 1] - ho[g])
+            sub.setdefault(bucket_size(max(count, 1)), []).append(
+                (qi, req, gtids)
+            )
+        pending_s = []
+        for capacity, entries in sorted(sub.items()):
+            max_k = 1
+            for qi, req, _g in entries:
+                top = req.top if req.top is not None else 10
+                max_k = max(max_k, top + (req.skip or 0))
+            k_eff = min(num_docs, max_k, capacity)
+            q_pad = bucket_size(len(entries), 8)
+            tid_arr = np.zeros(q_pad, dtype=np.int32)
+            ts_arr = np.zeros(q_pad, dtype=np.float32)
+            for row, (_qi, _req, gtids) in enumerate(entries):
+                tid_arr[row] = gtids[0][0]
+                ts_arr[row] = gtids[0][1]
+            out = batched_single_term_topk(
+                comb.offsets,
+                comb.anchors,
+                comb.scores01,
+                jnp.asarray(tid_arr),
+                jnp.asarray(ts_arr),
+                capacity=capacity,
+                k=k_eff,
+            )
+            pending_s.append((entries, out))
+        import jax as _jax
 
-    for (num_slots, is_and), entries in plain_groups.items():
+        fetched_all = _jax.device_get([p[1] for p in pending_s])  # ONE sync
+        for (entries, _out), (ids_b, scores_b, hits_b) in zip(
+            pending_s, fetched_all
+        ):
+            for row, (qi, req, _g) in enumerate(entries):
+                _emit(qi, req, ids_b[row], scores_b[row], hits_b[row])
+
+    if plain_entries:
         _run_generic_group(
             persistence,
             comb,
-            (num_slots, is_and, (), (), False, False),
-            entries,
+            ("tree", (), (), False, False),
+            plain_entries,
             _emit,
         )
 
@@ -507,22 +756,23 @@ def search_batch(requests: List[Request], persistence) -> List[SearchResult]:
 
 
 def _run_generic_group(persistence, comb, sig, entries, emit) -> None:
-    """Dispatch one signature group through `batched_generic_topk`.
+    """Dispatch one extras-signature group through the sorted tree kernel
+    (`batched_tree_topk`) — cost O(capacity), independent of corpus size.
 
     Entries sub-group by their OWN capacity bucket (total postings of the
-    query's terms): the plane scatter — the dominant kernel cost — scales
-    with the bucket, and under a zipfian term distribution most queries
-    need a far smaller window than the group max. All sub-dispatches are
-    issued asynchronously and synced with ONE device_get (one D2H round
-    trip regardless of sub-group count)."""
+    query's terms, known exactly on the host — fuzzy leaves included, their
+    matches are already resolved): under a zipfian term distribution most
+    queries need a far smaller sort window than the group max. All
+    sub-dispatches are issued asynchronously and synced with ONE device_get
+    (one D2H round trip regardless of sub-group count)."""
     import jax
     import jax.numpy as jnp
 
-    from ..ops.generic_step import batched_generic_topk
     from ..ops.postings import bucket_size
+    from ..ops.tree_step import batched_tree_topk
     from .facet import facet_matrix
 
-    num_slots, is_and, boost_key, facet_fields, has_filter, has_phrase = sig
+    _tag, boost_key, facet_fields, has_filter, has_phrase = sig
     num_docs = persistence.num_docs
     ho = comb.host_offsets
 
@@ -542,11 +792,10 @@ def _run_generic_group(persistence, comb, sig, entries, emit) -> None:
         tot = sum(int(ho[g + 1] - ho[g]) for g, _s, _sl in gtids)
         sub.setdefault(bucket_size(max(tot, 1), 256), []).append((qi, req, spec))
 
-    plane_bytes = num_slots * (num_docs + 1) * 4 + num_docs * 8
-    chunk_q = max(1, int(_PLANE_BUDGET_BYTES // max(plane_bytes, 1)))
-
     pending = []  # (chunk, device outputs)
     for capacity, sub_entries in sorted(sub.items()):
+        # sort state is [Qc, capacity] x a handful of i32/f32 vectors
+        chunk_q = max(1, int(_SORT_BUDGET_BYTES // max(capacity * 64, 1)))
         max_terms, max_p, max_k = 1, 1, 1
         for qi, req, spec in sub_entries:
             max_terms = max(max_terms, len(spec["gtids"]))
@@ -565,6 +814,7 @@ def _run_generic_group(persistence, comb, sig, entries, emit) -> None:
             tid_arr = np.full((q_pad, t_pad), -1, dtype=np.int32)
             ts_arr = np.zeros((q_pad, t_pad), dtype=np.float32)
             sl_arr = np.zeros((q_pad, t_pad), dtype=np.int32)
+            ng_arr = np.ones(q_pad, dtype=np.int32)
             fi_arr = np.zeros(q_pad, dtype=np.int32) if has_filter else None
             pa_arr = (
                 np.full((q_pad, p_pad), num_docs, dtype=np.int32)
@@ -576,18 +826,20 @@ def _run_generic_group(persistence, comb, sig, entries, emit) -> None:
                     tid_arr[row, j] = g
                     ts_arr[row, j] = sc
                     sl_arr[row, j] = sl
+                ng_arr[row] = spec["num_groups"]
                 if has_filter:
                     fi_arr[row] = fkey_slot[spec["fkey"]]
                 if has_phrase:
                     pa = spec["panchors"]
                     pa_arr[row, : len(pa)] = pa.astype(np.int32)
-            out = batched_generic_topk(
+            out = batched_tree_topk(
                 comb.offsets,
                 comb.anchors,
                 comb.scores01,
                 jnp.asarray(tid_arr),
                 jnp.asarray(ts_arr),
                 jnp.asarray(sl_arr),
+                jnp.asarray(ng_arr),
                 fmask_stack,
                 jnp.asarray(fi_arr) if has_filter else None,
                 jnp.asarray(pa_arr) if has_phrase else None,
@@ -596,9 +848,8 @@ def _run_generic_group(persistence, comb, sig, entries, emit) -> None:
                 capacity=capacity,
                 num_docs=num_docs,
                 k=k_eff,
-                num_slots=num_slots,
-                is_and=is_and,
                 boost_specs=tuple(boost_specs),
+                has_phrase=has_phrase,
             )
             pending.append((chunk, out))
 
@@ -640,10 +891,14 @@ def _facets_of(persistence, req, facet_fields, fc_rows, row):
     return facets
 
 
-def _run_fuzzy_generic_group(persistence, sig, entries, emit, results) -> None:
+def _run_fuzzy_generic_group(
+    persistence, sig, entries, emit, results, fallback="search"
+) -> None:
     """Fuzzy leaf + filter/boost/facet/phrase extras: one fused program per
     chunk (ops/fuzzy_step.batched_fuzzy_generic_topk), with the plain fuzzy
-    path's optimistic-capacity re-dispatch contract."""
+    path's optimistic-capacity re-dispatch contract. ``fallback=None``
+    leaves clipped entries as None (single-request mode — the caller's
+    executor path handles them) instead of recursing into `search`."""
     import os
 
     import jax
@@ -747,7 +1002,8 @@ def _run_fuzzy_generic_group(persistence, sig, entries, emit, results) -> None:
         for row, (qi, req, _spec) in enumerate(chunk):
             if int(totals_b[row]) > max_terms:
                 # selection window clipped — per-request path decides
-                results[qi] = search(req, persistence)
+                if fallback is not None:
+                    results[qi] = search(req, persistence)
                 continue
             facets = (
                 _facets_of(persistence, req, facet_fields, fc_b, row)
@@ -876,7 +1132,9 @@ def _search_batch_mesh(requests, persistence, mc, start) -> List[SearchResult]:
     groups: dict = {}
     for qi, req in enumerate(requests):
         spec = (
-            _generic_eligible(req, persistence, comb, require_extras=False)
+            _generic_eligible(
+                req, persistence, comb, require_extras=False, flat=True
+            )
             if comb is not None
             else None
         )

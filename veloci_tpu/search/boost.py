@@ -76,20 +76,26 @@ class ScoreExpression:
         self.ops = ops
 
     def get_score(self, rank: float) -> float:
+        """IEEE-754 f32 arithmetic exactly like the reference
+        (expression.rs:26-46 evaluates `left / right` as Rust f32):
+        division by zero yields +/-inf, 0/0 yields NaN — defined, silent
+        semantics, not a warning."""
+
         def val(op):
             return rank if op == "$SCORE" else op
 
         left = _F32(val(self.ops[0]))
         right = _F32(val(self.ops[2]))
         op = self.ops[1]
-        if op == "/":
-            return float(left / right)
-        if op == "*":
-            return float(left * right)
-        if op == "+":
-            return float(left + right)
-        if op == "-":
-            return float(left - right)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            if op == "/":
+                return float(left / right)
+            if op == "*":
+                return float(left * right)
+            if op == "+":
+                return float(left + right)
+            if op == "-":
+                return float(left - right)
         raise VelociError(f"invalid expression {self.expression!r}")
 
 
@@ -99,16 +105,19 @@ def apply_boost_scalar(score: float, boost_value: float, boost_part) -> float:
     bv = _F32(boost_value) + param
     fun = boost_part.boost_fun
     score = _F32(score)
-    if fun == "Log10":
-        score = score * _F32(np.log10(bv))
-    elif fun == "Log2":
-        score = score * _F32(np.log2(bv))
-    elif fun == "Multiply":
-        score = score * bv
-    elif fun == "Add":
-        score = score + bv
-    elif fun == "Replace":
-        score = bv
+    # IEEE f32 like the reference: log of 0 is -inf, of negatives NaN
+    # (Rust f32::log10, boost.rs:292-309) — defined, not a warning
+    with np.errstate(divide="ignore", invalid="ignore"):
+        if fun == "Log10":
+            score = score * _F32(np.log10(bv))
+        elif fun == "Log2":
+            score = score * _F32(np.log2(bv))
+        elif fun == "Multiply":
+            score = score * bv
+        elif fun == "Add":
+            score = score + bv
+        elif fun == "Replace":
+            score = bv
     if boost_part.expression:
         score = score + _F32(ScoreExpression(boost_part.expression).get_score(boost_value))
     return float(score)

@@ -662,6 +662,8 @@ def search(request: Request, persistence) -> SearchResult:
         raise InvalidRequestError("search_req is required in search")
     top = request.top if request.top is not None else 10
 
+    from .stats import count_fallback, count_path, fallback_reason
+
     # mesh serving path: document-sharded dense execution over the attached
     # jax Mesh (explain falls back — it collects host score snapshots)
     if getattr(persistence, "mesh_ctx", None) is not None and not (
@@ -669,18 +671,34 @@ def search(request: Request, persistence) -> SearchResult:
     ):
         from ..parallel.mesh_executor import mesh_search
 
+        count_path("mesh_per_request")
         return mesh_search(request, persistence)
 
     skip0 = request.skip or 0
     fast = _try_fast_path(request, persistence, top + skip0)
+    if fast is not None:
+        count_path("fused_exact")
     if fast is None:
         fast = _try_fuzzy_fast_path(request, persistence, top + skip0)
+        if fast is not None:
+            count_path("fused_fuzzy")
     if fast is not None:
         if skip0:
             fast.data = fast.data[skip0:]
         fast.data = fast.data[:top]
         fast.execution_time_ns = time.time_ns() - start
         return fast
+    # canonical query-language shapes (fuzzy leaves, AND-of-ORs) and
+    # filter/boost/facet/phrase extras: ONE fused program via the batched
+    # tree machinery (a batch of one) instead of the per-step walk
+    from .batch import search_single_fused
+
+    fast = search_single_fused(request, persistence)
+    if fast is not None:
+        count_path("fused_tree_single")
+        fast.execution_time_ns = time.time_ns() - start
+        return fast
+    count_fallback(fallback_reason(request, persistence))
 
     tm = info_time("search")
     tm.__enter__()

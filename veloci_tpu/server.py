@@ -152,8 +152,90 @@ def _params_from_query(qs: Dict[str, str]) -> SearchQueryGeneratorParameters:
     )
 
 
+# ---------------------------------------------------------------- folding
+# Lone requests arriving concurrently fold into ONE batched dispatch: the
+# dispatcher thread drains whatever queued while the previous batch was on
+# the device (no artificial wait — zero added latency when idle, natural
+# micro-batches under load). This is the serving-side answer to the
+# per-request dispatch tail (each solo dispatch pays a full device round
+# trip; a folded batch pays one for all). VELOCI_FOLD=0 disables.
+import queue as _queue
+
+_FOLD_ENABLED = os.environ.get("VELOCI_FOLD", "1") != "0"
+_MAX_FOLD = int(os.environ.get("VELOCI_FOLD_MAX", "256"))
+_fold_queue: Optional["_queue.Queue"] = None
+_fold_thread: Optional[threading.Thread] = None
+_fold_lock = threading.Lock()
+
+
+class _FoldItem:
+    __slots__ = ("pers", "request", "event", "result", "error")
+
+    def __init__(self, pers, request):
+        self.pers = pers
+        self.request = request
+        self.event = threading.Event()
+        self.result = None
+        self.error = None
+
+
+def _fold_loop() -> None:  # pragma: no cover - exercised via threads in tests
+    from .search.batch import search_batch
+    from .search.stats import count_path
+
+    while True:
+        item = _fold_queue.get()
+        batch = [item]
+        while len(batch) < _MAX_FOLD:
+            try:
+                batch.append(_fold_queue.get_nowait())
+            except _queue.Empty:
+                break
+        by_pers: Dict[int, tuple] = {}
+        for it in batch:
+            by_pers.setdefault(id(it.pers), (it.pers, []))[1].append(it)
+        count_path("fold_dispatches")
+        if len(batch) > 1:
+            count_path("fold_folded_requests", len(batch))
+        for pers, items in by_pers.values():
+            try:
+                if len(items) == 1:
+                    items[0].result = search(items[0].request, pers)
+                else:
+                    res = search_batch([it.request for it in items], pers)
+                    for it, r in zip(items, res):
+                        it.result = r
+            except Exception as e:  # noqa: BLE001 - surfaced per request
+                for it in items:
+                    if it.result is None:
+                        it.error = e
+            for it in items:
+                it.event.set()
+
+
+def _folded_search(pers, request: Request):
+    if not _FOLD_ENABLED:
+        return search(request, pers)
+    global _fold_queue, _fold_thread
+    if _fold_thread is None:
+        with _fold_lock:
+            if _fold_thread is None:
+                _fold_queue = _queue.Queue()
+                t = threading.Thread(
+                    target=_fold_loop, daemon=True, name="veloci-fold"
+                )
+                t.start()
+                _fold_thread = t
+    item = _FoldItem(pers, request)
+    _fold_queue.put(item)
+    item.event.wait()
+    if item.error is not None:
+        raise item.error
+    return item.result
+
+
 def _search_result_json(pers, request: Request) -> dict:
-    res = search(request, pers)
+    res = _folded_search(pers, request)
     with_doc = search_to_result_with_doc(pers, res, request.select)
     return with_doc.to_dict()
 
@@ -188,6 +270,11 @@ class _Handler(BaseHTTPRequestHandler):
             parts = [p for p in parsed.path.split("/") if p]
             if parsed.path == "/version":
                 self._reply("0.8", raw=True)
+                return
+            if parsed.path == "/stats":
+                from .search.stats import snapshot
+
+                self._reply(snapshot())
                 return
             if len(parts) == 2 and parts[1] == "search":
                 pers = ensure_database(urllib.parse.unquote(parts[0]))
