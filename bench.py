@@ -1,9 +1,11 @@
 """Benchmark harness — jmdict-class workload on the TPU.
 
 Measures the BASELINE.md headline metric: exact-term (lev=0) top-10 search
-throughput, plus fuzzy d=2, on a synthetic jmdict-scale corpus (the real
-jmdict file is an LFS stub in the reference checkout; the corpus here
-reproduces its shape: ~100k docs, zipfian vocabulary, multi-token titles).
+throughput, plus fuzzy d=2, the generic (filter+boost+facet) path, the
+canonical query-generator shape, and 1M/6M-doc scale sections, on a
+synthetic jmdict-scale corpus (the real jmdict file is an LFS stub in the
+reference checkout; the corpus here reproduces its shape: zipfian
+vocabulary, multi-token titles).
 
 MEASUREMENT METHODOLOGY (round-2 rewrite; the round-1 harness over-reported
 by 2000x because `block_until_ready()` is a no-op through this device
@@ -23,12 +25,12 @@ plugin and a scalar D2H sync costs 30ms-7s):
   of engine speed, so the sequential metric characterises the link, not
   the engine.
 
-The reference publishes no numbers (BASELINE.md) and its Rust toolchain is
-not present in this image, so ``vs_baseline`` is reported against a measured
-single-host CPU proxy: the SAME kernels executed on the host CPU backend
-with the SAME scan-differencing methodology. BASELINE.json's acceptance is
->=10x single-core veloci QPS; the CPU proxy stands in for that baseline
-until the reference can be run.
+BASELINES (round 3): ``vs_baseline`` compares against the strictest of
+(a) the measured XLA-CPU proxy (same kernels on host CPU) and (b) the
+native single-core C++ baseline — the reference's resolve_token_to_anchor
++ top_n_sort hot path over the same arrays, including a storage-faithful
+delta+varint variant (native/baseline.cpp). The Rust reference itself is
+not runnable in this image (no cargo; jmdict is an LFS stub).
 
 Prints ONE JSON line:
   {"metric": "...", "value": N, "unit": "...", "vs_baseline": N}
@@ -48,10 +50,15 @@ N_DOCS = int(os.environ.get("BENCH_DOCS", "100000"))
 N_EXACT_QUERIES = int(os.environ.get("BENCH_EXACT_QUERIES", "200"))
 N_FUZZY_QUERIES = int(os.environ.get("BENCH_FUZZY_QUERIES", "64"))
 TOP_K = 10
+_START = time.time()
 
 
 def log(*args):
     print(*args, file=sys.stderr, flush=True)
+
+
+def budget_left() -> float:
+    return float(os.environ.get("BENCH_BUDGET_S", "2100")) - (time.time() - _START)
 
 
 BENCH_CONFIG = """
@@ -132,6 +139,256 @@ def measure_scan(make_body, n1: int, n2: int, retries: int = 2):
     return best
 
 
+def exact_query_ids(pers, vocab, nq, seed=99):
+    """Resolve nq zipfian exact query terms to (terms, tid_host) exactly as
+    the serving path would."""
+    rng = np.random.default_rng(seed)
+    dictionary = pers.get_dictionary("title")
+    terms = [str(t) for t in rng.choice(vocab[:5000], size=nq)]
+    tid_list = []
+    for term in terms:
+        ids = dictionary.get_ignore_case(term)
+        tid_list.append(int(ids[0]) if ids else 0)
+    return terms, np.asarray(tid_list, dtype=np.int32)
+
+
+def engine_exact(pers, tid_host, backend):
+    """Engine-only batched exact throughput with the SERVING path's
+    per-query capacity sub-bucketing: the scan body chains one
+    batched_single_term_topk dispatch per capacity bucket (zipfian: most
+    queries ride small buckets), exactly like search_batch does."""
+    import jax.numpy as jnp
+
+    from veloci_tpu.ops.postings import bucket_size
+    from veloci_tpu.ops.search_step import batched_single_term_topk
+
+    dev = pers.device_field("title")
+    ho = dev.host_offsets
+    counts = ho[tid_host + 1] - ho[tid_host]
+    sub = {}
+    for i, c in enumerate(counts):
+        sub.setdefault(bucket_size(max(int(c), 1)), []).append(i)
+    buckets = []
+    for cap, idxs in sorted(sub.items()):
+        buckets.append(
+            (
+                cap,
+                jnp.asarray(tid_host[idxs]),
+                jnp.full(len(idxs), 10.0, jnp.float32),
+            )
+        )
+    log(
+        "exact capacity buckets: "
+        + ", ".join(f"{cap}x{int(t.shape[0])}" for cap, t, _s in buckets)
+    )
+    offs_d, anc_d, sc_d = dev.offsets, dev.anchors, dev.scores01
+
+    def body(carry):
+        off = (carry * jnp.float32(1e-20)).astype(jnp.int32)
+        acc = jnp.float32(0.0)
+        for cap, tids, tscs in buckets:
+            _ids, scores, _nh = batched_single_term_topk(
+                offs_d, anc_d, sc_d, tids + off, tscs,
+                capacity=cap, k=min(TOP_K, cap),
+            )
+            acc = acc + scores[0, 0]
+        return acc * jnp.float32(1e-12)
+
+    n1, n2 = (3, 13) if backend == "cpu" else (5, 45)
+    per_iter, w1, w2 = measure_scan(body, n1, n2)
+    return per_iter, w1, w2
+
+
+def fuzzy_query_arrays(vocab, nq, seed=99):
+    from veloci_tpu.ops.levenshtein import encode_query
+
+    rng = np.random.default_rng(seed)
+    fuzzy_terms = []
+    for t in rng.choice(vocab[:2000], size=nq):
+        t = str(t)
+        if len(t) > 4:
+            t = t[:2] + "x" + t[3:]
+        fuzzy_terms.append(t)
+    queries = np.zeros((nq, 32), dtype=np.uint16)
+    qlens = np.zeros(nq, dtype=np.int32)
+    for row, term in enumerate(fuzzy_terms):
+        qq, ql = encode_query(term.lower())
+        queries[row] = qq
+        qlens[row] = ql
+    return fuzzy_terms, queries, qlens
+
+
+def generator_requests(pers, vocab, nq, seed=5):
+    """The canonical front-door workload: two-term free text through the
+    query generator -> auto-levenshtein fuzzy OR (and AND) trees."""
+    from veloci_tpu.query.generator import (
+        SearchQueryGeneratorParameters,
+        search_query,
+    )
+
+    rng = np.random.default_rng(seed)
+    reqs = []
+    qtexts = []
+    for i in range(nq):
+        a, b = (str(t) for t in rng.choice(vocab[:3000], size=2))
+        text = f"{a} AND {b}" if i % 4 == 0 else f"{a} {b}"
+        qtexts.append(text)
+        reqs.append(
+            search_query(
+                pers,
+                SearchQueryGeneratorParameters(search_term=text, top=TOP_K),
+            )
+        )
+    return qtexts, reqs
+
+
+def native_cpu_baseline(pers, tid_host, reps=20):
+    """Single-core C++ reference-style loop (native/baseline.cpp): raw-array
+    and storage-faithful (delta+varint decode) variants. Returns dict."""
+    from veloci_tpu.native import (
+        baseline_available,
+        baseline_encode_vint,
+        baseline_exact_topk,
+        baseline_exact_topk_vint,
+    )
+
+    if not baseline_available():
+        return {}
+    store = pers.anchor_scores["title.textindex.to_anchor_id_score"]
+    nq = len(tid_host)
+    tids = tid_host.reshape(nq, 1).astype(np.int32)
+    tscs = np.full((nq, 1), 10.0, np.float32)
+    tslots = np.zeros((nq, 1), np.int32)
+    out = {}
+    baseline_exact_topk(
+        store.offsets, store.anchors, store.scores, tids, tscs, tslots, TOP_K
+    )
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        baseline_exact_topk(
+            store.offsets, store.anchors, store.scores, tids, tscs, tslots, TOP_K
+        )
+    out["native_cpu_raw_qps"] = round(nq / ((time.perf_counter() - t0) / reps), 1)
+    idx = baseline_encode_vint(store.offsets, store.anchors, store.scores)
+    if idx is not None:
+        baseline_exact_topk_vint(idx, tids, tscs, TOP_K)
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            baseline_exact_topk_vint(idx, tids, tscs, TOP_K)
+        out["native_cpu_vint_qps"] = round(
+            nq / ((time.perf_counter() - t0) / reps), 1
+        )
+    return out
+
+
+def scale_summary(n_docs, backend) -> dict:
+    """Compact scale section (1M / 6M docs): build + upload + warmup + the
+    key engine/serving numbers, without the full 100k battery."""
+    import jax.numpy as jnp
+
+    from veloci_tpu import Persistence, Request
+    from veloci_tpu.search.batch import search_batch
+
+    out = {"num_docs": n_docs}
+    t0 = time.time()
+    corpus, vocab = build_corpus(n_docs)
+    out["corpus_gen_s"] = round(time.time() - t0, 1)
+    t0 = time.time()
+    pers = Persistence.create_from_str(corpus, BENCH_CONFIG)
+    build_s = time.time() - t0
+    out["build_s"] = round(build_s, 1)
+    out["index_build_mb_per_s"] = round(pers.bytes_indexed / build_s / 1e6, 2)
+    out["index_bytes"] = pers.heap_size_bytes()
+    del corpus
+    t0 = time.time()
+    pers.warmup()
+    out["warmup_s"] = round(time.time() - t0, 1)
+    log(f"[scale {n_docs}] built {build_s:.0f}s, warmup {out['warmup_s']:.0f}s")
+
+    terms, tid_host = exact_query_ids(pers, vocab, N_EXACT_QUERIES)
+    per_iter, _w1, _w2 = engine_exact(pers, tid_host, backend)
+    out["exact_batched_engine_qps"] = round(len(tid_host) / per_iter, 1)
+    log(
+        f"[scale {n_docs}] exact engine: {out['exact_batched_engine_qps']:.0f} QPS"
+    )
+
+    # generator-shape serving e2e
+    _qt, reqs = generator_requests(pers, vocab, min(100, N_EXACT_QUERIES))
+    search_batch(reqs, pers)  # warm
+    t0 = time.perf_counter()
+    search_batch(reqs, pers)
+    out["generator_serving_e2e_qps"] = round(
+        len(reqs) / (time.perf_counter() - t0), 1
+    )
+    log(
+        f"[scale {n_docs}] generator serving: "
+        f"{out['generator_serving_e2e_qps']:.0f} QPS"
+    )
+
+    # warm sequential p50 (link-dominated on this tunnel; diagnostic)
+    from veloci_tpu import search as search_one
+
+    req = Request.from_dict(
+        {"search_req": {"search": {"terms": [terms[0]], "path": "title"}}, "top": TOP_K}
+    )
+    search_one(req, pers)
+    lat = []
+    for t in terms[:10]:
+        r = Request.from_dict(
+            {"search_req": {"search": {"terms": [t], "path": "title"}}, "top": TOP_K}
+        )
+        q0 = time.perf_counter()
+        search_one(r, pers)
+        lat.append(time.perf_counter() - q0)
+    out["warm_seq_p50_ms"] = round(percentile(lat, 50) * 1e3, 1)
+
+    # cold start: save, then a fresh process loads + warms + answers one
+    # query — the reference's mmap-load warm path analog. Needs budget.
+    if os.environ.get("BENCH_COLDSTART", "1") != "0" and budget_left() > 400:
+        import subprocess
+        import tempfile
+
+        d = tempfile.mkdtemp(prefix="veloci_bench_")
+        t0 = time.time()
+        pers.save(d)
+        out["save_s"] = round(time.time() - t0, 1)
+        code = (
+            "import time, json, sys\n"
+            "t0 = time.time()\n"
+            "from veloci_tpu import Persistence, Request, search\n"
+            f"p = Persistence.load({d!r})\n"
+            "load_s = time.time() - t0\n"
+            "t0 = time.time()\n"
+            "p.warmup()\n"
+            "warm_s = time.time() - t0\n"
+            "t0 = time.time()\n"
+            "r = search(Request.from_dict({'search_req': {'search': "
+            f"{{'terms': [{terms[0]!r}], 'path': 'title'}}}}, 'top': {TOP_K}}}), p)\n"
+            "q_s = time.time() - t0\n"
+            "print(json.dumps({'load_s': round(load_s, 1), 'warmup_s': "
+            "round(warm_s, 1), 'first_query_s': round(q_s, 2), "
+            "'hits': len(r.data)}))\n"
+        )
+        try:
+            proc = subprocess.run(
+                [sys.executable, "-c", code],
+                capture_output=True,
+                text=True,
+                timeout=max(300, budget_left() * 0.8),
+                cwd=os.path.dirname(os.path.abspath(__file__)) or ".",
+            )
+            cold = json.loads(proc.stdout.strip().splitlines()[-1])
+            out["cold_start"] = cold
+            log(f"[scale {n_docs}] cold start: {cold}")
+        except Exception as e:
+            log(f"[scale {n_docs}] cold start failed: {e!r}")
+        finally:
+            import shutil
+
+            shutil.rmtree(d, ignore_errors=True)
+    return out
+
+
 def main() -> None:
     import jax
     import jax.numpy as jnp
@@ -187,52 +444,14 @@ def main() -> None:
         f"({pers.bytes_indexed / build_s / 1e6:.1f} MB/s indexed)"
     )
 
-    dictionary = pers.get_dictionary("title")
     dev = pers.device_field("title")
     num_docs = pers.num_docs
-    host_offsets = dev.host_offsets
 
     # ---- query sets ------------------------------------------------------
-    rng = np.random.default_rng(99)
-    exact_terms = [str(t) for t in rng.choice(vocab[:5000], size=N_EXACT_QUERIES)]
-    fuzzy_terms = []
-    for t in rng.choice(vocab[:2000], size=N_FUZZY_QUERIES):
-        t = str(t)
-        if len(t) > 4:
-            t = t[:2] + "x" + t[3:]
-        fuzzy_terms.append(t)
-
-    # term ids exactly as the serving path resolves them (search_batch prep)
-    tid_list = []
-    for term in exact_terms:
-        ids = dictionary.get_ignore_case(term)
-        tid_list.append(int(ids[0]) if ids else 0)
-    tid_host = np.asarray(tid_list, dtype=np.int32)
-    counts = host_offsets[tid_host + 1] - host_offsets[tid_host]
-    max_count = int(counts.max())
-    capacity = 1 << max(6, (max_count - 1).bit_length())
-    log(f"exact capacity bucket: {capacity} (max postings {max_count})")
-
-    from veloci_tpu.ops.search_step import batched_single_term_topk
-
-    tids = jnp.asarray(tid_host)
-    tscs = jnp.full(len(tid_list), 10.0, jnp.float32)
-    # materialise the device arrays OUTSIDE any trace
-    offs_d, anc_d, sc_d = dev.offsets, dev.anchors, dev.scores01
+    exact_terms, tid_host = exact_query_ids(pers, vocab, N_EXACT_QUERIES)
 
     # ---- engine-only batched exact throughput (the headline) -------------
-    def exact_body(carry):
-        # carry -> int offset (zero at runtime, opaque at compile time)
-        # perturbs the term ids so the posting slices cannot be hoisted
-        off = (carry * jnp.float32(1e-20)).astype(jnp.int32)
-        _ids, scores, _nh = batched_single_term_topk(
-            offs_d, anc_d, sc_d, tids + off, tscs,
-            capacity=capacity, k=TOP_K,
-        )
-        return scores[0, 0] * jnp.float32(1e-12)
-
-    n1, n2 = (3, 13) if backend == "cpu" else (5, 45)
-    per_iter, w1, w2 = measure_scan(exact_body, n1, n2)
+    per_iter, w1, w2 = engine_exact(pers, tid_host, backend)
     engine_ms_per_batch = per_iter * 1e3
     qps_batched = len(exact_terms) / per_iter
     log(
@@ -280,28 +499,24 @@ def main() -> None:
     )
 
     # ---- fuzzy d=2, batched ----------------------------------------------
-    # TPU: the batched banded Pallas sweep (dictionary read once per batch)
-    # at the capacity the serving path settles on; CPU: the XLA sweep.
+    # Serving route: prefetched batched sweep + the sorted tree kernel with
+    # per-query capacity sub-bucketing (search_batch). Engine-only: the
+    # fully-fused kernel at the serving-settled capacity AND the tree-path
+    # composition; report the better (both logged).
     from veloci_tpu.ops.fuzzy_step import (
         batched_fuzzy_search_topk,
         batched_fuzzy_search_topk_banded,
     )
-    from veloci_tpu.ops.levenshtein import encode_query
     from veloci_tpu.search.executor import fuzzy_start_capacity
 
-    fq = min(64 if backend != "cpu" else 8, len(fuzzy_terms))
-    fqueries = np.zeros((fq, 32), dtype=np.uint16)
-    fqlens = np.zeros(fq, dtype=np.int32)
-    for row, term in enumerate(fuzzy_terms[:fq]):
-        qq, ql = encode_query(term.lower())
-        fqueries[row] = qq
-        fqlens[row] = ql
+    fq = min(N_FUZZY_QUERIES if backend != "cpu" else 8, N_FUZZY_QUERIES)
+    fuzzy_terms, fqueries, fqlens = fuzzy_query_arrays(vocab, fq)
     fdists = jnp.asarray(np.full(fq, 2, dtype=np.int32))
     fqj, flj = jnp.asarray(fqueries), jnp.asarray(fqlens)
     qps_fuzzy_batched = 0.0
     fuzzy_ms_per_batch = 0.0
+    fuzzy_serving_qps = 0.0
     try:
-        # settle the serving path's sticky capacity hint with one real batch
         freqs = [
             Request.from_dict(
                 {
@@ -315,15 +530,21 @@ def main() -> None:
                     "top": TOP_K,
                 }
             )
-            for t in fuzzy_terms[:fq]
+            for t in fuzzy_terms
         ]
         fres = search_batch(freqs, pers)
         assert any(r.data for r in fres), "fuzzy serving returned no hits"
+        t0 = time.perf_counter()
+        search_batch(freqs, pers)
+        fuzzy_serving_qps = fq / (time.perf_counter() - t0)
+        log(f"[{backend}] fuzzy serving e2e: {fuzzy_serving_qps:.0f} QPS")
+
         fuzz_capacity = min(
             dev.fuzzy_capacity(256), fuzzy_start_capacity(pers, "title")
         )
         log(f"fuzzy resolve capacity (serving-settled): {fuzz_capacity}")
         chars_d, chars_t_d, lens_d = dev.chars, dev.chars_t, dev.lengths
+        offs_d, anc_d, sc_d = dev.offsets, dev.anchors, dev.scores01
 
         use_banded = backend == "tpu"
 
@@ -357,16 +578,15 @@ def main() -> None:
         log(f"fuzzy batched failed: {type(exc).__name__}: {exc}")
 
     # ---- generic batched: filter + Log10 boost + facet in ONE program ----
-    # BASELINE.json configs 3-5 (multi-term trees, facets+filters,
-    # boost-by-indexed-data): the batched generic kernel fuses the whole
-    # filtered+boosted+faceted batch into one dispatch (search/batch.py).
+    # BASELINE.json configs 3-5 via the round-3 sorted tree kernel
+    # (ops/tree_step.py) — the program search_batch actually dispatches.
     qps_generic = 0.0
     generic_ms = 0.0
     generic_serving_qps = 0.0
     try:
         from veloci_tpu.create import BOOST_VALID_TO_VALUE
-        from veloci_tpu.ops.generic_step import batched_generic_topk
         from veloci_tpu.ops.postings import bucket_size
+        from veloci_tpu.ops.tree_step import batched_tree_topk
         from veloci_tpu.search.facet import facet_matrix
 
         comb = pers.device_combined()
@@ -376,12 +596,6 @@ def main() -> None:
         cat_ho = np.asarray(cat_store.offsets)
 
         gq = len(tid_host)
-        g_tids = (tid_host + base_t).astype(np.int32)[:, None]  # [Q, 1]
-        g_tscs = np.full((gq, 1), 10.0, np.float32)
-        g_slots = np.zeros((gq, 1), np.int32)
-        # per-query filter: rotate over the 16 "cat" values. The 16 distinct
-        # masks build once (device-resident cache semantics of the serving
-        # path); per query only a mask index ships.
         masks = []
         for i in range(16):
             cid = int(cat_dict.get_ignore_case(f"c{i}")[0])
@@ -391,31 +605,50 @@ def main() -> None:
             m[fa] = True
             masks.append(m)
         fmask_stack = jnp.asarray(np.stack(masks))
-        fi_arr = (np.arange(gq) % 16).astype(np.int32)
         bv_j, pres_j = pers.device_boost("pop" + BOOST_VALID_TO_VALUE)
         fmat, _g = facet_matrix(pers, "cat")
-        g_tids_j = jnp.asarray(g_tids)
-        g_tscs_j, g_slots_j, fi_j = (
-            jnp.asarray(g_tscs), jnp.asarray(g_slots), jnp.asarray(fi_arr)
+        ho = dev.host_offsets
+        # per-query capacity sub-buckets, exactly like _run_generic_group
+        g_counts = ho[tid_host + 1] - ho[tid_host]
+        g_sub = {}
+        for i, c in enumerate(g_counts):
+            g_sub.setdefault(bucket_size(max(int(c), 1), 256), []).append(i)
+        g_buckets = []
+        for cap, idxs in sorted(g_sub.items()):
+            g_buckets.append(
+                (
+                    cap,
+                    jnp.asarray((tid_host[idxs] + base_t).astype(np.int32)[:, None]),
+                    jnp.asarray(np.full((len(idxs), 1), 10.0, np.float32)),
+                    jnp.asarray(np.zeros((len(idxs), 1), np.int32)),
+                    jnp.asarray(np.ones(len(idxs), np.int32)),
+                    jnp.asarray((np.asarray(idxs) % 16).astype(np.int32)),
+                )
+            )
+        log(
+            "generic buckets: "
+            + ", ".join(f"{cap}x{int(t.shape[0])}" for cap, t, *_r in g_buckets)
         )
+        offs_c, anc_c, sc_c = comb.offsets, comb.anchors, comb.scores01
 
         def generic_body(carry):
             off = (carry * jnp.float32(1e-20)).astype(jnp.int32)
-            _ids, scores, _nh, _fc = batched_generic_topk(
-                offs_d_comb, anc_d_comb, sc_d_comb,
-                g_tids_j + off, g_tscs_j, g_slots_j, fmask_stack, fi_j, None,
-                ((bv_j, pres_j, None),),
-                (fmat,),
-                capacity=capacity,
-                num_docs=num_docs,
-                k=TOP_K,
-                num_slots=1,
-                is_and=False,
-                boost_specs=(("Log10", 1.0, ()),),
-            )
-            return scores[0, 0] * jnp.float32(1e-12)
+            acc = jnp.float32(0.0)
+            for cap, t_j, s_j, sl_j, ng_j, fi_j in g_buckets:
+                _ids, scores, _nh, _fc = batched_tree_topk(
+                    offs_c, anc_c, sc_c,
+                    t_j + off, s_j, sl_j, ng_j,
+                    fmask_stack, fi_j, None,
+                    ((bv_j, pres_j, None),),
+                    (fmat,),
+                    capacity=cap,
+                    num_docs=num_docs,
+                    k=TOP_K,
+                    boost_specs=(("Log10", 1.0, ()),),
+                )
+                acc = acc + scores[0, 0]
+            return acc * jnp.float32(1e-12)
 
-        offs_d_comb, anc_d_comb, sc_d_comb = comb.offsets, comb.anchors, comb.scores01
         gn1, gn2 = (2, 6) if backend == "cpu" else (3, 13)
         per_g, _, _ = measure_scan(generic_body, gn1, gn2, retries=1)
         generic_ms = per_g * 1e3
@@ -456,11 +689,37 @@ def main() -> None:
     except Exception as exc:
         log(f"generic batched failed: {type(exc).__name__}: {exc}")
 
+    # ---- generator-shape serving (the canonical front door) --------------
+    # Free text -> auto-levenshtein fuzzy leaves expanded across fields,
+    # OR and AND-of-ORs (query_generator.rs:85-99) — round 2 ran these per
+    # request at ~30ms dispatch; round 3 batches them.
+    generator_serving_qps = 0.0
+    generator_fallbacks = None
+    try:
+        from veloci_tpu.search import stats as stats_mod
+
+        _qt, genreqs = generator_requests(pers, vocab, len(exact_terms))
+        search_batch(genreqs, pers)  # warm (sweep prefetch + kernels)
+        stats_mod.reset()
+        t0 = time.perf_counter()
+        search_batch(genreqs, pers)
+        generator_serving_qps = len(genreqs) / (time.perf_counter() - t0)
+        snap = stats_mod.snapshot()
+        generator_fallbacks = snap["paths"].get("per_request_fallback", 0)
+        log(
+            f"[{backend}] generator serving e2e ({len(genreqs)} reqs, "
+            f"fuzzy OR + AND-of-ORs): {generator_serving_qps:.0f} QPS "
+            f"({generator_fallbacks} fallbacks)"
+        )
+    except Exception as exc:
+        log(f"generator serving failed: {type(exc).__name__}: {exc}")
+
     # ---- suggest (reference suggest_multi, search_field.rs:194-219) ------
     suggest_qps = 0.0
     try:
         from veloci_tpu.search.executor import suggest as suggest_fn
 
+        rng = np.random.default_rng(99)
         sreqs = [
             Request.from_dict(
                 {
@@ -520,6 +779,14 @@ def main() -> None:
     except Exception as e:
         log(f"highlight bench failed: {e!r}")
 
+    # ---- native single-core C++ baseline (reference hot path) ------------
+    native = {}
+    try:
+        native = native_cpu_baseline(pers, tid_host)
+        log(f"native single-core baseline: {native}")
+    except Exception as e:
+        log(f"native baseline failed: {e!r}")
+
     # ---- CPU proxy baseline (same kernels + methodology on host CPU) -----
     vs_baseline = 1.0
     cpu_qps = None
@@ -533,6 +800,7 @@ def main() -> None:
             env["BENCH_EXACT_QUERIES"] = str(N_EXACT_QUERIES)
             env["BENCH_FUZZY_QUERIES"] = "4"
             env["BENCH_SKIP_CPU_PROXY"] = "1"
+            env["BENCH_SCALES"] = ""
             proc = subprocess.run(
                 ["python", "-c",
                  "import jax; jax.config.update('jax_platforms','cpu');"
@@ -543,9 +811,35 @@ def main() -> None:
             cpu_json = json.loads(proc.stdout.strip().splitlines()[-1])
             cpu_qps = cpu_json["value"]
             log(f"cpu proxy: {cpu_qps} QPS batched engine-only")
-            vs_baseline = qps_batched / cpu_qps
         except Exception as e:
             log(f"cpu proxy failed: {e!r}")
+
+    # vs_baseline against the STRICTEST available baseline
+    candidates = {}
+    if cpu_qps:
+        candidates["xla_cpu_proxy"] = cpu_qps
+    for k in ("native_cpu_raw_qps", "native_cpu_vint_qps"):
+        if native.get(k):
+            candidates[k] = native[k]
+    strictest = max(candidates.values()) if candidates else None
+    if strictest:
+        vs_baseline = qps_batched / strictest
+
+    # ---- scale sections (1M / 6M docs) -----------------------------------
+    scales = {}
+    default_scales = "" if backend == "cpu" else "1000000,6000000"
+    for s in os.environ.get("BENCH_SCALES", default_scales).split(","):
+        s = s.strip()
+        if not s:
+            continue
+        n = int(s)
+        if budget_left() < (200 if n <= 1_000_000 else 500):
+            log(f"skipping scale {n}: budget exhausted")
+            continue
+        try:
+            scales[str(n)] = scale_summary(n, backend)
+        except Exception as e:
+            log(f"scale {n} failed: {e!r}")
 
     result = {
         "metric": "jmdict_like_exact_top10_batched_engine_qps",
@@ -555,7 +849,7 @@ def main() -> None:
         "detail": {
             "backend": backend,
             "num_docs": num_docs,
-            "methodology": "on-device scan depth differencing (hoist-proof term-id perturbation); link cost cancels",
+            "methodology": "on-device scan depth differencing (hoist-proof term-id perturbation); link cost cancels; serving-style per-query capacity sub-buckets",
             "engine_ms_per_batch": round(engine_ms_per_batch, 4),
             "batch_size": len(exact_terms),
             "serving_e2e_qps": round(qps_serving, 1),
@@ -564,14 +858,28 @@ def main() -> None:
             "exact_seq_p99_ms": round(percentile(lat, 99) * 1e3, 3),
             "fuzzy_d2_batched_qps": round(qps_fuzzy_batched, 1),
             "fuzzy_ms_per_batch": round(fuzzy_ms_per_batch, 3),
+            "fuzzy_serving_e2e_qps": round(fuzzy_serving_qps, 1),
             "generic_batched_qps": round(qps_generic, 1),
             "generic_ms_per_batch": round(generic_ms, 3),
             "generic_serving_e2e_qps": round(generic_serving_qps, 1),
+            "generator_serving_e2e_qps": round(generator_serving_qps, 1),
+            "generator_fallbacks": generator_fallbacks,
             "suggest_qps": round(suggest_qps, 1),
             "highlight_qps": round(hl_qps, 1),
             "index_build_mb_per_s": round(pers.bytes_indexed / build_s / 1e6, 2),
+            "index_bytes": pers.heap_size_bytes(),
             "link_round_trip_ms": round(link_rt_ms, 3),
             "cpu_proxy_batched_qps": cpu_qps,
+            "baselines": {**native, "xla_cpu_proxy_qps": cpu_qps},
+            "vs_baseline_native_cpu": (
+                round(qps_batched / max(
+                    native.get("native_cpu_raw_qps", 0),
+                    native.get("native_cpu_vint_qps", 0),
+                ), 2)
+                if native
+                else None
+            ),
+            "scales": scales,
         },
     }
     print(json.dumps(result))

@@ -190,3 +190,25 @@ def test_device_path_explain_falls_back(pers, monkeypatch):
     )
     res = search(req, pers)
     assert res.data and res.explain
+
+
+def test_warmup_compiles_and_serves(pers, monkeypatch):
+    """Persistence.warmup uploads bundles + compiles serving buckets; the
+    next query answers correctly through the fused paths."""
+    import importlib
+
+    batch_mod = importlib.import_module("veloci_tpu.search.batch")
+    ex_mod = importlib.import_module("veloci_tpu.search.executor")
+    from veloci_tpu import Request, search
+
+    monkeypatch.setattr(batch_mod, "SMALL_DOCS", 1)
+    monkeypatch.setattr(ex_mod, "SMALL_DOCS", 1)
+    secs = pers.warmup()
+    assert secs >= 0.0
+    res = search(
+        Request.from_dict(
+            {"search_req": {"search": {"terms": ["majestät"], "path": "meanings.ger[]"}}}
+        ),
+        pers,
+    )
+    assert res.num_hits >= 1

@@ -272,3 +272,32 @@ def test_baseline_engine_parity():
         h.id for h in ref.data
     ]
     assert int(nh_b[0]) == ref.num_hits
+
+
+def test_doc_store_native_byte_parity():
+    """The one-pass C++ doc-store builder must produce BYTE-IDENTICAL blobs
+    to the Python DocStoreWriter (same blocks, offsets, codec, framing)."""
+    from veloci_tpu.doc_store import (
+        DocLoader,
+        DocStoreWriter,
+        build_doc_store_native,
+    )
+
+    docs = [json.dumps({"t": f"doc {i} " + "x" * (i % 37)}) for i in range(5000)]
+    docs.insert(100, "   ")  # whitespace-only lines are skipped
+    docs.insert(200, "")
+    data = "\n".join(docs)
+    native_blob = build_doc_store_native(data)
+    if native_blob is None:
+        pytest.skip("native doc store unavailable")
+    blob_n, num_docs_n, bytes_n = native_blob
+    w = DocStoreWriter()
+    w.add_docs(line for line in data.split("\n") if line.strip())
+    blob_p = w.finish()
+    assert num_docs_n == w.curr_id
+    assert bytes_n == w.bytes_indexed
+    assert blob_n == blob_p
+    loader = DocLoader(blob_n)
+    assert loader.num_docs == 5000
+    assert json.loads(loader.get_doc(0))["t"].startswith("doc 0")
+    assert json.loads(loader.get_doc(4999))["t"].startswith("doc 4999")

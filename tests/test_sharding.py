@@ -132,7 +132,7 @@ def test_sharded_fuzzy_match(pers):
 
     query = "w01"
     q, qlen = encode_query(query)
-    ids, dists = sharded_fuzzy_match(sd, q, qlen, distance=1)
+    ids, dists, prefixes, total = sharded_fuzzy_match(sd, q, qlen, distance=1)
     got = {int(i) for i in ids if 0 <= i < len(dictionary)}
     expected = {
         i

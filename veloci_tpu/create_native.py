@@ -46,12 +46,19 @@ def _get_fulltext(config: FieldsConfig, path: str) -> FulltextIndexOptions:
 def build_native(data_str: str, config: FieldsConfig) -> BuiltIndex:
     out = BuiltIndex()
 
-    # pass 0: doc store (host, zlib blocks)
-    writer = DocStoreWriter()
-    writer.add_docs(line for line in data_str.split("\n") if line.strip())
-    out.doc_store = writer.finish()
-    out.num_docs = writer.curr_id
-    out.bytes_indexed = writer.bytes_indexed
+    # pass 0: doc store — ONE native pass (line split + block assembly + LZ
+    # in C++) with the Python writer as fallback/reference implementation
+    from .doc_store import build_doc_store_native
+
+    built_ds = build_doc_store_native(data_str)
+    if built_ds is not None:
+        out.doc_store, out.num_docs, out.bytes_indexed = built_ds
+    else:
+        writer = DocStoreWriter()
+        writer.add_docs(line for line in data_str.split("\n") if line.strip())
+        out.doc_store = writer.finish()
+        out.num_docs = writer.curr_id
+        out.bytes_indexed = writer.bytes_indexed
 
     def get_path_config(path: str):
         opts = _get_fulltext(config, path)

@@ -204,3 +204,28 @@ class DocLoader:
     def iter_docs(self) -> Iterable[str]:
         for i in range(self.num_docs):
             yield self.get_doc(i)
+
+
+def build_doc_store_native(data_str: str):
+    """Whole doc store blob in ONE native pass (line split + block assembly
+    + LZ compression in C++, native/baseline.cpp) — byte-identical to
+    DocStoreWriter for the default codec. Returns
+    (blob, num_docs, bytes_indexed) or None (caller falls back to the
+    Python writer)."""
+    if _pick_codec() != _CODEC_LZ:
+        return None
+    from .native import doc_store_body
+
+    r = doc_store_body(data_str.encode("utf-8"), FLUSH_THRESHOLD)
+    if r is None:
+        return None
+    body, rows, num_docs, bytes_indexed = r
+    tail = np.ascontiguousarray(rows, dtype=np.uint64).tobytes()
+    blob = (
+        body
+        + tail
+        + len(tail).to_bytes(8, "little")
+        + num_docs.to_bytes(8, "little")
+        + _MAGIC
+    )
+    return blob, num_docs, bytes_indexed

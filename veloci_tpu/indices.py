@@ -201,13 +201,27 @@ class TermDictionary:
     exact / prefix lookup as contiguous ranges.
     """
 
-    def __init__(self, terms: Sequence[str]):
-        self.terms: List[str] = list(terms)
+    def __init__(self, terms):
+        # terms may be a list OR a lazy blob-backed sequence (native builds
+        # pass the C++ term blob through untouched — materialising 100k+
+        # Python strings is pure build-time overhead; queries force it on
+        # first dictionary access)
+        self._terms_src = terms
+        self._terms: Optional[List[str]] = None
+        self._n = len(terms)
         # case-insensitive view built lazily (costs a sort of all terms —
         # only needed once queries arrive, not at build time)
         self._lower_cache = None
         self._char_matrix: Optional[np.ndarray] = None
         self._char_lengths: Optional[np.ndarray] = None
+
+    @property
+    def terms(self) -> List[str]:
+        if self._terms is None:
+            src = self._terms_src
+            self._terms = src if isinstance(src, list) else list(src)
+            self._terms_src = None
+        return self._terms
 
     def _lower_view(self):
         if self._lower_cache is None:
@@ -229,7 +243,7 @@ class TermDictionary:
         return self._lower_view()[2]
 
     def __len__(self) -> int:
-        return len(self.terms)
+        return self._n  # does not force materialisation
 
     # --- exact / prefix lookup -------------------------------------------
     def get(self, term: str) -> Optional[int]:

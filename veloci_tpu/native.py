@@ -41,6 +41,9 @@ def _source_digest(src: Path) -> str:
 
 
 _SOURCES = ("indexer.cpp", "baseline.cpp")
+# -march=native: the indexer/doc-store/baseline run on the build host only
+# (the cached .so is keyed by source + flags, rebuilt per machine)
+_CXX_FLAGS = ("-O3", "-march=native", "-std=c++17", "-shared", "-fPIC")
 
 
 def _so_path() -> Path:
@@ -54,6 +57,7 @@ def _so_path() -> Path:
     import hashlib
 
     h = hashlib.sha256()
+    h.update(" ".join(_CXX_FLAGS).encode())
     for name in _SOURCES:
         src = _NATIVE_DIR / name
         if src.exists():
@@ -89,16 +93,7 @@ def _build_lib(so_path: Path) -> bool:
         so_path.parent.mkdir(parents=True, exist_ok=True)
         tmp = so_path.with_suffix(".tmp.so")
         subprocess.run(
-            [
-                "g++",
-                "-O2",
-                "-std=c++17",
-                "-shared",
-                "-fPIC",
-                "-o",
-                str(tmp),
-            ]
-            + [str(s) for s in srcs],
+            ["g++", *_CXX_FLAGS, "-o", str(tmp)] + [str(s) for s in srcs],
             check=True,
             capture_output=True,
         )
@@ -318,10 +313,10 @@ def index_ndjson(data: str, get_path_config, score_paths=None) -> tuple:
             blen = lib.vl_terms_blob(handle, p, ctypes.byref(out))
             blob = ctypes.string_at(out, blen)
             nt = lib.vl_num_terms(handle, p)
-            # NB: decode by term count, not blob truthiness — a single empty
-            # term ("" is a valid text value) yields an empty blob
-            terms = blob.decode("utf-8").split("\x00") if nt > 0 else []
-            assert len(terms) == nt, (name, len(terms), nt)
+            # terms stay a lazy blob-backed sequence: decoding 100k+ Python
+            # strings is pure build-time overhead; the first dictionary
+            # access (a query) forces it
+            terms = _LazyTerms(blob, int(nt))
             nl = lib.vl_num_leaves(handle, p)
             ntk = lib.vl_num_tokens(handle, p)
             packed = None
@@ -537,6 +532,37 @@ def baseline_exact_topk(
     return out_ids, out_scores, out_hits
 
 
+class _LazyTerms:
+    """Blob-backed term sequence: defers the utf-8 decode + NUL split of the
+    native term blob until first access (queries force it; builds never do).
+
+    NB: decode by term COUNT, not blob truthiness — a single empty term
+    ("" is a valid text value) yields an empty blob."""
+
+    __slots__ = ("_blob", "_n", "_list")
+
+    def __init__(self, blob: bytes, n: int):
+        self._blob, self._n, self._list = blob, n, None
+
+    def __len__(self) -> int:
+        return self._n
+
+    def _force(self):
+        if self._list is None:
+            self._list = (
+                self._blob.decode("utf-8").split("\x00") if self._n else []
+            )
+            assert len(self._list) == self._n, (len(self._list), self._n)
+            self._blob = b""
+        return self._list
+
+    def __getitem__(self, i):
+        return self._force()[i]
+
+    def __iter__(self):
+        return iter(self._force())
+
+
 class VintBaselineIndex:
     """Reference-storage (delta+varint) encoding of an anchor-score CSR for
     the vint baseline (`vbl_exact_topk_vint`) — see native/baseline.cpp."""
@@ -603,3 +629,43 @@ def baseline_exact_topk_vint(index: VintBaselineIndex, term_ids, term_scores, to
         out_hits.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
     )
     return out_ids, out_scores, out_hits
+
+
+def doc_store_body(data: bytes, flush_threshold: int):
+    """One-pass native doc-store body builder (native/baseline.cpp
+    vbl_doc_store_body). Returns (body bytes, index_rows uint64 [B,3],
+    num_docs, bytes_indexed) or None if the library is unavailable."""
+    lib = _load()
+    if lib is None or not hasattr(lib, "vbl_doc_store_body"):
+        return None
+    n = len(data)
+    nlines = data.count(b"\n") + 1
+    out_cap = n + n // 64 + 16 * nlines + (1 << 16)
+    max_blocks = nlines + 2
+    out = np.zeros(out_cap, dtype=np.uint8)
+    idx = np.zeros(max_blocks * 3, dtype=np.uint64)
+    n_blocks = ctypes.c_int64(0)
+    num_docs = ctypes.c_int64(0)
+    bytes_indexed = ctypes.c_int64(0)
+    lib.vbl_doc_store_body.restype = ctypes.c_int64
+    size = lib.vbl_doc_store_body(
+        data,
+        ctypes.c_int64(n),
+        ctypes.c_int32(flush_threshold),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        ctypes.c_int64(out_cap),
+        idx.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
+        ctypes.c_int64(max_blocks),
+        ctypes.byref(n_blocks),
+        ctypes.byref(num_docs),
+        ctypes.byref(bytes_indexed),
+    )
+    if size < 0:
+        return None
+    rows = idx[: n_blocks.value * 3].reshape(-1, 3)
+    return (
+        out[:size].tobytes(),
+        rows,
+        int(num_docs.value),
+        int(bytes_indexed.value),
+    )

@@ -88,8 +88,14 @@ def _select_resolve_sorted(
     score = jnp.where(is_prefix, prefix_score, plain_score)
     masked = jnp.where(match, score, -jnp.inf)
 
-    # select best max_terms matched terms on-device
-    sel_scores, sel_ids = jax.lax.top_k(masked, max_terms)
+    # select best max_terms matched terms on-device. The two-stage block
+    # selection (ops/topk.topk_positions) replaces a flat
+    # `lax.top_k(masked, 256)` — measured 111 us/query over a 117k-term
+    # dictionary, more than the Levenshtein sweep itself; the block pass is
+    # one streaming max + a small top_k
+    from .topk import topk_positions
+
+    sel_ids, sel_scores = topk_positions(masked, max_terms)
     sel_valid = jnp.isfinite(sel_scores)
     num_keys = offsets.shape[0] - 2
     term_ids = jnp.where(sel_valid & (sel_ids < num_keys), sel_ids, -1).astype(jnp.int32)

@@ -47,6 +47,11 @@ def _precompute_boost(bv, pres, spec):
     mirroring RequestBoostPart (reference boost.rs:283-379); the expression
     add vector (if any) is precomputed by the caller and passed as ``bv_expr``
     inside spec position 3 (or None).
+
+    For the common modes (mul/add, no skip_when_score) the presence mask
+    FOLDS into the factor arrays (absent -> multiplier 1 / adder 0), so the
+    gathered-candidate kernels read ONE array per boost instead of three —
+    per-element gathers are the dominant kernel cost on TPU.
     """
     fun, param, skip, expr_add = spec
     b = bv + jnp.float32(param or 0.0)
@@ -62,14 +67,29 @@ def _precompute_boost(bv, pres, spec):
         fac, mode = b, "replace"
     else:
         fac, mode = None, "none"
-    return (mode, fac, pres, tuple(skip or ()), expr_add)
+    folded = None
+    if not skip and mode in ("mul", "add", "none"):
+        if mode == "mul":
+            m = jnp.where(pres, fac, jnp.float32(1.0))
+            a = (
+                jnp.where(pres, expr_add, jnp.float32(0.0))
+                if expr_add is not None
+                else None
+            )
+        else:  # add / none
+            base = fac if mode == "add" else jnp.zeros_like(bv)
+            add_vec = base + expr_add if expr_add is not None else base
+            m = None
+            a = jnp.where(pres, add_vec, jnp.float32(0.0))
+        folded = (m, a)
+    return (mode, fac, pres, tuple(skip or ()), expr_add, folded)
 
 
 def _apply_boost(dense, pre):
     """Elementwise boost application (apply_boost_dense_device parity:
     only existing hits with a present boost value are boosted;
     skip_when_score exempts listed scores; result floored at HIT_EPS)."""
-    mode, fac, pres, skip, expr_add = pre
+    mode, fac, pres, skip, expr_add, _folded = pre
     if mode == "mul":
         boosted = dense * fac
     elif mode == "add":

@@ -108,15 +108,22 @@ def select_matches(
     distance: jax.Array,  # scalar int32
     max_matches: int,
 ):
-    """Top-M match selection from precomputed sweep outputs (device-side)."""
+    """Top-M match selection from precomputed sweep outputs (device-side).
+
+    Uses the two-stage block selection (ops/topk.topk_positions) — a flat
+    `lax.top_k` over the whole dictionary was measured at ~111 us/query at
+    117k terms, dominating the fuzzy path."""
+    from .topk import topk_positions
+
     match = crit <= distance
     total = jnp.sum(match, dtype=jnp.int32)
     key = jnp.where(match, dist, _BIG)
-    neg, sel_ids = jax.lax.top_k(-key, max_matches)
-    sel_match = -neg < _BIG
+    sel_ids, neg = topk_positions(-key.astype(jnp.float32), max_matches)
+    sel_match = jnp.isfinite(neg) & (-neg < _BIG)
     sel_ids = jnp.where(sel_match, sel_ids, -1)
-    sel_dist = jnp.where(sel_match, dist[sel_ids], _BIG)
-    sel_prefix = jnp.where(sel_match, is_prefix[sel_ids], False)
+    safe = jnp.where(sel_match, sel_ids, 0)
+    sel_dist = jnp.where(sel_match, dist[safe], _BIG)
+    sel_prefix = jnp.where(sel_match, is_prefix[safe], False)
     return sel_ids, sel_dist, sel_prefix, total
 
 
@@ -141,15 +148,7 @@ def sweep_select(
         term_chars, term_lens, query, query_len
     )
     crit = jnp.where(use_prefix_criterion, prefix_dist, dist)
-    match = crit <= distance
-    total = jnp.sum(match, dtype=jnp.int32)
-    key = jnp.where(match, dist, _BIG)
-    neg, sel_ids = jax.lax.top_k(-key, max_matches)
-    sel_match = -neg < _BIG
-    sel_ids = jnp.where(sel_match, sel_ids, -1)
-    sel_dist = jnp.where(sel_match, dist[sel_ids], _BIG)
-    sel_prefix = jnp.where(sel_match, is_prefix[sel_ids], False)
-    return sel_ids, sel_dist, sel_prefix, total
+    return select_matches(dist, is_prefix, crit, distance, max_matches)
 
 
 def levenshtein_distance_host(a: str, b: str) -> int:

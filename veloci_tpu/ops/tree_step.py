@@ -162,9 +162,18 @@ def candidates_topk(a_s: jax.Array, final: jax.Array, k: int):
 def _apply_boost_gathered(final, a_s, pre):
     """Gathered-candidate variant of generic_step._apply_boost: the per-doc
     factor arrays (precomputed once per batch) are read only at candidate
-    anchors."""
-    mode, fac, pres, skip, expr_add = pre
+    anchors. Common modes use the presence-folded arrays — ONE gather per
+    boost instead of three (gathers dominate kernel cost)."""
+    mode, fac, pres, skip, expr_add, folded = pre
     safe = jnp.clip(a_s, 0, pres.shape[0] - 1)
+    if folded is not None:
+        m, a = folded
+        boosted = final * m[safe] if m is not None else final
+        if a is not None:
+            boosted = boosted + a[safe]
+        return jnp.where(
+            final > 0, jnp.maximum(boosted, _HIT_EPS), final
+        )
     fac_g = fac[safe] if fac is not None else None
     pres_g = pres[safe]
     if mode == "mul":

@@ -151,6 +151,87 @@ class MeshContext:
             self.boosts[boost_path] = cached
         return cached
 
+    def sharded_dict(self, field: str):
+        """Term-axis-sharded fuzzy sweep dictionary (lazy, cached)."""
+        cached = getattr(self, "_sharded_dicts", None)
+        if cached is None:
+            cached = self._sharded_dicts = {}
+        sd = cached.get(field)
+        if sd is None:
+            from .sharding import ShardedDictionary
+
+            dictionary = self.persistence.get_dictionary(field)
+            chars, lengths = dictionary.char_matrix()
+            sd = ShardedDictionary(chars, lengths, self.mesh)
+            cached[field] = sd
+        return sd
+
+    def fuzzy_match(self, field: str, lower_term: str, distance: int,
+                    starts_with: bool = False):
+        """Mesh fuzzy term matching: per-shard sweep over the term-sharded
+        dictionary, ICI all_gather of the matches — the serving-path use of
+        `sharded_fuzzy_match` (round 2 exercised it only in the dryrun).
+        Returns (ids asc, dists, prefixes) over GLOBAL term ids."""
+        from ..ops.levenshtein import encode_query
+        from .sharding import sharded_fuzzy_match
+
+        sd = self.sharded_dict(field)
+        q, qlen = encode_query(lower_term)
+        mm = 256
+        while True:
+            ids, dists, prefixes, total = sharded_fuzzy_match(
+                sd, q, qlen, distance,
+                max_matches_per_shard=mm, starts_with=starts_with,
+            )
+            # conservative: a global total <= mm guarantees no single shard
+            # clipped its per-shard window
+            if total <= mm or mm >= sd.terms_per_shard:
+                break
+            mm = min(sd.terms_per_shard, mm * 4)
+        keep = ids >= 0
+        ids, dists, prefixes = ids[keep], dists[keep], prefixes[keep]
+        order = np.argsort(ids, kind="stable")
+        return (
+            ids[order].astype(np.int64),
+            dists[order].astype(np.int64),
+            prefixes[order].astype(bool),
+        )
+
+    def filter_mask_stack(self, skey: tuple, node_of: dict):
+        """Stack of DISTINCT document-sharded filter masks [NF_pad, D, dps]
+        (cached device-resident; per batch only mask indices ship) — the
+        mesh twin of search/batch._filter_mask_stack. ``skey`` is the sorted
+        tuple of filter tree keys; ``node_of`` maps key -> filter node."""
+        import jax
+        import jax.numpy as jnp
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from ..ops.postings import bucket_size
+        from ..search.batch import _filter_anchor_list
+
+        memo = getattr(self, "_filter_stacks", None)
+        if memo is None:
+            memo = self._filter_stacks = {}
+        stack = memo.get(skey)
+        if stack is None:
+            masks = []
+            for k in skey:
+                anchors = _filter_anchor_list(self.persistence, node_of[k])
+                m = np.zeros(self.d * self.dps, dtype=bool)
+                m[anchors[anchors < self.num_docs]] = True
+                masks.append(m.reshape(self.d, self.dps))
+            nf_pad = bucket_size(len(masks), 4)
+            while len(masks) < nf_pad:
+                masks.append(np.zeros((self.d, self.dps), dtype=bool))
+            arr = np.stack(masks, axis=0)  # [NF, D, dps]
+            stack = jax.device_put(
+                arr, NamedSharding(self.mesh, P(None, "d", None))
+            )
+            if len(memo) > 64:
+                memo.clear()
+            memo[skey] = stack
+        return stack
+
     # ------------------------------------------------------------- kernels
     def resolve_leaf(self, field: str, term_ids, term_scores):
         """Matched term ids -> sharded dense [D, dps] score plane."""
@@ -303,7 +384,8 @@ class MeshContext:
         tid_arr: np.ndarray,  # [Q, T] int32 global combined ids (pad -1)
         tsc_arr: np.ndarray,  # [Q, T] f32
         sl_arr: np.ndarray,  # [Q, T] int32
-        fa_arr,  # [Q, F] int32 GLOBAL anchor ids (pad num_docs) | None
+        fmask_stack,  # [NF, D, dps] bool sharded over d | None (cached)
+        fi_arr,  # [Q] int32 into fmask_stack | None
         pa_arr,  # [Q, P] int32 GLOBAL anchor ids (pad num_docs) | None
         boost_key: tuple,  # ((path, fun, param, skip, expr), ...)
         facet_fields: tuple,
@@ -312,11 +394,15 @@ class MeshContext:
         k: int,
         capacity: int,
     ):
-        """A batch of filtered/boosted/faceted/phrase-boosted exact-tree
-        queries over the mesh in ONE shard_map program: per-shard local
-        dense planes, elementwise boosts on sharded columns, local facet
-        matmul + `psum`, exact per-shard top-k merged over ICI `all_gather`
-        — the multichip twin of ops/generic_step.batched_generic_topk."""
+        """A batch of filtered/boosted/faceted/phrase-boosted tree queries
+        over the mesh in ONE shard_map program: per-shard local dense
+        planes, cached per-shard filter masks (index per query — the
+        FilterChannel broadcast as resident sharded vectors), elementwise
+        boosts on sharded columns, local facet matmul + `psum`, exact
+        per-shard top-k merged over ICI `all_gather`. When the mesh has a
+        ``q`` axis the query batch additionally splits across it (each q
+        row evaluates its slice; results all_gather over ``q``) — the
+        multichip twin of ops/generic_step.batched_generic_topk."""
         import jax
         import jax.numpy as jnp
         from jax.sharding import PartitionSpec as P
@@ -335,6 +421,34 @@ class MeshContext:
         d = self.d
         kk = min(k, dps)
         km = min(k, kk * d)
+        qsh = (
+            self.mesh.shape["q"]
+            if "q" in self.mesh.axis_names and self.mesh.shape["q"] > 1
+            else 1
+        )
+        if qsh > 1 and tid_arr.shape[0] % qsh:
+            # pad the query batch to a q-axis multiple
+            pad = qsh - tid_arr.shape[0] % qsh
+            tid_arr = np.concatenate(
+                [tid_arr, np.full((pad, tid_arr.shape[1]), -1, np.int32)]
+            )
+            tsc_arr = np.concatenate(
+                [tsc_arr, np.zeros((pad, tsc_arr.shape[1]), np.float32)]
+            )
+            sl_arr = np.concatenate(
+                [sl_arr, np.zeros((pad, sl_arr.shape[1]), np.int32)]
+            )
+            if fi_arr is not None:
+                fi_arr = np.concatenate([fi_arr, np.zeros(pad, np.int32)])
+            if pa_arr is not None:
+                pa_arr = np.concatenate(
+                    [
+                        pa_arr,
+                        np.full(
+                            (pad, pa_arr.shape[1]), self.num_docs, np.int32
+                        ),
+                    ]
+                )
 
         boost_cols = []
         for bp, fun, param, skip, expr in boost_key:
@@ -358,7 +472,7 @@ class MeshContext:
         jkey = (
             "generic",
             tid_arr.shape,
-            fa_arr.shape if fa_arr is not None else None,
+            tuple(fmask_stack.shape) if fmask_stack is not None else None,
             pa_arr.shape if pa_arr is not None else None,
             boost_key,  # full key: in_specs depend on expression presence
             tuple(facet_fields),
@@ -370,7 +484,8 @@ class MeshContext:
         fn = self._generic_jit.get(jkey)
         if fn is None:
 
-            def step(offs, anc, sc, tids, tscs, slots, fa, pa, bcols, fmats):
+            def step(offs, anc, sc, tids, tscs, slots, fmasks, fidx, pa,
+                     bcols, fmats):
                 shard = jax.lax.axis_index("d").astype(jnp.int32)
                 local_base = shard * dps
                 pre_boosts = tuple(
@@ -380,20 +495,14 @@ class MeshContext:
                     for (bv, pres, ea), spec in zip(bcols, boost_specs)
                 )
 
-                def one(tid, tsc, slot, fanch, panch):
+                def one(tid, tsc, slot, fi, panch):
                     dense = tree_dense(
                         offs[0], anc[0], sc[0], tid, tsc, slot, capacity,
                         dps, num_slots, is_and,
                     )
-                    if fanch is not None:
-                        loc = fanch - local_base
-                        loc = jnp.where((loc >= 0) & (loc < dps), loc, dps)
-                        mask = (
-                            jnp.zeros(dps + 1, dtype=bool)
-                            .at[loc]
-                            .set(True)[:dps]
-                        )
-                        dense = jnp.where(mask, dense, 0.0)
+                    if fi is not None:
+                        # cached per-shard mask, selected by index
+                        dense = jnp.where(fmasks[fi, 0], dense, 0.0)
                     for pre in pre_boosts:
                         dense = _apply_boost(dense, pre)
                     if panch is not None:
@@ -404,10 +513,12 @@ class MeshContext:
 
                 in_axes = (
                     0, 0, 0,
-                    0 if fa is not None else None,
+                    0 if fidx is not None else None,
                     0 if pa is not None else None,
                 )
-                dense_b = jax.vmap(one, in_axes=in_axes)(tids, tscs, slots, fa, pa)
+                dense_b = jax.vmap(one, in_axes=in_axes)(
+                    tids, tscs, slots, fidx, pa
+                )
 
                 def tk(local):
                     ids, scores = topk_dense_exact(local, kk)
@@ -435,18 +546,34 @@ class MeshContext:
                     ).astype(jnp.int32)
                     for m in fmats
                 )
+                if qsh > 1:
+                    # re-assemble the full batch across the q axis
+                    ids_q = jax.lax.all_gather(ids_q, "q").reshape(
+                        -1, ids_q.shape[-1]
+                    )
+                    scores_q = jax.lax.all_gather(scores_q, "q").reshape(
+                        -1, scores_q.shape[-1]
+                    )
+                    num_hits = jax.lax.all_gather(num_hits, "q").reshape(-1)
+                    counts = tuple(
+                        jax.lax.all_gather(c, "q").reshape(-1, c.shape[-1])
+                        for c in counts
+                    )
                 return ids_q[None], scores_q[None], num_hits[None], counts
 
             n_mats = len(mats)
+            qspec2 = P("q", None) if qsh > 1 else P(None, None)
+            qspec1 = P("q") if qsh > 1 else P(None)
             fn = jax.jit(
                 jax.shard_map(
                     step,
                     mesh=self.mesh,
                     in_specs=(
                         P("d", None), P("d", None), P("d", None),  # CSR
-                        P(None, None), P(None, None), P(None, None),  # queries
-                        P(None, None) if fa_arr is not None else None,
-                        P(None, None) if pa_arr is not None else None,
+                        qspec2, qspec2, qspec2,  # queries
+                        P(None, "d", None) if fmask_stack is not None else None,
+                        qspec1 if fi_arr is not None else None,
+                        qspec2 if pa_arr is not None else None,
                         tuple(
                             (P("d", None), P("d", None),
                              P("d", None) if ea is not None else None)
@@ -474,7 +601,8 @@ class MeshContext:
         return fn(
             sf.offsets, sf.anchors, sf.scores01,
             jnp.asarray(tid_arr), jnp.asarray(tsc_arr), jnp.asarray(sl_arr),
-            jnp.asarray(fa_arr) if fa_arr is not None else None,
+            fmask_stack,
+            jnp.asarray(fi_arr) if fi_arr is not None else None,
             jnp.asarray(pa_arr) if pa_arr is not None else None,
             tuple(boost_cols),
             tuple(mats),

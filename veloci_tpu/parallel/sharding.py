@@ -138,10 +138,13 @@ def sharded_fuzzy_match(
     query_len: int,
     distance: int,
     max_matches_per_shard: int = 256,
+    starts_with: bool = False,
 ):
     """Distributed fuzzy term match: per-shard Levenshtein sweep + top-M
     select, all_gather of the per-shard matches. Returns
-    (term_ids [D*M] global ids or -1, distances [D*M])."""
+    (term_ids [D*M] global ids or -1, distances [D*M], is_prefix [D*M],
+    total_matches). The mesh serving path feeds these into the same field
+    search the single-chip path uses (field_search._match_fuzzy_device)."""
     from ..ops.levenshtein import sweep_select
 
     mesh = dictionary.mesh
@@ -150,33 +153,40 @@ def sharded_fuzzy_match(
 
     def step(chars, lens, q, qlen, dist):
         chars, lens = chars[0], lens[0]
-        sel_ids, sel_dist, _sel_prefix, _total = sweep_select(
-            chars, lens, q, qlen, dist, jnp.bool_(False),
+        sel_ids, sel_dist, sel_prefix, total = sweep_select(
+            chars, lens, q, qlen, dist, jnp.bool_(starts_with),
             max_matches=max_matches_per_shard,
         )
         base = jax.lax.axis_index("d").astype(jnp.int32) * per
         gids = jnp.where(sel_ids >= 0, sel_ids + base, -1)
         all_ids = jax.lax.all_gather(gids, "d").reshape(-1)
         all_dist = jax.lax.all_gather(sel_dist, "d").reshape(-1)
-        return all_ids[None], all_dist[None]
+        all_prefix = jax.lax.all_gather(sel_prefix, "d").reshape(-1)
+        all_total = jax.lax.psum(total, "d")
+        return all_ids[None], all_dist[None], all_prefix[None], all_total[None]
 
     fn = jax.jit(
         jax.shard_map(
             step,
             mesh=mesh,
             in_specs=(P("d", None, None), P("d", None), P(), P(), P()),
-            out_specs=(P(None, None), P(None, None)),
+            out_specs=(P(None, None), P(None, None), P(None, None), P(None)),
             check_vma=False,
         )
     )
-    ids, dists = fn(
+    ids, dists, prefixes, total = fn(
         dictionary.chars,
         dictionary.lengths,
         jnp.asarray(query),
         jnp.int32(query_len),
         jnp.int32(distance),
     )
-    return np.asarray(ids[0]), np.asarray(dists[0])
+    return (
+        np.asarray(ids[0]),
+        np.asarray(dists[0]),
+        np.asarray(prefixes[0]),
+        int(np.asarray(total[0])),
+    )
 
 
 def _local_resolve_dense(

@@ -66,6 +66,13 @@ def enable_compilation_cache() -> None:
     try:
         import jax
 
+        if jax.default_backend() == "cpu" and not os.environ.get(
+            "VELOCI_COMPILE_CACHE_DIR"
+        ):
+            # CPU AOT artifacts are machine-feature-pinned (reload warnings /
+            # SIGILL risk) and CPU compiles are fast anyway — cache only the
+            # accelerator programs unless explicitly pointed at a dir
+            return
         cache_dir = os.environ.get(
             "VELOCI_COMPILE_CACHE_DIR",
             os.path.join(

@@ -205,7 +205,9 @@ def _prefetch_request_fuzzy(persistence, requests) -> None:
 
 def _tree_spec_flat(persistence, comb, node):
     """Flat tree -> (gtids, num_slots, is_and) with UNPACKED slots — the
-    round-2 spec shape still used by the mesh shard kernel."""
+    round-2 spec shape still used by the mesh shard kernel. Fuzzy leaves
+    qualify (their matches resolve through the memoized field search, which
+    on a mesh runs the term-sharded sweep)."""
     if node is None:
         return None
     if node.kind == SearchRequest.SEARCH:
@@ -217,9 +219,7 @@ def _tree_spec_flat(persistence, comb, node):
         is_and = node.kind == SearchRequest.AND
     else:
         return None
-    if not all(
-        _leaf_ok(p) and (p.levenshtein_distance or 0) == 0 for p in leaves
-    ):
+    if not all(_leaf_ok(p) for p in leaves):
         return None
     if is_and:
         slot_of = list(range(len(leaves)))
@@ -1044,14 +1044,20 @@ def _run_fuzzy_group(persistence, field, entries, results, start) -> None:
         chunk_q = 128
     else:
         chunk_q = max(1, int(256e6 // max(n_pad * (l + 1) * 4, 1)))
-    for base in range(0, len(entries), chunk_q):
-        chunk = entries[base : base + chunk_q]
-        qc = len(chunk)
-        queries = np.zeros((qc, 32), dtype=np.uint16)
-        qlens = np.zeros(qc, dtype=np.int32)
-        dists = np.zeros(qc, dtype=np.int32)
+    step = (
+        batched_fuzzy_search_topk_banded if use_banded else batched_fuzzy_search_topk
+    )
+    chars_arg = dev.chars_t if use_banded else dev.chars
+
+    def dispatch(chunk_rows, capacity, mt):
+        """One fused dispatch for a list of (qi, req, term, distance)."""
+        qc = len(chunk_rows)
+        q_pad = bucket_size(qc, 8)
+        queries = np.zeros((q_pad, 32), dtype=np.uint16)
+        qlens = np.zeros(q_pad, dtype=np.int32)
+        dists = np.zeros(q_pad, dtype=np.int32)
         max_k = 1
-        for row, (qi, req, term, distance) in enumerate(chunk):
+        for row, (qi, req, term, distance) in enumerate(chunk_rows):
             q, qlen = encode_query(term)
             queries[row] = q
             qlens[row] = qlen
@@ -1059,61 +1065,88 @@ def _run_fuzzy_group(persistence, field, entries, results, start) -> None:
             top = req.top if req.top is not None else 10
             max_k = max(max_k, top + (req.skip or 0))
         k_eff = min(num_docs, max_k)
-        step = (
-            batched_fuzzy_search_topk_banded
-            if use_banded
-            else batched_fuzzy_search_topk
+        return step(
+            chars_arg,
+            dev.lengths,
+            jnp.asarray(queries),
+            jnp.asarray(qlens),
+            jnp.asarray(dists),
+            dev.offsets,
+            dev.anchors,
+            dev.scores01,
+            max_terms=mt,
+            capacity=capacity,
+            num_docs=num_docs,
+            k=k_eff,
         )
-        chars_arg = dev.chars_t if use_banded else dev.chars
-        # optimistic capacity; re-dispatch the chunk on overflow
-        capacity = min(worst, fuzzy_start_capacity(persistence, field))
-        while True:
-            ids_b, scores_b, hits_b, totals_b, post_b = step(
-                chars_arg,
-                dev.lengths,
-                jnp.asarray(queries),
-                jnp.asarray(qlens),
-                jnp.asarray(dists),
-                dev.offsets,
-                dev.anchors,
-                dev.scores01,
-                max_terms=max_terms,
-                capacity=capacity,
-                num_docs=num_docs,
-                k=k_eff,
-            )
-            ids_b, scores_b, hits_b, totals_b, post_b = jax.device_get(
-                (ids_b, scores_b, hits_b, totals_b, post_b)
-            )
-            need = int(post_b.max()) if len(post_b) else 0
-            if need <= capacity or capacity >= worst:
-                break
-            capacity = min(worst, bucket_size(need))
-        # adapt DOWN too (at most one bucket per batch, so an oscillating
-        # workload can't thrash re-dispatch + recompile): the old
-        # high-water-mark hint pinned every later batch to the worst query
-        # ever seen
-        persistence._fuzzy_cap_hint[field] = max(
-            bucket_size(max(need, 64)), capacity // 2
-        )
-        for row, (qi, req, _term, _distance) in enumerate(chunk):
-            if int(totals_b[row]) > max_terms:
-                # selection window clipped — generic path decides
-                results[qi] = search(req, persistence)
-                continue
-            # kernel output is exact (score desc, id desc) — window + emit
-            ids = ids_b[row]
-            scores = scores_b[row]
-            mask = scores > 0
-            ids, scores = ids[mask], scores[mask]
-            top = req.top if req.top is not None else 10
-            skip = req.skip or 0
-            res = SearchResult()
-            res.num_hits = int(hits_b[row])
-            window = list(zip(ids, scores))[skip : skip + top]
-            res.data = [Hit(int(i), float(s)) for i, s in window]
-            res.execution_time_ns = time.time_ns() - start
-            results[qi] = res
+
+    def emit_row(qi, req, ids, scores, nh):
+        # kernel output is exact (score desc, id desc) — window + emit
+        mask = scores > 0
+        ids, scores = ids[mask], scores[mask]
+        top = req.top if req.top is not None else 10
+        skip = req.skip or 0
+        res = SearchResult()
+        res.num_hits = int(nh)
+        window = list(zip(ids, scores))[skip : skip + top]
+        res.data = [Hit(int(i), float(s)) for i, s in window]
+        res.execution_time_ns = time.time_ns() - start
+        results[qi] = res
+
+    for base in range(0, len(entries), chunk_q):
+        chunk = entries[base : base + chunk_q]
+        # pass 1: everyone at the sticky per-field capacity hint and a SMALL
+        # selection window. Optimistic under-provisioning is FINE — the
+        # kernel reports each query's exact match count and posting total,
+        # and only overflowing rows re-dispatch at their own bucket /
+        # max_terms=256. The common zipfian case pays the small-capacity
+        # cost (the sorted-run resolve AND the block select are
+        # O(capacity) / O(window)), not the batch worst case.
+        c0 = min(worst, fuzzy_start_capacity(persistence, field))
+        work = [(chunk, c0, 64)]
+        needs: list = []
+        while work:
+            outs = [
+                (rows, cap, mt, dispatch(rows, cap, mt))
+                for rows, cap, mt in work
+            ]
+            fetched = jax.device_get([o[3] for o in outs])  # ONE sync/round
+            nxt: dict = {}
+            for (rows, cap, mt, _), (
+                ids_b, scores_b, hits_b, totals_b, post_b
+            ) in zip(outs, fetched):
+                for row, (qi, req, term, distance) in enumerate(rows):
+                    tm = int(totals_b[row])
+                    need = int(post_b[row])
+                    if tm > 256:
+                        # selection window clipped — per-request path decides
+                        results[qi] = search(req, persistence)
+                        continue
+                    if tm > mt:
+                        # more matches than the small window: retry wide (the
+                        # posting total under the small window undercounts,
+                        # so the retry capacity stays optimistic and may grow
+                        # once more)
+                        nxt.setdefault(
+                            (min(worst, bucket_size(max(need, cap))), 256), []
+                        ).append((qi, req, term, distance))
+                        continue
+                    needs.append(need)
+                    if need <= cap or cap >= worst:
+                        emit_row(qi, req, ids_b[row], scores_b[row], hits_b[row])
+                    else:
+                        nxt.setdefault(
+                            (min(worst, bucket_size(need)), mt), []
+                        ).append((qi, req, term, distance))
+            work = [(rows, cap, mt) for (cap, mt), rows in sorted(nxt.items())]
+        # sticky hint tracks the workload's p75 need (bounded one bucket
+        # move per batch, so an oscillating workload can't thrash)
+        if needs:
+            p75 = bucket_size(max(int(np.percentile(needs, 75)), 64))
+            if p75 > c0:
+                persistence._fuzzy_cap_hint[field] = min(worst, c0 * 2)
+            elif p75 < c0:
+                persistence._fuzzy_cap_hint[field] = max(64, c0 // 2)
 
 
 def _search_batch_mesh(requests, persistence, mc, start) -> List[SearchResult]:
@@ -1129,6 +1162,9 @@ def _search_batch_mesh(requests, persistence, mc, start) -> List[SearchResult]:
     results: List[Optional[SearchResult]] = [None] * len(requests)
     comb = mc.combined()
 
+    if comb is not None:
+        # bulk-prime fuzzy leaves (term-sharded sweeps; one per distinct leaf)
+        _prefetch_request_fuzzy(persistence, requests)
     groups: dict = {}
     for qi, req in enumerate(requests):
         spec = (
@@ -1138,14 +1174,7 @@ def _search_batch_mesh(requests, persistence, mc, start) -> List[SearchResult]:
             if comb is not None
             else None
         )
-        if (
-            spec is None
-            or spec["fuzzy"] is not None
-            or (
-                spec["fanchors"] is not None
-                and len(spec["fanchors"]) > _MAX_FILTER_ANCHORS
-            )
-        ):
+        if spec is None or spec["fuzzy"] is not None:
             results[qi] = search(req, persistence)
             continue
         groups.setdefault(spec["sig"], []).append((qi, req, spec))
@@ -1156,13 +1185,26 @@ def _search_batch_mesh(requests, persistence, mc, start) -> List[SearchResult]:
         num_slots, is_and, boost_key, facet_fields, has_filter, has_phrase = sig
         ho = comb.host_offsets  # [D, num_keys + 2] per-shard offsets
 
+        # distinct filter masks cached device-resident PER SHARD (the
+        # FilterChannel broadcast as sharded vectors); per query an index —
+        # no per-batch anchor shipping, no anchor-count ceiling
+        fmask_stack = None
+        fkey_slot: dict = {}
+        if has_filter:
+            node_of: dict = {}
+            for _qi, req, spec in entries:
+                node_of.setdefault(spec["fkey"], req.filter)
+            skey = tuple(sorted(node_of))
+            fkey_slot = {k: i for i, k in enumerate(skey)}
+            fmask_stack = mc.filter_mask_stack(skey, node_of)
+
         # per-chip plane budget bounds the vmapped query count per dispatch
         plane_bytes = num_slots * (mc.dps + 1) * 4 + mc.dps * 8
         chunk_q = max(1, int(_PLANE_BUDGET_BYTES // max(plane_bytes, 1)))
 
         for cbase in range(0, len(entries), chunk_q):
             chunk = entries[cbase : cbase + chunk_q]
-            max_terms, max_total, max_f, max_p, max_k = 1, 1, 1, 1, 1
+            max_terms, max_total, max_p, max_k = 1, 1, 1, 1
             for qi, req, spec in chunk:
                 gtids = spec["gtids"]
                 max_terms = max(max_terms, len(gtids))
@@ -1170,15 +1212,12 @@ def _search_batch_mesh(requests, persistence, mc, start) -> List[SearchResult]:
                     safe = np.array([g for g, _s, _sl in gtids], dtype=np.int64)
                     per_shard = (ho[:, safe + 1] - ho[:, safe]).sum(axis=1)
                     max_total = max(max_total, int(per_shard.max()))
-                if has_filter:
-                    max_f = max(max_f, len(spec["fanchors"]))
                 if has_phrase:
                     max_p = max(max_p, len(spec["panchors"]))
                 top = req.top if req.top is not None else 10
                 max_k = max(max_k, top + (req.skip or 0))
             t_pad = bucket_size(max_terms, 8)
             capacity = bucket_size(max_total)
-            f_pad = bucket_size(max_f, 64) if has_filter else 0
             p_pad = bucket_size(max_p, 64) if has_phrase else 0
             k_eff = min(num_docs, max_k)
 
@@ -1187,11 +1226,7 @@ def _search_batch_mesh(requests, persistence, mc, start) -> List[SearchResult]:
             tid_arr = np.full((q_pad, t_pad), -1, dtype=np.int32)
             ts_arr = np.zeros((q_pad, t_pad), dtype=np.float32)
             sl_arr = np.zeros((q_pad, t_pad), dtype=np.int32)
-            fa_arr = (
-                np.full((q_pad, f_pad), num_docs, dtype=np.int32)
-                if has_filter
-                else None
-            )
+            fi_arr = np.zeros(q_pad, dtype=np.int32) if has_filter else None
             pa_arr = (
                 np.full((q_pad, p_pad), num_docs, dtype=np.int32)
                 if has_phrase
@@ -1203,14 +1238,13 @@ def _search_batch_mesh(requests, persistence, mc, start) -> List[SearchResult]:
                     ts_arr[row, j] = sc
                     sl_arr[row, j] = sl
                 if has_filter:
-                    fa = spec["fanchors"]
-                    fa_arr[row, : len(fa)] = fa.astype(np.int32)
+                    fi_arr[row] = fkey_slot[spec["fkey"]]
                 if has_phrase:
                     pa = spec["panchors"]
                     pa_arr[row, : len(pa)] = pa.astype(np.int32)
 
             out = mc.generic_batch(
-                tid_arr, ts_arr, sl_arr, fa_arr, pa_arr,
+                tid_arr, ts_arr, sl_arr, fmask_stack, fi_arr, pa_arr,
                 boost_key, facet_fields,
                 num_slots=num_slots, is_and=is_and, k=k_eff, capacity=capacity,
             )

@@ -558,7 +558,10 @@ def fuzzy_start_capacity(persistence, field: str) -> int:
     caps = getattr(persistence, "_fuzzy_cap_hint", None)
     if caps is None:
         caps = persistence._fuzzy_cap_hint = {}
-    return caps.get(field, 16384)
+    # modest default: overflow re-dispatch is cheap (batch runners retry
+    # only the overflowing rows), while over-provisioning costs EVERY query
+    # (the sorted-run resolve is O(capacity))
+    return caps.get(field, 4096)
 
 
 def _try_fuzzy_fast_path(

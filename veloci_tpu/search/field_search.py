@@ -121,6 +121,13 @@ def prefetch_fuzzy_matches(persistence, specs) -> None:
     from ..ops.levenshtein import levenshtein_sweep, select_matches
 
     memo = _fuzzy_match_cache(persistence)
+    if getattr(persistence, "mesh_ctx", None) is not None:
+        # mesh: each match runs as its own sharded sweep (term-sharded
+        # dictionary + ICI gather); results land in the same memo
+        for spec in set(specs):
+            if spec not in memo and len(spec[1]) <= MAX_QUERY_CHARS - 1:
+                _match_fuzzy_device(persistence, *spec)
+        return
     by_field: Dict[str, list] = {}
     singles = []
     for field, lower_term, distance, starts_with in set(specs):
@@ -150,31 +157,37 @@ def prefetch_fuzzy_matches(persistence, specs) -> None:
             and jax.default_backend() == "tpu"
             and all(d <= 4 for _t, d in items)
         )
-        queries = np.zeros((len(items), MAX_QUERY_CHARS), dtype=np.uint16)
-        qlens = np.zeros(len(items), dtype=np.int32)
-        dists_in = np.zeros(len(items), dtype=np.int32)
-        for row, (lower_term, distance) in enumerate(items):
-            q, qlen = encode_query(lower_term)
-            queries[row] = q
-            qlens[row] = qlen
-            dists_in[row] = distance
-        if use_banded:
-            from ..ops.pallas_levenshtein import (
-                levenshtein_sweep_pallas_banded_batch,
-            )
+        # the sweep's distance matrix is [chunk, N] i32 — chunk so it stays
+        # within a fixed HBM budget at multi-million-term dictionaries
+        n_pad = dev.chars.shape[0]
+        chunk_q = max(1, int(512e6 // max(n_pad * 4 * 3, 1)))
+        for cbase in range(0, len(items), chunk_q):
+            citems = items[cbase : cbase + chunk_q]
+            queries = np.zeros((len(citems), MAX_QUERY_CHARS), dtype=np.uint16)
+            qlens = np.zeros(len(citems), dtype=np.int32)
+            dists_in = np.zeros(len(citems), dtype=np.int32)
+            for row, (lower_term, distance) in enumerate(citems):
+                q, qlen = encode_query(lower_term)
+                queries[row] = q
+                qlens[row] = qlen
+                dists_in[row] = distance
+            if use_banded:
+                from ..ops.pallas_levenshtein import (
+                    levenshtein_sweep_pallas_banded_batch,
+                )
 
-            dist_b, _pd, ispref_b = levenshtein_sweep_pallas_banded_batch(
-                dev.chars_t, dev.lengths, jnp.asarray(queries),
-                jnp.asarray(qlens),
-            )
-        else:
-            dist_b, _pd, ispref_b = jax.vmap(
-                lambda q, ql: levenshtein_sweep(dev.chars, dev.lengths, q, ql)
-            )(jnp.asarray(queries), jnp.asarray(qlens))
-        out = jax.vmap(
-            lambda d, p, dd: select_matches(d, p, d, dd, max_matches=mm)
-        )(dist_b, ispref_b, jnp.asarray(dists_in))
-        pending.append((field, items, out))
+                dist_b, _pd, ispref_b = levenshtein_sweep_pallas_banded_batch(
+                    dev.chars_t, dev.lengths, jnp.asarray(queries),
+                    jnp.asarray(qlens),
+                )
+            else:
+                dist_b, _pd, ispref_b = jax.vmap(
+                    lambda q, ql: levenshtein_sweep(dev.chars, dev.lengths, q, ql)
+                )(jnp.asarray(queries), jnp.asarray(qlens))
+            out = jax.vmap(
+                lambda d, p, dd: select_matches(d, p, d, dd, max_matches=mm)
+            )(dist_b, ispref_b, jnp.asarray(dists_in))
+            pending.append((field, citems, out))
 
     if pending:
         fetched = jax.device_get([p[2] for p in pending])  # ONE sync
@@ -213,6 +226,21 @@ def _match_fuzzy_device(persistence, field, lower_term, distance, starts_with):
     hit = memo.get(mkey)
     if hit is not None:
         return hit
+    mc = getattr(persistence, "mesh_ctx", None)
+    if mc is not None:
+        # mesh serving: term-sharded sweep + ICI gather (sharded_fuzzy_match)
+        dictionary = persistence.get_dictionary(field)
+        ids, dists, prefixes = mc.fuzzy_match(
+            field, lower_term, distance, starts_with
+        )
+        out = _postprocess_matches(
+            dictionary, len(dictionary), ids, dists, prefixes, lower_term,
+            distance, starts_with,
+        )
+        if len(memo) > 8192:
+            memo.clear()
+        memo[mkey] = out
+        return out
     dev = persistence.device_field(field)
     dictionary = persistence.get_dictionary(field)
     n = dev.num_terms

@@ -76,15 +76,7 @@ def fallback_reason(request, persistence) -> str:
     """Classify WHY a request missed every batched/fused path — the coarse
     demotion taxonomy an operator needs when QPS collapses. Mirrors the
     eligibility gates in search/batch.py and search/executor.py."""
-    from ..query.request import SearchRequest
-    from .batch import (
-        _MAX_FILTER_ANCHORS,
-        _MAX_GROUPS,
-        _MAX_LEAF_TERMS,
-        _MAX_LEAF_TERMS_FUZZY,
-        _MAX_SLOTS,
-        _node_groups,
-    )
+    from .batch import _MAX_GROUPS, _MAX_SLOTS, _node_groups
     from .executor import SMALL_DOCS
 
     if persistence.num_docs < SMALL_DOCS:
@@ -117,5 +109,4 @@ def fallback_reason(request, persistence) -> str:
         for p in request.filter.walk_parts():
             if p.is_regex:
                 return "regex_filter"
-    del _MAX_FILTER_ANCHORS, _MAX_LEAF_TERMS, _MAX_LEAF_TERMS_FUZZY
     return "leaf_expansion_or_index"  # leaf term overflow / missing index

@@ -4,8 +4,10 @@ Route surface mirrors the reference's rocket server
 (server/rocket_server.rs:110-510):
 
 * ``GET  /version``
+* ``GET  /stats``                            (dispatch-path counters)
 * ``GET  /<db>/search?query=...``            (query-generator params)
 * ``POST /<db>/search``                      (raw `Request` JSON)
+* ``POST /<db>/search_batch``                (list of requests, ONE dispatch)
 * ``POST /<db>/search_query_params``         (`SearchQueryGeneratorParameters`)
 * ``POST /<db>/search_query_params/explain_plan``
 * ``GET  /<db>/suggest?query=...`` / ``POST /<db>/suggest``
@@ -84,6 +86,11 @@ def ensure_database(database: str, *, trusted_path: bool = False) -> Persistence
         if pers is None:
             path = database if trusted_path else _resolve_db_path(database)
             pers = Persistence.load(path)
+            if os.environ.get("VELOCI_WARMUP", "1") != "0":
+                # upload device bundles + compile the serving buckets NOW
+                # (persistent-cache hits after the first process) so the
+                # first real query doesn't pay minutes of cold start
+                pers.warmup()
             PERSISTENCES[database] = pers
         return pers
 
