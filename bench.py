@@ -58,7 +58,7 @@ def log(*args):
 
 
 def budget_left() -> float:
-    return float(os.environ.get("BENCH_BUDGET_S", "2100")) - (time.time() - _START)
+    return float(os.environ.get("BENCH_BUDGET_S", "2400")) - (time.time() - _START)
 
 
 BENCH_CONFIG = """
@@ -427,6 +427,9 @@ def main() -> None:
             time.sleep(20)
             link_rt_ms = _probe_link()
         log(f"link round-trip: {link_rt_ms:.2f} ms")
+        # the tunnel warm-up can eat many minutes; the scale-section budget
+        # should start counting from here, not from process start
+        globals()["_START"] = time.time()
 
     t0 = time.time()
     corpus, vocab = build_corpus(N_DOCS)
@@ -539,32 +542,76 @@ def main() -> None:
         fuzzy_serving_qps = fq / (time.perf_counter() - t0)
         log(f"[{backend}] fuzzy serving e2e: {fuzzy_serving_qps:.0f} QPS")
 
-        fuzz_capacity = min(
-            dev.fuzzy_capacity(256), fuzzy_start_capacity(pers, "title")
+        # mirror the SERVING dispatch plan exactly (_run_fuzzy_group):
+        # pass 1 = whole batch at the sticky capacity hint with the small
+        # selection window; pass 2 = only the rows the kernel would report
+        # as overflowing, at their own bucket / wide window. The host knows
+        # the classification from the prefetched matches.
+        from veloci_tpu.ops.postings import bucket_size
+        from veloci_tpu.search.field_search import (
+            _fuzzy_match_cache,
+            prefetch_fuzzy_matches,
         )
-        log(f"fuzzy resolve capacity (serving-settled): {fuzz_capacity}")
+
+        worst = dev.fuzzy_capacity(256)
+        c0 = min(worst, fuzzy_start_capacity(pers, "title"))
+        mt0 = getattr(pers, "_fuzzy_mt_hint", {}).get("title", 64)
+        prefetch_fuzzy_matches(
+            pers, {("title", t.lower(), 2, False) for t in fuzzy_terms[:fq]}
+        )
+        memo = _fuzzy_match_cache(pers)
+        ho_f = dev.host_offsets
+        retry: dict = {}
+        for row, t in enumerate(fuzzy_terms[:fq]):
+            m, _d, _p = memo[("title", t.lower(), 2, False)]
+            tot = int((ho_f[m + 1] - ho_f[m]).sum()) if len(m) else 0
+            if len(m) > mt0:
+                retry.setdefault(
+                    (min(worst, bucket_size(max(tot, c0))), 256), []
+                ).append(row)
+            elif tot > c0:
+                retry.setdefault(
+                    (min(worst, bucket_size(tot)), mt0), []
+                ).append(row)
+        log(
+            f"fuzzy serving plan: pass1 {fq}@({c0},mt{mt0}) + "
+            + ", ".join(f"{len(r)}@({c},mt{m})" for (c, m), r in retry.items())
+        )
         chars_d, chars_t_d, lens_d = dev.chars, dev.chars_t, dev.lengths
         offs_d, anc_d, sc_d = dev.offsets, dev.anchors, dev.scores01
 
         use_banded = backend == "tpu"
+        step_fn = (
+            batched_fuzzy_search_topk_banded if use_banded else batched_fuzzy_search_topk
+        )
+        chars_arg = chars_t_d if use_banded else chars_d
+        retry_args = [
+            (
+                jnp.asarray(fqueries[rows]),
+                jnp.asarray(fqlens[rows]),
+                jnp.asarray(np.full(len(rows), 2, np.int32)),
+                cap,
+                mt,
+            )
+            for (cap, mt), rows in sorted(retry.items())
+        ]
 
         def fuzzy_body(carry):
             off = (carry * jnp.float32(1e-20)).astype(jnp.uint16)
-            if use_banded:
-                _ids, scores, _nh, _tm, _tp = batched_fuzzy_search_topk_banded(
-                    chars_t_d + off[None, None], lens_d, fqj, flj, fdists,
+            _ids, scores, _nh, _tm, _tp = step_fn(
+                chars_arg + off[None, None], lens_d, fqj, flj, fdists,
+                offs_d, anc_d, sc_d,
+                max_terms=64, capacity=c0, num_docs=num_docs, k=TOP_K,
+            )
+            acc = scores[0, 0]
+            for rq, rl, rd, cap, mt in retry_args:
+                _ids, scores, _nh, _tm, _tp = step_fn(
+                    chars_arg + off[None, None], lens_d, rq, rl, rd,
                     offs_d, anc_d, sc_d,
-                    max_terms=256, capacity=fuzz_capacity,
-                    num_docs=num_docs, k=TOP_K,
+                    max_terms=mt, capacity=cap, num_docs=num_docs, k=TOP_K,
                 )
-            else:
-                _ids, scores, _nh, _tm, _tp = batched_fuzzy_search_topk(
-                    chars_d + off[None, None], lens_d, fqj, flj, fdists,
-                    offs_d, anc_d, sc_d,
-                    max_terms=256, capacity=fuzz_capacity,
-                    num_docs=num_docs, k=TOP_K,
-                )
-            return scores[0, 0] * jnp.float32(1e-12)
+                acc = acc + scores[0, 0]
+            return acc * jnp.float32(1e-12)
 
         fn1, fn2 = (2, 6) if backend == "cpu" else (2, 10)
         per_f, _, _ = measure_scan(fuzzy_body, fn1, fn2, retries=1)
@@ -833,7 +880,9 @@ def main() -> None:
         if not s:
             continue
         n = int(s)
-        if budget_left() < (200 if n <= 1_000_000 else 500):
+        # entry thresholds sized so a started section can finish: at 6M the
+        # H2D upload + warmup through the tunnel alone costs minutes
+        if budget_left() < (300 if n <= 1_000_000 else 900):
             log(f"skipping scale {n}: budget exhausted")
             continue
         try:

@@ -386,14 +386,18 @@ def _generic_eligible(
             gtids, num_slots, is_and = [], 1, False
     else:
         num_slots, is_and = 0, False  # unused by the sorted tree kernel
-        # single fuzzy leaf: the fully-fused kernel (in-program sweep)
-        fuzzy = _fuzzy_fast_eligible(request, persistence, allow_extras=True)
-        if fuzzy is None:
-            tree = _tree_spec(persistence, comb, request.search_req)
-            if tree is None:
-                return None
+        # tree first: fuzzy leaves resolve through the prefetched matches,
+        # so extras-carrying fuzzy requests ride the sorted tree kernel
+        # (exact host-known capacity buckets, cached filter masks). The
+        # fully-fused in-program-sweep kernel remains for shapes the tree
+        # spec rejects (e.g. leaves matching > _MAX_LEAF_TERMS_FUZZY terms)
+        tree = _tree_spec(persistence, comb, request.search_req)
+        if tree is not None:
             gtids, num_groups = tree
         else:
+            fuzzy = _fuzzy_fast_eligible(request, persistence, allow_extras=True)
+            if fuzzy is None:
+                return None
             gtids = []
 
     from ..create import BOOST_VALID_TO_VALUE
@@ -1103,8 +1107,13 @@ def _run_fuzzy_group(persistence, field, entries, results, start) -> None:
         # cost (the sorted-run resolve AND the block select are
         # O(capacity) / O(window)), not the batch worst case.
         c0 = min(worst, fuzzy_start_capacity(persistence, field))
-        work = [(chunk, c0, 64)]
+        mt_hints = getattr(persistence, "_fuzzy_mt_hint", None)
+        if mt_hints is None:
+            mt_hints = persistence._fuzzy_mt_hint = {}
+        mt0 = mt_hints.get(field, 64)
+        work = [(chunk, c0, mt0)]
         needs: list = []
+        matches: list = []
         while work:
             outs = [
                 (rows, cap, mt, dispatch(rows, cap, mt))
@@ -1118,6 +1127,7 @@ def _run_fuzzy_group(persistence, field, entries, results, start) -> None:
                 for row, (qi, req, term, distance) in enumerate(rows):
                     tm = int(totals_b[row])
                     need = int(post_b[row])
+                    matches.append(tm)
                     if tm > 256:
                         # selection window clipped — per-request path decides
                         results[qi] = search(req, persistence)
@@ -1139,14 +1149,20 @@ def _run_fuzzy_group(persistence, field, entries, results, start) -> None:
                             (min(worst, bucket_size(need)), mt), []
                         ).append((qi, req, term, distance))
             work = [(rows, cap, mt) for (cap, mt), rows in sorted(nxt.items())]
-        # sticky hint tracks the workload's p75 need (bounded one bucket
-        # move per batch, so an oscillating workload can't thrash)
+        # sticky hints track the workload's p75 (bounded one bucket move per
+        # batch, so an oscillating workload can't thrash): capacity AND the
+        # selection window — a d=2-heavy workload where most queries match
+        # >64 terms should start wide instead of paying a retry round
         if needs:
             p75 = bucket_size(max(int(np.percentile(needs, 75)), 64))
             if p75 > c0:
                 persistence._fuzzy_cap_hint[field] = min(worst, c0 * 2)
             elif p75 < c0:
                 persistence._fuzzy_cap_hint[field] = max(64, c0 // 2)
+        if matches:
+            mt_hints[field] = (
+                256 if int(np.percentile(matches, 75)) > 64 else 64
+            )
 
 
 def _search_batch_mesh(requests, persistence, mc, start) -> List[SearchResult]:

@@ -158,14 +158,25 @@ def prefetch_fuzzy_matches(persistence, specs) -> None:
             and all(d <= 4 for _t, d in items)
         )
         # the sweep's distance matrix is [chunk, N] i32 — chunk so it stays
-        # within a fixed HBM budget at multi-million-term dictionaries
+        # within a fixed HBM budget at multi-million-term dictionaries; the
+        # banded Pallas kernel additionally caps the query axis at 64 (its
+        # VMEM tiling holds the per-query DP band on-chip — 362 queries at a
+        # 118k-term dictionary blew the 16 MB scoped-VMEM limit, observed).
+        # Chunks PAD to exactly chunk_q rows (pad rows carry distance -1 →
+        # zero matches) so the kernel compiles ONE shape, ever — a fresh
+        # banded-batch compile costs minutes
         n_pad = dev.chars.shape[0]
         chunk_q = max(1, int(512e6 // max(n_pad * 4 * 3, 1)))
+        if use_banded:
+            chunk_q = min(chunk_q, 64)
         for cbase in range(0, len(items), chunk_q):
             citems = items[cbase : cbase + chunk_q]
-            queries = np.zeros((len(citems), MAX_QUERY_CHARS), dtype=np.uint16)
-            qlens = np.zeros(len(citems), dtype=np.int32)
-            dists_in = np.zeros(len(citems), dtype=np.int32)
+            rows_n = 8
+            while rows_n < len(citems):
+                rows_n *= 2  # pow2 row buckets: <= 4 compile shapes total
+            queries = np.zeros((rows_n, MAX_QUERY_CHARS), dtype=np.uint16)
+            qlens = np.zeros(rows_n, dtype=np.int32)
+            dists_in = np.full(rows_n, -1, dtype=np.int32)
             for row, (lower_term, distance) in enumerate(citems):
                 q, qlen = encode_query(lower_term)
                 queries[row] = q
