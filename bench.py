@@ -579,6 +579,7 @@ def main() -> None:
         )
         chars_d, chars_t_d, lens_d = dev.chars, dev.chars_t, dev.lengths
         offs_d, anc_d, sc_d = dev.offsets, dev.anchors, dev.scores01
+        packed_d = dev.packed
 
         use_banded = backend == "tpu"
         step_fn = (
@@ -602,6 +603,7 @@ def main() -> None:
                 chars_arg + off[None, None], lens_d, fqj, flj, fdists,
                 offs_d, anc_d, sc_d,
                 max_terms=64, capacity=c0, num_docs=num_docs, k=TOP_K,
+                packed=packed_d,
             )
             acc = scores[0, 0]
             for rq, rl, rd, cap, mt in retry_args:
@@ -609,6 +611,7 @@ def main() -> None:
                     chars_arg + off[None, None], lens_d, rq, rl, rd,
                     offs_d, anc_d, sc_d,
                     max_terms=mt, capacity=cap, num_docs=num_docs, k=TOP_K,
+                    packed=packed_d,
                 )
                 acc = acc + scores[0, 0]
             return acc * jnp.float32(1e-12)
@@ -692,6 +695,7 @@ def main() -> None:
                     num_docs=num_docs,
                     k=TOP_K,
                     boost_specs=(("Log10", 1.0, ()),),
+                    packed=comb.packed,
                 )
                 acc = acc + scores[0, 0]
             return acc * jnp.float32(1e-12)
@@ -741,8 +745,10 @@ def main() -> None:
     # OR and AND-of-ORs (query_generator.rs:85-99) — round 2 ran these per
     # request at ~30ms dispatch; round 3 batches them.
     generator_serving_qps = 0.0
+    generator_engine_qps = 0.0
     generator_fallbacks = None
     try:
+        from veloci_tpu.search import batch as batch_mod
         from veloci_tpu.search import stats as stats_mod
 
         _qt, genreqs = generator_requests(pers, vocab, len(exact_terms))
@@ -757,6 +763,73 @@ def main() -> None:
             f"[{backend}] generator serving e2e ({len(genreqs)} reqs, "
             f"fuzzy OR + AND-of-ORs): {generator_serving_qps:.0f} QPS "
             f"({generator_fallbacks} fallbacks)"
+        )
+
+        # engine-only: replay the exact dispatch plan the serving path
+        # builds for this batch (sub-bucketed sorted tree kernels over the
+        # prefetched fuzzy matches) inside the scan harness
+        from veloci_tpu.ops.tree_step import batched_tree_topk
+
+        comb = pers.device_combined()
+        batch_mod._prefetch_request_fuzzy(pers, genreqs)
+        specs = []
+        for r in genreqs:
+            t = batch_mod._tree_spec(pers, comb, r.search_req)
+            if t is not None:
+                specs.append(t)
+        ho_c = comb.host_offsets
+        sub = {}
+        for i, (gtids, _ng) in enumerate(specs):
+            tot = sum(int(ho_c[g + 1] - ho_c[g]) for g, _s, _sl in gtids)
+            sub.setdefault(batch_mod._cap_bucket(max(tot, 1)), []).append(i)
+        plan = []
+        for cap, idxs in sorted(sub.items()):
+            from veloci_tpu.ops.postings import bucket_size as _bs
+
+            t_pad = _bs(max(len(specs[i][0]) for i in idxs), 8)
+            q_pad = _bs(len(idxs), 8)
+            tid = np.full((q_pad, t_pad), -1, np.int32)
+            tsc = np.zeros((q_pad, t_pad), np.float32)
+            tsl = np.zeros((q_pad, t_pad), np.int32)
+            ngs = np.ones(q_pad, np.int32)
+            for row, i in enumerate(idxs):
+                gtids, ng = specs[i]
+                for j, (g, sc, sl) in enumerate(gtids[:t_pad]):
+                    tid[row, j] = g
+                    tsc[row, j] = sc
+                    tsl[row, j] = sl
+                ngs[row] = ng
+            plan.append(
+                (cap, jnp.asarray(tid), jnp.asarray(tsc), jnp.asarray(tsl),
+                 jnp.asarray(ngs))
+            )
+        log(
+            "generator engine plan: "
+            + ", ".join(f"{cap}x{len(idxs)}" for cap, idxs in sorted(sub.items()))
+        )
+        offs_c2, anc_c2, sc_c2 = comb.offsets, comb.anchors, comb.scores01
+
+        def gen_body(carry):
+            off = (carry * jnp.float32(1e-20)).astype(jnp.int32)
+            acc = jnp.float32(0.0)
+            for cap, tid_j, tsc_j, tsl_j, ng_j in plan:
+                _i, scores, _n, _f = batched_tree_topk(
+                    offs_c2, anc_c2, sc_c2,
+                    tid_j + off, tsc_j, tsl_j, ng_j,
+                    None, None, None, (), (),
+                    capacity=cap, num_docs=num_docs, k=TOP_K,
+                    packed=comb.packed,
+                )
+                acc = acc + scores[0, 0]
+            return acc * jnp.float32(1e-12)
+
+        per_ge, _, _ = measure_scan(
+            gen_body, *( (2, 6) if backend == "cpu" else (3, 13) ), retries=1
+        )
+        generator_engine_qps = len(specs) / per_ge
+        log(
+            f"[{backend}] generator batched engine ({len(specs)} specs): "
+            f"{generator_engine_qps:.0f} QPS, {per_ge*1e3:.2f} ms/batch"
         )
     except Exception as exc:
         log(f"generator serving failed: {type(exc).__name__}: {exc}")
@@ -912,6 +985,7 @@ def main() -> None:
             "generic_ms_per_batch": round(generic_ms, 3),
             "generic_serving_e2e_qps": round(generic_serving_qps, 1),
             "generator_serving_e2e_qps": round(generator_serving_qps, 1),
+            "generator_batched_engine_qps": round(generator_engine_qps, 1),
             "generator_fallbacks": generator_fallbacks,
             "suggest_qps": round(suggest_qps, 1),
             "highlight_qps": round(hl_qps, 1),

@@ -59,7 +59,7 @@ def _sweep(term_chars, term_lens, query, query_len):
 
 def _select_resolve_sorted(
     dist, is_prefix, distance, offsets, anchors, scores01,
-    max_terms, capacity, num_docs,
+    max_terms, capacity, num_docs, packed=None,
 ):
     """Shared tail: match -> term score -> on-device select -> resolve ->
     sorted-run candidates. `dist` may come from the XLA sweep or the banded
@@ -119,9 +119,18 @@ def _select_resolve_sorted(
     src = idx + fill_segments_i32(starts - out_starts, out_starts, capacity)
     tsc_fill = fill_segments_f32(term_scores, out_starts, capacity)
     in_range = idx < total
-    src = jnp.clip(jnp.where(in_range, src, 0), 0, anchors.shape[0] - 1)
-    a = jnp.where(in_range, anchors[src], num_docs)
-    s = jnp.where(in_range, scores01[src] * tsc_fill, -jnp.inf)
+    if packed is not None:
+        # interleaved [nnz, 2] rows: ONE 8-byte gather per posting
+        # (measured 2.1-4.7x over two separate gathers on v5e)
+        src = jnp.clip(jnp.where(in_range, src, 0), 0, packed.shape[0] - 1)
+        rows = packed[src]
+        a = jnp.where(in_range, rows[:, 0], num_docs)
+        s01 = jax.lax.bitcast_convert_type(rows[:, 1], jnp.float32)
+        s = jnp.where(in_range, s01 * tsc_fill, -jnp.inf)
+    else:
+        src = jnp.clip(jnp.where(in_range, src, 0), 0, anchors.shape[0] - 1)
+        a = jnp.where(in_range, anchors[src], num_docs)
+        s = jnp.where(in_range, scores01[src] * tsc_fill, -jnp.inf)
 
     # single-slot sorted-run dedup-max: sort by (anchor desc, score desc);
     # each anchor's first row carries its max
@@ -150,13 +159,13 @@ def _candidates_topk(a_s, final, k):
 
 def _select_resolve_topk(
     dist, is_prefix, distance, offsets, anchors, scores01,
-    max_terms, capacity, num_docs, k,
+    max_terms, capacity, num_docs, k, packed=None,
 ):
     """`_select_resolve_sorted` + exact top-k; returns
     (ids, scores, num_hits, total_matches, total_postings)."""
     a_s, final, total_matches, total_postings = _select_resolve_sorted(
         dist, is_prefix, distance, offsets, anchors, scores01,
-        max_terms, capacity, num_docs,
+        max_terms, capacity, num_docs, packed=packed,
     )
     ids, scores = _candidates_topk(a_s, final, k)
     num_hits = jnp.sum(final > 0, dtype=jnp.int32)
@@ -180,11 +189,12 @@ def fuzzy_search_topk(
     capacity: int,
     num_docs: int,
     k: int,
+    packed=None,
 ):
     dist, is_prefix = _sweep(term_chars, term_lens, query, query_len)
     return _select_resolve_topk(
         dist, is_prefix, distance, offsets, anchors, scores01,
-        max_terms, capacity, num_docs, k,
+        max_terms, capacity, num_docs, k, packed=packed,
     )
 
 
@@ -206,6 +216,7 @@ def fuzzy_search_topk_banded(
     num_docs: int,
     k: int,
     interpret: bool = False,
+    packed=None,
 ):
     """Fused fuzzy step over the banded Pallas sweep: exact distances within
     the +-4 band with zero HBM DP state (the XLA sweep spills at large N),
@@ -217,7 +228,7 @@ def fuzzy_search_topk_banded(
     )
     return _select_resolve_topk(
         dist, is_prefix, distance, offsets, anchors, scores01,
-        max_terms, capacity, num_docs, k,
+        max_terms, capacity, num_docs, k, packed=packed,
     )
 
 
@@ -239,6 +250,7 @@ def batched_fuzzy_search_topk_banded(
     num_docs: int,
     k: int,
     interpret: bool = False,
+    packed=None,
 ):
     """A batch of fuzzy queries through ONE banded Pallas sweep + vmapped
     select/resolve/top-k tail. The dictionary is read from HBM once per
@@ -254,7 +266,7 @@ def batched_fuzzy_search_topk_banded(
     def tail(d, p, dd):
         return _select_resolve_topk(
             d, p, dd, offsets, anchors, scores01,
-            max_terms, capacity, num_docs, k,
+            max_terms, capacity, num_docs, k, packed=packed,
         )
 
     return jax.vmap(tail)(dist, is_prefix, distances)
@@ -277,6 +289,7 @@ def batched_fuzzy_search_topk(
     capacity: int,
     num_docs: int,
     k: int,
+    packed=None,
 ):
     """A batch of fuzzy queries in ONE dispatch (vmapped fuzzy_search_topk).
 
@@ -287,6 +300,7 @@ def batched_fuzzy_search_topk(
         return fuzzy_search_topk(
             term_chars, term_lens, q, ql, d, offsets, anchors, scores01,
             max_terms=max_terms, capacity=capacity, num_docs=num_docs, k=k,
+            packed=packed,
         )
 
     return jax.vmap(one)(queries, query_lens, distances)
@@ -320,6 +334,7 @@ def batched_fuzzy_generic_topk(
     banded: bool,
     boost_specs=(),
     interpret: bool = False,
+    packed=None,
 ):
     """Fuzzy queries WITH filters / boost columns / phrase factors / facets
     in ONE program — the fuzzy leg of the batched generic path (BASELINE
@@ -351,7 +366,7 @@ def batched_fuzzy_generic_topk(
     def tail(d, p, dd, fidx, panch):
         a_s, final, total_matches, total_postings = _select_resolve_sorted(
             d, p, dd, offsets, anchors, scores01,
-            max_terms, capacity, num_docs,
+            max_terms, capacity, num_docs, packed=packed,
         )
         safe = jnp.clip(a_s, 0, num_docs - 1)
         if fidx is not None:

@@ -101,15 +101,20 @@ def batched_single_term_topk(
 
 
 def _gather_postings(offsets, anchors, scores01, term_ids, term_scores,
-                     capacity, num_docs, win=None, term_slots=None):
+                     capacity, num_docs, win=None, term_slots=None,
+                     packed=None):
     """Concatenate the selected terms' posting runs into static [capacity]
     arrays (+ the matching term-slot segment vector).
 
-    Two lowerings:
+    Lowerings:
 
-    * ``win=None`` — per-element gather via searchsorted source indices.
-      Lowers to a ~9ns/element serial loop on TPU; kept for callers whose
-      arrays lack slice padding (e.g. ad-hoc test arrays).
+    * ``packed`` ([nnz, 2] int32 interleaved (anchor, score-bits) rows,
+      `DeviceField.packed`) — ONE 8-byte row gather per posting instead of
+      two 4-byte gathers: measured 2.1-4.7x faster on v5e. Preferred when
+      the caller holds a device bundle.
+    * ``win=None`` — per-element gathers via scatter+cumsum source indices.
+      Kept for callers whose arrays lack the packed form (ad-hoc tests,
+      mesh shards).
     * ``win=W`` (static) — slice packing: each term's run is read with ONE
       contiguous ``dynamic_slice`` window of W elements and written forward
       with ``dynamic_update_slice`` at its output offset; each window's
@@ -141,9 +146,16 @@ def _gather_postings(offsets, anchors, scores01, term_ids, term_scores,
         src = idx + fill_segments_i32(starts - out_starts_ex, out_starts_ex, capacity)
         tsc_fill = fill_segments_f32(term_scores, out_starts_ex, capacity)
         in_range = idx < total
-        src = jnp.clip(jnp.where(in_range, src, 0), 0, anchors.shape[0] - 1)
-        a = jnp.where(in_range, anchors[src], num_docs)
-        s = jnp.where(in_range, scores01[src] * tsc_fill, -jnp.inf)
+        if packed is not None:
+            src = jnp.clip(jnp.where(in_range, src, 0), 0, packed.shape[0] - 1)
+            rows = packed[src]  # [capacity, 2] — one 8B row load each
+            a = jnp.where(in_range, rows[:, 0], num_docs)
+            s01 = jax.lax.bitcast_convert_type(rows[:, 1], jnp.float32)
+            s = jnp.where(in_range, s01 * tsc_fill, -jnp.inf)
+        else:
+            src = jnp.clip(jnp.where(in_range, src, 0), 0, anchors.shape[0] - 1)
+            a = jnp.where(in_range, anchors[src], num_docs)
+            s = jnp.where(in_range, scores01[src] * tsc_fill, -jnp.inf)
         slot_fill = jnp.where(in_range, slot_fill, slots[t_pad - 1])
         return a, s, slot_fill
     buf_a = jnp.full((capacity + win,), num_docs, dtype=jnp.int32)

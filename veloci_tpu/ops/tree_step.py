@@ -215,6 +215,7 @@ def batched_tree_topk(
     k: int,
     boost_specs: Tuple = (),
     has_phrase: bool = False,
+    packed: Optional[jax.Array] = None,  # [nnz_pad, 2] i32 interleaved rows
 ):
     """A batch of tree queries -> (ids [Q,k], scores [Q,k], num_hits [Q],
     facet_counts tuple of [Q, G_i] i32) — ONE program, cost O(capacity),
@@ -234,7 +235,7 @@ def batched_tree_topk(
     def one(tids, tscs, tslots, ng, fidx, panch):
         a, s, slot = _gather_postings(
             offsets, anchors, scores01, tids, tscs, capacity, num_docs,
-            term_slots=tslots,
+            term_slots=tslots, packed=packed,
         )
         pcnt = None
         if panch is not None:

@@ -1,13 +1,17 @@
 """True batched serving: many requests -> one device dispatch.
 
 `search_batch` partitions a request batch into (a) single-term exact
-queries (the scatter-free slice kernel), (b) plain flat trees — OR/AND of
-distance-0 leaves incl. prefix/starts_with — through the batched generic
-runner over the COMBINED global-key postings, (c) fuzzy leaves through the
-fused sweep kernels, (d) filter/boost/facet/phrase-carrying requests
-through the batched generic kernels, and (e) everything else per request.
-With a mesh attached the groups dispatch as sharded `shard_map` programs
-instead. This is the API behind the server's ``/search_batch`` route — the
+queries (the scatter-free slice kernel, per-query capacity buckets),
+(b) trees — SEARCH / flat OR / flat AND / AND-of-ORs over exact, prefix
+AND fuzzy leaves — through the sorted tree kernel over the COMBINED
+global-key postings (fuzzy leaf matches bulk-primed by ONE batched sweep
+per field, `prefetch_fuzzy_matches`), (c) plain single-leaf fuzzy through
+the fully-fused sweep kernels with adaptive window/capacity hints,
+(d) filter/boost/facet/phrase-carrying requests through the same tree
+kernel with extras, and (e) everything else per request (counted with a
+reason in search/stats.py). With a mesh attached the groups dispatch as
+sharded `shard_map` programs instead. This is the API behind the server's
+``/search_batch`` route and the request-folding dispatcher — the
 TPU-native replacement for the reference's per-request thread pool.
 """
 
@@ -543,6 +547,21 @@ def _plain_eligible(request: Request, persistence, comb):
     return _tree_spec(persistence, comb, request.search_req)
 
 
+def _cap_bucket(n: int, minimum: int = 256) -> int:
+    """Capacity bucket: pow2 steps up to 4096, then x4 steps — each distinct
+    capacity compiles its own kernel variant and the big-sort variants cost
+    tens of seconds each, so the tail is coarse on purpose."""
+    from ..ops.postings import bucket_size
+
+    b = bucket_size(n, minimum)
+    if b <= 4096:
+        return b
+    c = 4096
+    while c < n:
+        c *= 4
+    return c
+
+
 def _make_emit(results, start):
     """Shared result emitter: kernels return exact (score desc, id desc)
     order — window + wrap into a SearchResult."""
@@ -794,7 +813,7 @@ def _run_generic_group(persistence, comb, sig, entries, emit) -> None:
     for qi, req, spec in entries:
         gtids = spec["gtids"]
         tot = sum(int(ho[g + 1] - ho[g]) for g, _s, _sl in gtids)
-        sub.setdefault(bucket_size(max(tot, 1), 256), []).append((qi, req, spec))
+        sub.setdefault(_cap_bucket(max(tot, 1)), []).append((qi, req, spec))
 
     pending = []  # (chunk, device outputs)
     for capacity, sub_entries in sorted(sub.items()):
@@ -854,6 +873,7 @@ def _run_generic_group(persistence, comb, sig, entries, emit) -> None:
                 k=k_eff,
                 boost_specs=tuple(boost_specs),
                 has_phrase=has_phrase,
+                packed=comb.packed,
             )
             pending.append((chunk, out))
 
@@ -990,12 +1010,13 @@ def _run_fuzzy_generic_group(
                 k=k_eff,
                 banded=use_banded,
                 boost_specs=boost_specs,
+                packed=dev.packed,
             )
             ids_b, scores_b, hits_b, totals_b, post_b, fc_b = jax.device_get(out)
             need = int(post_b.max()) if len(post_b) else 0
             if need <= capacity or capacity >= worst:
                 break
-            capacity = min(worst, bucket_size(need))
+            capacity = min(worst, _cap_bucket(need))
         # adapt DOWN too (at most one bucket per batch, so an oscillating
         # workload can't thrash re-dispatch + recompile): the old
         # high-water-mark hint pinned every later batch to the worst query
@@ -1082,6 +1103,7 @@ def _run_fuzzy_group(persistence, field, entries, results, start) -> None:
             capacity=capacity,
             num_docs=num_docs,
             k=k_eff,
+            packed=dev.packed,
         )
 
     def emit_row(qi, req, ids, scores, nh):
@@ -1138,7 +1160,7 @@ def _run_fuzzy_group(persistence, field, entries, results, start) -> None:
                         # so the retry capacity stays optimistic and may grow
                         # once more)
                         nxt.setdefault(
-                            (min(worst, bucket_size(max(need, cap))), 256), []
+                            (min(worst, _cap_bucket(max(need, cap))), 256), []
                         ).append((qi, req, term, distance))
                         continue
                     needs.append(need)
@@ -1146,7 +1168,7 @@ def _run_fuzzy_group(persistence, field, entries, results, start) -> None:
                         emit_row(qi, req, ids_b[row], scores_b[row], hits_b[row])
                     else:
                         nxt.setdefault(
-                            (min(worst, bucket_size(need)), mt), []
+                            (min(worst, _cap_bucket(need)), mt), []
                         ).append((qi, req, term, distance))
             work = [(rows, cap, mt) for (cap, mt), rows in sorted(nxt.items())]
         # sticky hints track the workload's p75 (bounded one bucket move per

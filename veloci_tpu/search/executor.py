@@ -539,9 +539,14 @@ def _fuzzy_fast_eligible(request: Request, persistence, allow_extras: bool = Fal
     field = part.path
     if field.endswith(TEXTINDEX):
         field = field[: -len(TEXTINDEX)]
+    from ..indices import MAX_TERM_CHARS
+
     dictionary = persistence.get_dictionary(field)
-    if dictionary.long_term_ids():
-        return None  # terms beyond the char matrix need the host fallback
+    if dictionary.long_term_ids() and len(term) + distance > MAX_TERM_CHARS:
+        # only a near-matrix-width query can reach a >32-char term at d<=4
+        # (lev >= length difference); shorter queries provably cannot, so
+        # the fused path stays available on corpora with long text entries
+        return None
     dev = persistence.device_field(field)
     if dev.offsets is None:
         return None
@@ -615,6 +620,7 @@ def _try_fuzzy_fast_path(
                     capacity=capacity,
                     num_docs=num_docs,
                     k=k_eff,
+                    packed=dev.packed,
                 )
             )
         else:
@@ -632,6 +638,7 @@ def _try_fuzzy_fast_path(
                     capacity=capacity,
                     num_docs=num_docs,
                     k=k_eff,
+                    packed=dev.packed,
                 )
             )
         ids, scores, num_hits, total_matches, total_postings = jax.device_get(

@@ -62,7 +62,18 @@ def _fuzzy_match_cache(persistence) -> dict:
 
 
 def _long_term_extras(dictionary, lower_term, distance, starts_with):
-    """Host fallback rows for terms longer than the sweep char matrix."""
+    """Host fallback rows for terms longer than the sweep char matrix.
+
+    Length pruning: lev(a, b) >= |len(a) - len(b)|, so a query shorter than
+    (MIN_LONG_LEN - distance) can NEVER match a long term — corpora with
+    untokenized text entries carry tens of thousands of >32-char dictionary
+    terms, and without this guard every fuzzy query paid a host DP loop
+    over all of them (observed: 56k long terms on the bench corpus).
+    starts_with compares against term PREFIXES and is exempt."""
+    from ..indices import MAX_TERM_CHARS
+
+    if not starts_with and len(lower_term) + distance <= MAX_TERM_CHARS:
+        return [], [], []
     extra_ids, extra_d, extra_p = [], [], []
     for tid in dictionary.long_term_ids():
         lo = dictionary.terms[tid].lower()
