@@ -304,6 +304,28 @@ class TermDictionary:
             self._char_lengths = lengths
         return self._char_matrix, self._char_lengths
 
+    def char_matrix_compact(self) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """Sweep matrix with the unsweepable rows dropped:
+        ``(chars [M, MAX_TERM_CHARS] u16, lengths [M] i32, ids [M] i32)``
+        where ``ids`` maps each row back to its dictionary term id.
+
+        Corpora with untokenized text entries carry a large fraction of
+        >MAX_TERM_CHARS terms (56k of 118k on the bench corpus) whose
+        all-zero rows the full matrix still made every sweep scan; the
+        compact form nearly halves sweep + selection cost there.
+        """
+        cached = getattr(self, "_char_matrix_compact", None)
+        if cached is None:
+            chars, lengths = self.char_matrix()
+            keep = np.flatnonzero(lengths > 0)
+            cached = (
+                np.ascontiguousarray(chars[keep]),
+                np.ascontiguousarray(lengths[keep]),
+                keep.astype(np.int32),
+            )
+            self._char_matrix_compact = cached
+        return cached
+
     def long_term_ids(self) -> List[int]:
         """Ids of terms longer (in chars) than MAX_TERM_CHARS (cached)."""
         cached = getattr(self, "_long_ids_cache", None)

@@ -59,7 +59,7 @@ def _sweep(term_chars, term_lens, query, query_len):
 
 def _select_resolve_sorted(
     dist, is_prefix, distance, offsets, anchors, scores01,
-    max_terms, capacity, num_docs, packed=None,
+    max_terms, capacity, num_docs, packed=None, sweep_ids=None,
 ):
     """Shared tail: match -> term score -> on-device select -> resolve ->
     sorted-run candidates. `dist` may come from the XLA sweep or the banded
@@ -98,7 +98,12 @@ def _select_resolve_sorted(
     sel_ids, sel_scores = topk_positions(masked, max_terms)
     sel_valid = jnp.isfinite(sel_scores)
     num_keys = offsets.shape[0] - 2
-    term_ids = jnp.where(sel_valid & (sel_ids < num_keys), sel_ids, -1).astype(jnp.int32)
+    if sweep_ids is not None:
+        # compact sweep matrix: map row indices back to term ids (pad -1)
+        sel_ids = sweep_ids[jnp.where(sel_valid, sel_ids, 0)]
+    term_ids = jnp.where(
+        sel_valid & (sel_ids >= 0) & (sel_ids < num_keys), sel_ids, -1
+    ).astype(jnp.int32)
     term_scores = jnp.where(sel_valid, sel_scores, 0.0).astype(jnp.float32)
 
     # resolve postings. Segment mapping via scatter+cumsum fills
@@ -159,13 +164,13 @@ def _candidates_topk(a_s, final, k):
 
 def _select_resolve_topk(
     dist, is_prefix, distance, offsets, anchors, scores01,
-    max_terms, capacity, num_docs, k, packed=None,
+    max_terms, capacity, num_docs, k, packed=None, sweep_ids=None,
 ):
     """`_select_resolve_sorted` + exact top-k; returns
     (ids, scores, num_hits, total_matches, total_postings)."""
     a_s, final, total_matches, total_postings = _select_resolve_sorted(
         dist, is_prefix, distance, offsets, anchors, scores01,
-        max_terms, capacity, num_docs, packed=packed,
+        max_terms, capacity, num_docs, packed=packed, sweep_ids=sweep_ids,
     )
     ids, scores = _candidates_topk(a_s, final, k)
     num_hits = jnp.sum(final > 0, dtype=jnp.int32)
@@ -190,11 +195,12 @@ def fuzzy_search_topk(
     num_docs: int,
     k: int,
     packed=None,
+    sweep_ids=None,
 ):
     dist, is_prefix = _sweep(term_chars, term_lens, query, query_len)
     return _select_resolve_topk(
         dist, is_prefix, distance, offsets, anchors, scores01,
-        max_terms, capacity, num_docs, k, packed=packed,
+        max_terms, capacity, num_docs, k, packed=packed, sweep_ids=sweep_ids,
     )
 
 
@@ -217,6 +223,7 @@ def fuzzy_search_topk_banded(
     k: int,
     interpret: bool = False,
     packed=None,
+    sweep_ids=None,
 ):
     """Fused fuzzy step over the banded Pallas sweep: exact distances within
     the +-4 band with zero HBM DP state (the XLA sweep spills at large N),
@@ -228,7 +235,7 @@ def fuzzy_search_topk_banded(
     )
     return _select_resolve_topk(
         dist, is_prefix, distance, offsets, anchors, scores01,
-        max_terms, capacity, num_docs, k, packed=packed,
+        max_terms, capacity, num_docs, k, packed=packed, sweep_ids=sweep_ids,
     )
 
 
@@ -251,6 +258,7 @@ def batched_fuzzy_search_topk_banded(
     k: int,
     interpret: bool = False,
     packed=None,
+    sweep_ids=None,
 ):
     """A batch of fuzzy queries through ONE banded Pallas sweep + vmapped
     select/resolve/top-k tail. The dictionary is read from HBM once per
@@ -267,6 +275,7 @@ def batched_fuzzy_search_topk_banded(
         return _select_resolve_topk(
             d, p, dd, offsets, anchors, scores01,
             max_terms, capacity, num_docs, k, packed=packed,
+            sweep_ids=sweep_ids,
         )
 
     return jax.vmap(tail)(dist, is_prefix, distances)
@@ -290,6 +299,7 @@ def batched_fuzzy_search_topk(
     num_docs: int,
     k: int,
     packed=None,
+    sweep_ids=None,
 ):
     """A batch of fuzzy queries in ONE dispatch (vmapped fuzzy_search_topk).
 
@@ -300,7 +310,7 @@ def batched_fuzzy_search_topk(
         return fuzzy_search_topk(
             term_chars, term_lens, q, ql, d, offsets, anchors, scores01,
             max_terms=max_terms, capacity=capacity, num_docs=num_docs, k=k,
-            packed=packed,
+            packed=packed, sweep_ids=sweep_ids,
         )
 
     return jax.vmap(one)(queries, query_lens, distances)
@@ -335,6 +345,7 @@ def batched_fuzzy_generic_topk(
     boost_specs=(),
     interpret: bool = False,
     packed=None,
+    sweep_ids=None,
 ):
     """Fuzzy queries WITH filters / boost columns / phrase factors / facets
     in ONE program — the fuzzy leg of the batched generic path (BASELINE
@@ -367,6 +378,7 @@ def batched_fuzzy_generic_topk(
         a_s, final, total_matches, total_postings = _select_resolve_sorted(
             d, p, dd, offsets, anchors, scores01,
             max_terms, capacity, num_docs, packed=packed,
+            sweep_ids=sweep_ids,
         )
         safe = jnp.clip(a_s, 0, num_docs - 1)
         if fidx is not None:

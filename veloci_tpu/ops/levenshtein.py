@@ -107,6 +107,7 @@ def select_matches(
     crit: jax.Array,  # [N] int32 matching criterion (dist or prefix_dist)
     distance: jax.Array,  # scalar int32
     max_matches: int,
+    remap=None,  # [N] int32 row -> term id (compact sweep matrix) | None
 ):
     """Top-M match selection from precomputed sweep outputs (device-side).
 
@@ -120,10 +121,13 @@ def select_matches(
     key = jnp.where(match, dist, _BIG)
     sel_ids, neg = topk_positions(-key.astype(jnp.float32), max_matches)
     sel_match = jnp.isfinite(neg) & (-neg < _BIG)
-    sel_ids = jnp.where(sel_match, sel_ids, -1)
     safe = jnp.where(sel_match, sel_ids, 0)
     sel_dist = jnp.where(sel_match, dist[safe], _BIG)
     sel_prefix = jnp.where(sel_match, is_prefix[safe], False)
+    if remap is not None:
+        sel_ids = jnp.where(sel_match, remap[safe], -1)
+    else:
+        sel_ids = jnp.where(sel_match, sel_ids, -1)
     return sel_ids, sel_dist, sel_prefix, total
 
 
@@ -136,6 +140,7 @@ def sweep_select(
     distance: jax.Array,  # scalar int32
     use_prefix_criterion: jax.Array,  # scalar bool (starts_with matching)
     max_matches: int,
+    remap=None,
 ):
     """Sweep + ON-DEVICE match selection: only the best ``max_matches``
     matched terms (by distance) come back to the host — O(M) transfer
@@ -148,7 +153,7 @@ def sweep_select(
         term_chars, term_lens, query, query_len
     )
     crit = jnp.where(use_prefix_criterion, prefix_dist, dist)
-    return select_matches(dist, is_prefix, crit, distance, max_matches)
+    return select_matches(dist, is_prefix, crit, distance, max_matches, remap=remap)
 
 
 def levenshtein_distance_host(a: str, b: str) -> int:

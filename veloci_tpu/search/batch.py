@@ -1011,6 +1011,7 @@ def _run_fuzzy_generic_group(
                 banded=use_banded,
                 boost_specs=boost_specs,
                 packed=dev.packed,
+                sweep_ids=dev.sweep_ids,
             )
             ids_b, scores_b, hits_b, totals_b, post_b, fc_b = jax.device_get(out)
             need = int(post_b.max()) if len(post_b) else 0
@@ -1104,6 +1105,7 @@ def _run_fuzzy_group(persistence, field, entries, results, start) -> None:
             num_docs=num_docs,
             k=k_eff,
             packed=dev.packed,
+            sweep_ids=dev.sweep_ids,
         )
 
     def emit_row(qi, req, ids, scores, nh):

@@ -621,6 +621,7 @@ def _try_fuzzy_fast_path(
                     num_docs=num_docs,
                     k=k_eff,
                     packed=dev.packed,
+                    sweep_ids=dev.sweep_ids,
                 )
             )
         else:
@@ -639,6 +640,7 @@ def _try_fuzzy_fast_path(
                     num_docs=num_docs,
                     k=k_eff,
                     packed=dev.packed,
+                    sweep_ids=dev.sweep_ids,
                 )
             )
         ids, scores, num_hits, total_matches, total_postings = jax.device_get(

@@ -206,8 +206,11 @@ def prefetch_fuzzy_matches(persistence, specs) -> None:
                 dist_b, _pd, ispref_b = jax.vmap(
                     lambda q, ql: levenshtein_sweep(dev.chars, dev.lengths, q, ql)
                 )(jnp.asarray(queries), jnp.asarray(qlens))
+            remap_j = dev.sweep_ids
             out = jax.vmap(
-                lambda d, p, dd: select_matches(d, p, d, dd, max_matches=mm)
+                lambda d, p, dd: select_matches(
+                    d, p, d, dd, max_matches=mm, remap=remap_j
+                )
             )(dist_b, ispref_b, jnp.asarray(dists_in))
             pending.append((field, citems, out))
 
@@ -297,7 +300,8 @@ def _match_fuzzy_device(persistence, field, lower_term, distance, starts_with):
             dist_d, prefix_d, ispref_d = banded_sweep(dev, q, qlen)
             crit_d = prefix_d if starts_with else dist_d
             sel_ids, sel_dist, sel_prefix, total = select_matches(
-                dist_d, ispref_d, crit_d, jnp.int32(distance), max_matches=mm
+                dist_d, ispref_d, crit_d, jnp.int32(distance), max_matches=mm,
+                remap=dev.sweep_ids,
             )
         else:
             sel_ids, sel_dist, sel_prefix, total = sweep_select(
@@ -308,6 +312,7 @@ def _match_fuzzy_device(persistence, field, lower_term, distance, starts_with):
                 jnp.int32(distance),
                 jnp.bool_(starts_with),
                 max_matches=mm,
+                remap=dev.sweep_ids,
             )
         total = int(total)
         if total <= max_matches or max_matches >= dev.chars.shape[0]:
