@@ -13,6 +13,7 @@
 // Build: g++ -O2 -std=c++17 -shared -fPIC -o libveloci_native.so indexer.cpp
 
 #include <algorithm>
+#include <chrono>
 #include <cmath>
 #include <thread>
 #include <cstdint>
@@ -94,8 +95,22 @@ struct Parser {
         i++;
         out.clear();
         while (i < n) {
+            // span scan: memchr (SIMD) to the closing quote, then check the
+            // span for escapes — the no-escape common case is ONE append
+            const char* q = (const char*)memchr(s + i, '"', (size_t)(n - i));
+            if (!q) return false;
+            int64_t qpos = q - s;
+            const char* b =
+                (const char*)memchr(s + i, '\\', (size_t)(qpos - i));
+            if (!b) {
+                out.append(s + i, (size_t)(qpos - i));
+                i = qpos + 1;
+                return true;
+            }
+            int64_t bpos = b - s;
+            out.append(s + i, (size_t)(bpos - i));
+            i = bpos;
             unsigned char c = (unsigned char)s[i];
-            if (c == '"') { i++; return true; }
             if (c == '\\') {
                 i++;
                 if (i >= n) return false;
@@ -855,13 +870,29 @@ static int64_t compress(const uint8_t* src, int64_t n, uint8_t* dst, int64_t cap
         dst[op++] = (uint8_t)len;
         return true;
     };
-    std::vector<int32_t> table((size_t)1 << 16, -1);
+    // generation-stamped match table, reused across calls: the doc store
+    // compresses thousands of 16 KB blocks, and a fresh 256 KB table fill
+    // per block costs more than the matching itself
+    struct MatchTable {
+        std::vector<uint64_t> slots;  // (generation << 32) | pos
+        uint32_t gen = 0;
+        MatchTable() : slots((size_t)1 << 16, 0) {}
+    };
+    static thread_local MatchTable mt;
+    mt.gen++;
+    if (mt.gen == 0) {  // u32 wrap: hard reset once every 4B calls
+        std::fill(mt.slots.begin(), mt.slots.end(), 0);
+        mt.gen = 1;
+    }
+    const uint64_t gen_tag = (uint64_t)mt.gen << 32;
+    uint64_t* table = mt.slots.data();
     int64_t ip = 0, anchor = 0;
     const int64_t mflimit = n - 12;
     while (ip <= mflimit && ip >= 0) {
         uint32_t h = hash32(read32(src + ip));
-        int64_t cand = table[h];
-        table[h] = (int32_t)ip;
+        uint64_t slot = table[h];
+        int64_t cand = (slot >> 32) == mt.gen ? (int64_t)(uint32_t)slot : -1;
+        table[h] = gen_tag | (uint32_t)ip;
         if (cand >= 0 && ip - cand <= 65535 && read32(src + cand) == read32(src + ip)) {
             int64_t mlen = 4;
             while (ip + mlen < n - 5 && src[cand + mlen] == src[ip + mlen]) mlen++;
@@ -883,7 +914,7 @@ static int64_t compress(const uint8_t* src, int64_t n, uint8_t* dst, int64_t cap
             ip += mlen;
             anchor = ip;
             if (ip - 2 > 0 && ip - 2 <= mflimit)
-                table[hash32(read32(src + ip - 2))] = (int32_t)(ip - 2);
+                table[hash32(read32(src + ip - 2))] = gen_tag | (uint32_t)(ip - 2);
         } else {
             ip++;
         }
@@ -1170,6 +1201,75 @@ void vl_radix_sort_u64_kv32(uint64_t* keys, uint32_t* vals, int64_t n) {
     radix_sort_u64_kv(keys, vals, n);
 }
 
+// pack a CSR from (key, value) pairs entirely natively — the whole
+// csr_from_pairs body (sort + optional pair-dedup + bincount + prefix sum)
+// without round-tripping intermediates through numpy.
+//   mode 0: stable sort by key (values keep insertion order per key)
+//   mode 1: sort by the combined (key << 32 | value) u64 and dedup exact
+//           pairs (caller guarantees key < 2^31)
+// keys/values are modified in place; the first m entries survive. offsets
+// (u64[num_keys + 1]) is fully written. Returns m, or -1 if a key is out
+// of [0, num_keys).
+int64_t vl_pack_csr(uint64_t* keys, uint32_t* values, int64_t n,
+                    int64_t num_keys, int32_t mode, uint64_t* offsets) {
+    int64_t m = n;
+    if (mode == 1) {
+        std::vector<uint64_t> combo((size_t)n);
+        for (int64_t i = 0; i < n; i++)
+            combo[(size_t)i] = (keys[i] << 32) | values[i];
+        radix_sort_u64(combo.data(), n);
+        m = 0;
+        for (int64_t i = 0; i < n; i++) {
+            if (i && combo[(size_t)i] == combo[(size_t)i - 1]) continue;
+            keys[m] = combo[(size_t)i] >> 32;
+            values[m] = (uint32_t)(combo[(size_t)i] & 0xFFFFFFFFu);
+            m++;
+        }
+    } else {
+        radix_sort_u64_kv(keys, values, n);
+    }
+    memset(offsets, 0, (size_t)(num_keys + 1) * sizeof(uint64_t));
+    for (int64_t i = 0; i < m; i++) {
+        if ((int64_t)keys[i] >= num_keys) return -1;
+        offsets[keys[i] + 1]++;
+    }
+    for (int64_t k = 0; k < num_keys; k++) offsets[k + 1] += offsets[k];
+    return m;
+}
+
+void vl_lexsort_u64_u32(uint64_t* keys, uint32_t* vals, int64_t n);
+
+// phrase-pair index packing: lexicographic (key, value) sort, exact-pair
+// dedup, unique-key compaction + offsets — stream_iter_to_phrase_index
+// semantics in one native call. keys/values in place (first m values and
+// first nk keys survive); offsets u64[n + 1] (first nk + 1 valid).
+// Returns m; *out_nkeys = nk.
+int64_t vl_pack_phrase(uint64_t* keys, uint32_t* values, int64_t n,
+                       uint64_t* offsets, int64_t* out_nkeys) {
+    if (n > 1) {
+        vl_lexsort_u64_u32(keys, values, n);
+    }
+    int64_t m = 0;
+    for (int64_t i = 0; i < n; i++) {
+        if (i && keys[i] == keys[i - 1] && values[i] == values[i - 1]) continue;
+        keys[m] = keys[i];
+        values[m] = values[i];
+        m++;
+    }
+    int64_t nk = 0;
+    offsets[0] = 0;
+    for (int64_t i = 0; i < m; i++) {
+        if (i == 0 || keys[i] != keys[nk - 1]) {
+            keys[nk] = keys[i];
+            offsets[nk + 1] = offsets[nk];
+            nk++;
+        }
+        offsets[nk]++;
+    }
+    *out_nkeys = nk;
+    return m;
+}
+
 // lexicographic (key, val) sort: stable radix by val then stable by key —
 // equivalent to np.lexsort((vals, keys)) applied to both arrays
 void vl_lexsort_u64_u32(uint64_t* keys, uint32_t* vals, int64_t n) {
@@ -1215,8 +1315,19 @@ void vl_lexsort_u64_u32(uint64_t* keys, uint32_t* vals, int64_t n) {
 
 void* vl_index_ndjson(const char* data, int64_t len, PathConfigCb cb) {
     auto* res = new IndexResult();
+    const bool prof = getenv("VELOCI_NATIVE_PROF") != nullptr;
+    auto t0 = std::chrono::steady_clock::now();
     parse_range(data, len, cb, res);
+    auto t1 = std::chrono::steady_clock::now();
     for (auto* ps : res->paths) finalize_path(*ps);
+    auto t2 = std::chrono::steady_clock::now();
+    if (prof) {
+        auto ms = [](auto a, auto b) {
+            return std::chrono::duration<double, std::milli>(b - a).count();
+        };
+        fprintf(stderr, "[vl prof] parse %.1fms finalize %.1fms\n",
+                ms(t0, t1), ms(t1, t2));
+    }
     return res;
 }
 

@@ -593,9 +593,12 @@ def _pack_phrase(tuples: Tuple[List[int], List[int], List[int]]) -> PhraseCsr:
 
         keys = np.ascontiguousarray(keys)
         v = np.array(v, dtype=np.uint32, copy=True)
-        if not _native.lexsort_kv_u64_u32(keys, v):
-            order = np.lexsort((v, keys))
-            keys, v = keys[order], v[order]
+        packed = _native.pack_phrase(keys, v)
+        if packed is not None:
+            uniq_keys, offsets, vals = packed
+            return PhraseCsr(keys=uniq_keys, offsets=offsets, values=vals)
+        order = np.lexsort((v, keys))
+        keys, v = keys[order], v[order]
         if len(keys):
             keep = np.ones(len(keys), dtype=bool)
             keep[1:] = (keys[1:] != keys[:-1]) | (v[1:] != v[:-1])

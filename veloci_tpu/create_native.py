@@ -188,16 +188,20 @@ def _pack_path(out: BuiltIndex, ps: NativePath, config: FieldsConfig) -> None:
     if field_config.boost is not None and L:
         vals = np.zeros(nk(parent), dtype=np.float32)
         present = np.zeros(nk(parent), dtype=bool)
-        # first value per parent wins; texts parse as f32 (create.rs:207-214)
-        for i in range(L - 1, -1, -1):
-            tid = int(text_id[i])
-            text = dictionary.terms[tid] if tid < num_terms else ""
-            if text.strip() == "":
-                continue
-            v = float(text)
-            if not np.isnan(v):
-                vals[parent[i]] = np.float32(v)
-                present[parent[i]] = True
+        # first value per parent wins; texts parse as f32 (create.rs:207-214).
+        # Parse each UNIQUE term once (num_terms << L), then gather: the
+        # per-leaf Python loop was an ingest hotspot.
+        term_vals = np.full(num_terms + 1, np.nan, dtype=np.float32)
+        for tid in np.unique(text_id[text_id < num_terms]):
+            text = dictionary.terms[int(tid)]
+            if text.strip() != "":
+                term_vals[tid] = np.float32(float(text))
+        leaf_vals = term_vals[np.minimum(text_id, num_terms)]
+        ok = ~np.isnan(leaf_vals)
+        # iterate first-wins: reversed assignment leaves the FIRST leaf's
+        # value per parent in place
+        vals[parent[ok][::-1]] = leaf_vals[ok][::-1]
+        present[parent[ok]] = True
         boost_path = path_col + BOOST_VALID_TO_VALUE
         out.boost_stores[boost_path] = (vals, present)
         _add_meta(out, path_col, boost_path, "Boost", "MultiValue", False)

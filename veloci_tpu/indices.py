@@ -389,13 +389,20 @@ def csr_from_pairs(
                     keep[1:] = k_s[1:] != k_s[:-1]
                     combo = np.asarray(k_s[keep]).astype(np.int64)
             else:
-                # combined-key sort: native LSD radix (in place, stable) or
-                # one int64 np.sort — both beat a 2-key lexsort
+                # whole pack in C++: combined-key radix sort + pair dedup +
+                # offsets in one call (no numpy intermediates)
                 from . import native as _native
 
+                packed = _native.pack_csr(
+                    keys.astype(np.uint64),  # copy: pack clobbers in place
+                    np.array(values, dtype=np.uint32, copy=True),
+                    num_keys,
+                    sort_and_dedup=True,
+                )
+                if packed is not None:
+                    return Csr(offsets=packed[0], values=np.ascontiguousarray(packed[1]))
                 combo = np.ascontiguousarray(combo)
-                if not _native.sort_u64(combo.view(np.uint64)):
-                    combo = np.sort(combo)
+                combo = np.sort(combo)
                 combo = combo[np.concatenate([[True], combo[1:] != combo[:-1]])]
             keys = combo >> np.int64(32)
             values = (combo & np.int64(0xFFFFFFFF)).astype(np.uint32)
@@ -409,13 +416,17 @@ def csr_from_pairs(
     else:
         from . import native as _native
 
-        k_u = keys.astype(np.uint64)
-        v_s = np.array(values, dtype=np.uint32, copy=True)
-        if stable and _native.sort_kv_u64_u32(k_u, v_s):
-            keys, values = k_u.astype(np.int64), v_s
-        else:
-            order = np.argsort(keys, kind="stable" if stable else "quicksort")
-            keys, values = keys[order], values[order]
+        if stable:
+            packed = _native.pack_csr(
+                keys.astype(np.uint64),  # copy: pack clobbers in place
+                np.array(values, dtype=np.uint32, copy=True),
+                num_keys,
+                sort_and_dedup=False,
+            )
+            if packed is not None:
+                return Csr(offsets=packed[0], values=np.ascontiguousarray(packed[1]))
+        order = np.argsort(keys, kind="stable" if stable else "quicksort")
+        keys, values = keys[order], values[order]
     counts = np.bincount(keys, minlength=num_keys) if len(keys) else np.zeros(num_keys, np.int64)
     offsets = np.zeros(num_keys + 1, dtype=np.uint64)
     np.cumsum(counts, out=offsets[1:])
