@@ -30,7 +30,11 @@ BASELINES (round 3): ``vs_baseline`` compares against the strictest of
 native single-core C++ baseline — the reference's resolve_token_to_anchor
 + top_n_sort hot path over the same arrays, including a storage-faithful
 delta+varint variant (native/baseline.cpp). The Rust reference itself is
-not runnable in this image (no cargo; jmdict is an LFS stub).
+not runnable in this image (no cargo; jmdict is an LFS stub). The headline
+ratio is taken at the 1M-doc scale row when it runs — the real jmdict is
+~600k entries, and at 100k docs the whole index is CPU-cache-resident,
+which flatters the single-core baseline (that ratio is still reported as
+``detail.vs_baseline_100k``).
 
 Prints ONE JSON line:
   {"metric": "...", "value": N, "unit": "...", "vs_baseline": N}
@@ -104,11 +108,17 @@ def percentile(values, p):
     return float(np.percentile(np.asarray(values), p))
 
 
-def measure_scan(make_body, n1: int, n2: int, retries: int = 2):
+def measure_scan(make_body, n1: int, n2: int, retries: int = 3):
     """Engine ms/iter by differencing two on-device scan depths.
 
     ``make_body(carry) -> carry`` must thread the carry through a
     hoist-proof data dependency (term ids). Returns (per_iter_s, w1, w2).
+
+    The per-iter estimate is the MEDIAN of the positive samples — taking
+    the minimum (round 2) over-claims when the wall difference collapses
+    into link noise (observed: a degraded window turned a 0.3 ms/batch
+    kernel into a "10 us/batch" sample). Samples whose difference is below
+    twice the observed wall jitter are discarded as unmeasurable.
     """
     import jax
     import jax.numpy as jnp
@@ -123,7 +133,8 @@ def measure_scan(make_body, n1: int, n2: int, retries: int = 2):
 
     float(run(n1))  # compile + warm sync
     float(run(n2))
-    best = None
+    samples = []
+    w1s, w2s = [], []
     for _ in range(retries):
         t0 = time.perf_counter()
         float(run(n1))
@@ -131,12 +142,20 @@ def measure_scan(make_body, n1: int, n2: int, retries: int = 2):
         t0 = time.perf_counter()
         float(run(n2))
         w2 = time.perf_counter() - t0
-        per = (w2 - w1) / (n2 - n1)
-        if per > 0 and (best is None or per < best[0]):
-            best = (per, w1, w2)
-    if best is None:  # degenerate timing (degraded link mid-measure)
-        best = (max(w2, 1e-9) / n2, w1, w2)
-    return best
+        w1s.append(w1)
+        w2s.append(w2)
+        if w2 > w1:
+            samples.append((w2 - w1) / (n2 - n1))
+    jitter = max(
+        (max(ws) - min(ws) for ws in (w1s, w2s) if len(ws) > 1), default=0.0
+    )
+    good = [p for p in samples if p * (n2 - n1) > 2.0 * jitter]
+    pool = good or samples
+    if pool:
+        per = float(np.median(pool))
+    else:  # degenerate timing (degraded link mid-measure)
+        per = max(w2s[-1], 1e-9) / n2
+    return per, w1s[-1], w2s[-1]
 
 
 def exact_query_ids(pers, vocab, nq, seed=99):
@@ -312,6 +331,21 @@ def scale_summary(n_docs, backend) -> dict:
         f"[scale {n_docs}] exact engine: {out['exact_batched_engine_qps']:.0f} QPS"
     )
 
+    # the single-core C++ baseline AT SCALE: at 100k docs the whole index is
+    # L3-resident and a CPU core is hard to beat on 50-posting queries; the
+    # honest comparison is where the index exceeds cache
+    try:
+        nb = native_cpu_baseline(pers, tid_host, reps=5)
+        out.update(nb)
+        if nb:
+            strict = max(nb.values())
+            out["vs_native_cpu"] = round(
+                out["exact_batched_engine_qps"] / strict, 2
+            )
+        log(f"[scale {n_docs}] native baseline: {nb}")
+    except Exception as e:
+        log(f"[scale {n_docs}] native baseline failed: {e!r}")
+
     # generator-shape serving e2e
     _qt, reqs = generator_requests(pers, vocab, min(100, N_EXACT_QUERIES))
     search_batch(reqs, pers)  # warm
@@ -344,7 +378,7 @@ def scale_summary(n_docs, backend) -> dict:
 
     # cold start: save, then a fresh process loads + warms + answers one
     # query — the reference's mmap-load warm path analog. Needs budget.
-    if os.environ.get("BENCH_COLDSTART", "1") != "0" and budget_left() > 400:
+    if os.environ.get("BENCH_COLDSTART", "1") != "0" and budget_left() > 600:
         import subprocess
         import tempfile
 
@@ -386,6 +420,50 @@ def scale_summary(n_docs, backend) -> dict:
             import shutil
 
             shutil.rmtree(d, ignore_errors=True)
+    return out
+
+
+def test_large_summary(n_docs) -> dict:
+    """The reference's 6M-doc large-corpus benchmark, faithfully: a repeat
+    corpus of ``{"type":"taschenbuch","title":"mein buch"}`` built and
+    queried single-term (test_large_search.rs:23-45, the runnable
+    large-search harness — bench_large_search.rs is bit-rotted out of the
+    reference build). Captures build rate, index memory, cold first query
+    (compile + H2D through the tunnel) and warm p50."""
+    from veloci_tpu import Persistence
+    from veloci_tpu.query.generator import (
+        SearchQueryGeneratorParameters,
+        search_query,
+    )
+    from veloci_tpu.search.executor import search
+
+    out = {"num_docs": n_docs, "corpus": "test_large_search.rs repeat doc"}
+    doc = '{"type":"taschenbuch","title":"mein buch"}'
+    data = "\n".join([doc] * n_docs)
+    t0 = time.time()
+    pers = Persistence.create_from_str(data, "{}")
+    build_s = time.time() - t0
+    out["build_s"] = round(build_s, 1)
+    out["index_build_mb_per_s"] = round(pers.bytes_indexed / build_s / 1e6, 2)
+    out["index_bytes"] = pers.heap_size_bytes()
+    del data
+    log(f"[large {n_docs}] built {build_s:.0f}s")
+
+    req = search_query(pers, SearchQueryGeneratorParameters(search_term="buch"))
+    t0 = time.time()
+    res = search(req, pers)
+    out["cold_first_query_s"] = round(time.time() - t0, 2)
+    out["num_hits"] = res.num_hits
+    lat = []
+    for _ in range(5):
+        t0 = time.time()
+        search(req, pers)
+        lat.append(time.time() - t0)
+    out["warm_p50_ms"] = round(percentile(lat, 50) * 1e3, 1)
+    log(
+        f"[large {n_docs}] {res.num_hits} hits; cold first query "
+        f"{out['cold_first_query_s']}s, warm p50 {out['warm_p50_ms']}ms"
+    )
     return out
 
 
@@ -501,6 +579,8 @@ def main() -> None:
         f"(link-bound: {link_rt_ms:.1f} ms/round-trip)"
     )
 
+    lite = bool(os.environ.get("BENCH_LITE"))  # exact sections only (proxy subprocess)
+
     # ---- fuzzy d=2, batched ----------------------------------------------
     # Serving route: prefetched batched sweep + the sorted tree kernel with
     # per-query capacity sub-bucketing (search_batch). Engine-only: the
@@ -520,6 +600,8 @@ def main() -> None:
     fuzzy_ms_per_batch = 0.0
     fuzzy_serving_qps = 0.0
     try:
+        if lite:
+            raise RuntimeError("lite mode")
         freqs = [
             Request.from_dict(
                 {
@@ -537,6 +619,8 @@ def main() -> None:
         ]
         fres = search_batch(freqs, pers)
         assert any(r.data for r in fres), "fuzzy serving returned no hits"
+        search_batch(freqs, pers)  # second warm: the capacity/window hints
+        # adapted after run 1, so run 2 compiles the post-convergence shapes
         t0 = time.perf_counter()
         search_batch(freqs, pers)
         fuzzy_serving_qps = fq / (time.perf_counter() - t0)
@@ -577,6 +661,12 @@ def main() -> None:
             f"fuzzy serving plan: pass1 {fq}@({c0},mt{mt0}) + "
             + ", ".join(f"{len(r)}@({c},mt{m})" for (c, m), r in retry.items())
         )
+        # short-matrix variant when the whole batch qualifies (the serving
+        # path splits per-row; the bench batch is homogeneous short terms)
+        from veloci_tpu.persistence import SHORT_SWEEP_MAX
+
+        if all(len(t) + 2 <= SHORT_SWEEP_MAX for t in fuzzy_terms[:fq]):
+            dev = dev.sweep_variant(1)
         chars_d, chars_t_d, lens_d = dev.chars, dev.chars_t, dev.lengths
         offs_d, anc_d, sc_d = dev.offsets, dev.anchors, dev.scores01
         packed_d = dev.packed
@@ -603,7 +693,8 @@ def main() -> None:
                 chars_arg + off[None, None], lens_d, fqj, flj, fdists,
                 offs_d, anc_d, sc_d,
                 max_terms=64, capacity=c0, num_docs=num_docs, k=TOP_K,
-                packed=packed_d,
+                packed=packed_d, sweep_ids=dev.sweep_ids,
+                **({"band": 2} if use_banded else {}),
             )
             acc = scores[0, 0]
             for rq, rl, rd, cap, mt in retry_args:
@@ -611,7 +702,8 @@ def main() -> None:
                     chars_arg + off[None, None], lens_d, rq, rl, rd,
                     offs_d, anc_d, sc_d,
                     max_terms=mt, capacity=cap, num_docs=num_docs, k=TOP_K,
-                    packed=packed_d,
+                    packed=packed_d, sweep_ids=dev.sweep_ids,
+                    **({"band": 2} if use_banded else {}),
                 )
                 acc = acc + scores[0, 0]
             return acc * jnp.float32(1e-12)
@@ -634,6 +726,8 @@ def main() -> None:
     generic_ms = 0.0
     generic_serving_qps = 0.0
     try:
+        if lite:
+            raise RuntimeError("lite mode")
         from veloci_tpu.create import BOOST_VALID_TO_VALUE
         from veloci_tpu.ops.postings import bucket_size
         from veloci_tpu.ops.tree_step import batched_tree_topk
@@ -748,6 +842,8 @@ def main() -> None:
     generator_engine_qps = 0.0
     generator_fallbacks = None
     try:
+        if lite:
+            raise RuntimeError("lite mode")
         from veloci_tpu.search import batch as batch_mod
         from veloci_tpu.search import stats as stats_mod
 
@@ -837,6 +933,8 @@ def main() -> None:
     # ---- suggest (reference suggest_multi, search_field.rs:194-219) ------
     suggest_qps = 0.0
     try:
+        if lite:
+            raise RuntimeError("lite mode")
         from veloci_tpu.search.executor import suggest as suggest_fn
 
         rng = np.random.default_rng(99)
@@ -868,6 +966,8 @@ def main() -> None:
     # ---- gutenberg-style highlight (reference bench_jmdict.rs:41-45) -----
     hl_qps = 0.0
     try:
+        if lite:
+            raise RuntimeError("lite mode")
         from veloci_tpu import search, search_to_result_with_doc
 
         rng2 = np.random.default_rng(7)
@@ -902,6 +1002,8 @@ def main() -> None:
     # ---- native single-core C++ baseline (reference hot path) ------------
     native = {}
     try:
+        if lite:
+            raise RuntimeError("lite mode")
         native = native_cpu_baseline(pers, tid_host)
         log(f"native single-core baseline: {native}")
     except Exception as e:
@@ -921,6 +1023,7 @@ def main() -> None:
             env["BENCH_FUZZY_QUERIES"] = "4"
             env["BENCH_SKIP_CPU_PROXY"] = "1"
             env["BENCH_SCALES"] = ""
+            env["BENCH_LITE"] = "1"
             proc = subprocess.run(
                 ["python", "-c",
                  "import jax; jax.config.update('jax_platforms','cpu');"
@@ -945,7 +1048,11 @@ def main() -> None:
     if strictest:
         vs_baseline = qps_batched / strictest
 
-    # ---- scale sections (1M / 6M docs) -----------------------------------
+    # ---- scale sections --------------------------------------------------
+    # 1M jmdict-like docs ~= the real jmdict corpus scale (~600k entries):
+    # the honest venue for the BASELINE ">=10x single-core" clause, since at
+    # 100k docs the whole index is CPU-cache-resident. 6M runs the
+    # reference's OWN large-corpus harness (test_large_search.rs repeat doc).
     scales = {}
     default_scales = "" if backend == "cpu" else "1000000,6000000"
     for s in os.environ.get("BENCH_SCALES", default_scales).split(","):
@@ -953,15 +1060,26 @@ def main() -> None:
         if not s:
             continue
         n = int(s)
-        # entry thresholds sized so a started section can finish: at 6M the
-        # H2D upload + warmup through the tunnel alone costs minutes
-        if budget_left() < (300 if n <= 1_000_000 else 900):
+        # entry thresholds sized so a started section can finish (observed:
+        # 1M ~ build 60s + warmup 50s + measures + bounded cold-start; 6M
+        # test_large ~ build 100-200s + one big-bucket compile + H2D)
+        if budget_left() < (600 if n <= 1_000_000 else 400):
             log(f"skipping scale {n}: budget exhausted")
             continue
         try:
-            scales[str(n)] = scale_summary(n, backend)
+            if n >= 6_000_000:
+                scales[str(n)] = test_large_summary(n)
+            else:
+                scales[str(n)] = scale_summary(n, backend)
         except Exception as e:
             log(f"scale {n} failed: {e!r}")
+
+    # the headline ratio: jmdict-scale engine vs the strictest single-core
+    # native baseline AT THAT SCALE when the 1M row ran; 100k otherwise
+    vs_baseline_100k = vs_baseline
+    row_1m = scales.get("1000000", {})
+    if row_1m.get("vs_native_cpu"):
+        vs_baseline = row_1m["vs_native_cpu"]
 
     result = {
         "metric": "jmdict_like_exact_top10_batched_engine_qps",
@@ -994,6 +1112,7 @@ def main() -> None:
             "link_round_trip_ms": round(link_rt_ms, 3),
             "cpu_proxy_batched_qps": cpu_qps,
             "baselines": {**native, "xla_cpu_proxy_qps": cpu_qps},
+            "vs_baseline_100k": round(vs_baseline_100k, 2),
             "vs_baseline_native_cpu": (
                 round(qps_batched / max(
                     native.get("native_cpu_raw_qps", 0),

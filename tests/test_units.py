@@ -564,6 +564,15 @@ def test_batched_banded_fuzzy_parity():
         jnp.asarray(offs), jnp.asarray(anc), jnp.asarray(sc),
         max_terms=64, capacity=2048, num_docs=num_docs, k=10, interpret=True,
     )
+    # the narrow Ukkonen band (band=2) must agree for d<=2 batches — the
+    # band the serving paths compile for auto-lev traffic
+    got2 = batched_fuzzy_search_topk_banded(
+        jnp.asarray(chars_t), jnp.asarray(lens), jnp.asarray(queries),
+        jnp.asarray(qlens), jnp.asarray(dists),
+        jnp.asarray(offs), jnp.asarray(anc), jnp.asarray(sc),
+        max_terms=64, capacity=2048, num_docs=num_docs, k=10, interpret=True,
+        band=2,
+    )
     for row, (t, d) in enumerate(terms):
         q, ql = encode_query(t)
         want = fuzzy_search_topk(
@@ -572,6 +581,10 @@ def test_batched_banded_fuzzy_parity():
             max_terms=64, capacity=2048, num_docs=num_docs, k=10,
         )
         for x, y in zip(got, want):
+            np.testing.assert_allclose(
+                np.asarray(x)[row], np.asarray(y), rtol=1e-6
+            )
+        for x, y in zip(got2, want):
             np.testing.assert_allclose(
                 np.asarray(x)[row], np.asarray(y), rtol=1e-6
             )

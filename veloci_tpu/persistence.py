@@ -109,9 +109,13 @@ class DeviceField:
         scores01_host,
         host_offsets: np.ndarray,
         num_score_keys: int,
+        sweep_ids_host=None,
     ) -> None:
         self._chars_host = chars_host
         self._lengths_host = lengths_host
+        # row -> dictionary term id for the COMPACT sweep matrix (pad -1);
+        # None = identity (ad-hoc/test constructions)
+        self._sweep_ids_host = sweep_ids_host
         self.num_terms = num_terms
         self._offsets_host = offsets_host
         self._anchors_host = anchors_host
@@ -120,6 +124,9 @@ class DeviceField:
         self.num_score_keys = num_score_keys
         self._dev: Dict[str, object] = {}
         self._has_postings = offsets_host is not None
+        # sweep-matrix key prefix: the short variant shares this _dev dict
+        # (one HBM copy of the postings) but namespaced char arrays
+        self._kp = ""
 
     def _up(self, key: str, build):
         arr = self._dev.get(key)
@@ -138,17 +145,18 @@ class DeviceField:
 
     @property
     def chars(self):
-        return self._up("chars", lambda: self._chars_host)
+        return self._up(self._kp + "chars", lambda: self._chars_host)
 
     @property
     def chars_t(self):
         return self._up(
-            "chars_t", lambda: np.ascontiguousarray(self._chars_host.T)
+            self._kp + "chars_t",
+            lambda: np.ascontiguousarray(self._chars_host.T),
         )
 
     @property
     def lengths(self):
-        return self._up("lengths", lambda: self._lengths_host)
+        return self._up(self._kp + "lengths", lambda: self._lengths_host)
 
     @property
     def offsets(self):
@@ -167,6 +175,61 @@ class DeviceField:
         if not self._has_postings:
             return None
         return self._up("scores01", lambda: self._scores01_host)
+
+    @property
+    def sweep_ids(self):
+        """[n_pad] int32: compact sweep row -> dictionary term id (pad -1);
+        None when the matrix rows ARE term ids."""
+        if self._sweep_ids_host is None:
+            return None
+        return self._up(self._kp + "sweep_ids", lambda: self._sweep_ids_host)
+
+    def sweep_variant(self, max_match_len: int, starts_with: bool = False):
+        """The cheapest sweep matrix that still sees every possible match.
+
+        A term within levenshtein distance ``d`` of a query of ``qlen``
+        chars has length <= qlen + d (pass that as ``max_match_len``), so
+        short queries — the canonical fuzzy traffic — can sweep a matrix
+        with the long-term rows dropped entirely (the bench corpus: 61k ->
+        31k rows, ~2x off sweep AND select). ``starts_with`` queries score
+        arbitrarily long prefix-matching terms and must see the full
+        matrix. Returns ``self`` when the short variant would not pay
+        (<25% rows dropped) or for ad-hoc constructions without a remap."""
+        if starts_with or max_match_len > SHORT_SWEEP_MAX:
+            return self
+        cached = getattr(self, "_short_variant", None)
+        if cached is None:
+            cached = self
+            if self._sweep_ids_host is not None and self._kp == "":
+                keep = np.flatnonzero(
+                    (self._lengths_host > 0)
+                    & (self._lengths_host <= SHORT_SWEEP_MAX)
+                )
+                n_pad = _round_up(max(len(keep), 8), 1024)
+                if n_pad <= self._chars_host.shape[0] * 0.75:
+                    chars = np.zeros(
+                        (n_pad, self._chars_host.shape[1]), dtype=np.uint16
+                    )
+                    chars[: len(keep)] = self._chars_host[keep]
+                    lens = np.zeros(n_pad, dtype=np.int32)
+                    lens[: len(keep)] = self._lengths_host[keep]
+                    ids = np.full(n_pad, -1, dtype=np.int32)
+                    ids[: len(keep)] = self._sweep_ids_host[keep]
+                    cached = DeviceField(
+                        chars,
+                        lens,
+                        self.num_terms,
+                        self._offsets_host,
+                        self._anchors_host,
+                        self._scores01_host,
+                        self.host_offsets,
+                        self.num_score_keys,
+                        sweep_ids_host=ids,
+                    )
+                    cached._dev = self._dev  # share the posting uploads
+                    cached._kp = "short:"
+            self._short_variant = cached
+        return cached
 
     @property
     def packed(self):
@@ -212,6 +275,12 @@ def _enc(name: str) -> str:
 
 def _dec(name: str) -> str:
     return urllib.parse.unquote(name)
+
+
+# terms longer than this are excluded from the short sweep variant
+# (DeviceField.sweep_variant); queries with qlen + distance above it use
+# the full compact matrix
+SHORT_SWEEP_MAX = int(os.environ.get("VELOCI_SHORT_SWEEP_MAX", "12"))
 
 
 def _round_up(n: int, m: int) -> int:
@@ -484,14 +553,19 @@ class Persistence:
         import jax.numpy as jnp
 
         dictionary = self.get_dictionary(field)
-        chars, lengths = dictionary.char_matrix()
+        # COMPACT sweep matrix: only sweep-width terms; row -> term id via
+        # sweep_ids (pad rows map to -1)
+        chars, lengths, sweep_ids = dictionary.char_matrix_compact()
         n = len(dictionary)
+        m = chars.shape[0]
         # pad to the Pallas sweep tile (1024 terms/tile)
-        n_pad = _round_up(max(n, 8), 1024)
+        n_pad = _round_up(max(m, 8), 1024)
         chars_p = np.zeros((n_pad, chars.shape[1]), dtype=np.uint16)
-        chars_p[: chars.shape[0]] = chars
+        chars_p[:m] = chars
         lens_p = np.zeros(n_pad, dtype=np.int32)
-        lens_p[: len(lengths)] = lengths
+        lens_p[:m] = lengths
+        sweep_ids_p = np.full(n_pad, -1, dtype=np.int32)
+        sweep_ids_p[:m] = sweep_ids
         score_path = field + TEXTINDEX + TO_ANCHOR_ID_SCORE
         store = self.anchor_scores.get(score_path)
         if store is not None:
@@ -525,6 +599,7 @@ class Persistence:
                 scores01_host=scores_p,
                 host_offsets=host_offsets,
                 num_score_keys=nk,
+                sweep_ids_host=sweep_ids_p,
             )
         else:
             dev = DeviceField(
@@ -536,6 +611,7 @@ class Persistence:
                 scores01_host=None,
                 host_offsets=np.zeros(1, dtype=np.int64),
                 num_score_keys=0,
+                sweep_ids_host=sweep_ids_p,
             )
         self._device_fields[field] = dev
         return dev
@@ -751,6 +827,13 @@ class Persistence:
                 reqs.append(Request(search_req=node, top=top))
         if reqs:
             search_batch(reqs, self)
+            # the per-request dispatch (a lone search()) lowers the same
+            # shapes through a DIFFERENT driver — compile that too, or the
+            # first real lone query still pays (observed: 12s at 1M docs
+            # after a full search_batch warmup)
+            from .search.executor import search as _search_one
+
+            _search_one(reqs[-1], self)
         return _time.time() - t0
 
     def heap_size_bytes(self) -> int:

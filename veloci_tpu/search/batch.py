@@ -987,18 +987,30 @@ def _run_fuzzy_generic_group(
             top = req.top if req.top is not None else 10
             max_k = max(max_k, top + (req.skip or 0))
         k_eff = min(num_docs, max_k)
-        chars_arg = dev.chars_t if use_banded else dev.chars
+        # short matrix when EVERY row in the chunk qualifies (terms longer
+        # than qlen + d can't match within distance d)
+        from ..persistence import SHORT_SWEEP_MAX
+
+        dv = (
+            dev.sweep_variant(1)
+            if all(
+                len(spec["fuzzy"][1]) + spec["fuzzy"][2] <= SHORT_SWEEP_MAX
+                for _qi, _req, spec in chunk
+            )
+            else dev
+        )
+        chars_arg = dv.chars_t if use_banded else dv.chars
         capacity = min(worst, fuzzy_start_capacity(persistence, field))
         while True:
             out = batched_fuzzy_generic_topk(
                 chars_arg,
-                dev.lengths,
+                dv.lengths,
                 jnp.asarray(queries),
                 jnp.asarray(qlens),
                 jnp.asarray(dists),
-                dev.offsets,
-                dev.anchors,
-                dev.scores01,
+                dv.offsets,
+                dv.anchors,
+                dv.scores01,
                 fmask_stack,
                 jnp.asarray(fi_arr) if has_filter else None,
                 jnp.asarray(pa_arr) if has_phrase else None,
@@ -1010,8 +1022,9 @@ def _run_fuzzy_generic_group(
                 k=k_eff,
                 banded=use_banded,
                 boost_specs=boost_specs,
-                packed=dev.packed,
-                sweep_ids=dev.sweep_ids,
+                packed=dv.packed,
+                sweep_ids=dv.sweep_ids,
+                band=(2 if int(dists.max()) <= 2 else 4) if use_banded else 4,
             )
             ids_b, scores_b, hits_b, totals_b, post_b, fc_b = jax.device_get(out)
             need = int(post_b.max()) if len(post_b) else 0
@@ -1073,10 +1086,22 @@ def _run_fuzzy_group(persistence, field, entries, results, start) -> None:
     step = (
         batched_fuzzy_search_topk_banded if use_banded else batched_fuzzy_search_topk
     )
-    chars_arg = dev.chars_t if use_banded else dev.chars
+    # short queries (qlen + d <= SHORT_SWEEP_MAX) sweep the short matrix —
+    # terms longer than qlen + d can't be within distance d, and dropping
+    # the long-term rows ~halves sweep + select on mixed corpora
+    from ..persistence import SHORT_SWEEP_MAX
 
-    def dispatch(chunk_rows, capacity, mt):
+    short_dev = dev.sweep_variant(1)
+
+    def row_variant(row) -> "object":
+        _qi, _req, term, distance = row
+        if len(term) + distance <= SHORT_SWEEP_MAX:
+            return short_dev
+        return dev
+
+    def dispatch(chunk_rows, capacity, mt, dv=dev):
         """One fused dispatch for a list of (qi, req, term, distance)."""
+        chars_arg = dv.chars_t if use_banded else dv.chars
         qc = len(chunk_rows)
         q_pad = bucket_size(qc, 8)
         queries = np.zeros((q_pad, 32), dtype=np.uint16)
@@ -1091,21 +1116,27 @@ def _run_fuzzy_group(persistence, field, entries, results, start) -> None:
             top = req.top if req.top is not None else 10
             max_k = max(max_k, top + (req.skip or 0))
         k_eff = min(num_docs, max_k)
+        kw = {}
+        if use_banded:
+            # d<=2 chunks run the narrow +-2 Ukkonen band (~45% less DP);
+            # auto-lev traffic is d<=2 so ONE band-2 compile covers it
+            kw["band"] = 2 if int(dists.max()) <= 2 else 4
         return step(
             chars_arg,
-            dev.lengths,
+            dv.lengths,
             jnp.asarray(queries),
             jnp.asarray(qlens),
             jnp.asarray(dists),
-            dev.offsets,
-            dev.anchors,
-            dev.scores01,
+            dv.offsets,
+            dv.anchors,
+            dv.scores01,
             max_terms=mt,
             capacity=capacity,
             num_docs=num_docs,
             k=k_eff,
-            packed=dev.packed,
-            sweep_ids=dev.sweep_ids,
+            packed=dv.packed,
+            sweep_ids=dv.sweep_ids,
+            **kw,
         )
 
     def emit_row(qi, req, ids, scores, nh):
@@ -1135,17 +1166,26 @@ def _run_fuzzy_group(persistence, field, entries, results, start) -> None:
         if mt_hints is None:
             mt_hints = persistence._fuzzy_mt_hint = {}
         mt0 = mt_hints.get(field, 64)
-        work = [(chunk, c0, mt0)]
+        if short_dev is not dev:
+            by_var: dict = {}
+            for row in chunk:
+                by_var.setdefault(id(row_variant(row)), []).append(row)
+            work = [
+                (rows, c0, mt0, short_dev if vid == id(short_dev) else dev)
+                for vid, rows in by_var.items()
+            ]
+        else:
+            work = [(chunk, c0, mt0, dev)]
         needs: list = []
         matches: list = []
         while work:
             outs = [
-                (rows, cap, mt, dispatch(rows, cap, mt))
-                for rows, cap, mt in work
+                (rows, cap, mt, dv, dispatch(rows, cap, mt, dv))
+                for rows, cap, mt, dv in work
             ]
-            fetched = jax.device_get([o[3] for o in outs])  # ONE sync/round
+            fetched = jax.device_get([o[4] for o in outs])  # ONE sync/round
             nxt: dict = {}
-            for (rows, cap, mt, _), (
+            for (rows, cap, mt, dv, _), (
                 ids_b, scores_b, hits_b, totals_b, post_b
             ) in zip(outs, fetched):
                 for row, (qi, req, term, distance) in enumerate(rows):
@@ -1162,7 +1202,12 @@ def _run_fuzzy_group(persistence, field, entries, results, start) -> None:
                         # so the retry capacity stays optimistic and may grow
                         # once more)
                         nxt.setdefault(
-                            (min(worst, _cap_bucket(max(need, cap))), 256), []
+                            (
+                                min(worst, _cap_bucket(max(need, cap))),
+                                256,
+                                dv is short_dev and short_dev is not dev,
+                            ),
+                            [],
                         ).append((qi, req, term, distance))
                         continue
                     needs.append(need)
@@ -1170,9 +1215,17 @@ def _run_fuzzy_group(persistence, field, entries, results, start) -> None:
                         emit_row(qi, req, ids_b[row], scores_b[row], hits_b[row])
                     else:
                         nxt.setdefault(
-                            (min(worst, _cap_bucket(need)), mt), []
+                            (
+                                min(worst, _cap_bucket(need)),
+                                mt,
+                                dv is short_dev and short_dev is not dev,
+                            ),
+                            [],
                         ).append((qi, req, term, distance))
-            work = [(rows, cap, mt) for (cap, mt), rows in sorted(nxt.items())]
+            work = [
+                (rows, cap, mt, short_dev if sv else dev)
+                for (cap, mt, sv), rows in sorted(nxt.items())
+            ]
         # sticky hints track the workload's p75 (bounded one bucket move per
         # batch, so an oscillating workload can't thrash): capacity AND the
         # selection window — a d=2-heavy workload where most queries match
@@ -1184,8 +1237,9 @@ def _run_fuzzy_group(persistence, field, entries, results, start) -> None:
             elif p75 < c0:
                 persistence._fuzzy_cap_hint[field] = max(64, c0 // 2)
         if matches:
+            p75m = int(np.percentile(matches, 75))
             mt_hints[field] = (
-                256 if int(np.percentile(matches, 75)) > 64 else 64
+                64 if p75m <= 64 else (128 if p75m <= 128 else 256)
             )
 
 

@@ -590,6 +590,9 @@ def _try_fuzzy_fast_path(
     num_docs = persistence.num_docs
     max_terms = 256
     q, qlen = encode_query(term)
+    # short queries sweep the short matrix (terms longer than qlen+d can't
+    # be within distance d)
+    dev = dev.sweep_variant(qlen + distance)
     k_eff = min(num_docs, top)
     # the banded Pallas sweep is the TPU default (zero HBM DP state; the XLA
     # sweep spills at large dictionaries) — same band gating as field_search
@@ -622,6 +625,7 @@ def _try_fuzzy_fast_path(
                     k=k_eff,
                     packed=dev.packed,
                     sweep_ids=dev.sweep_ids,
+                    band=2 if distance <= 2 else 4,
                 )
             )
         else:

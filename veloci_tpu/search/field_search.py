@@ -148,12 +148,19 @@ def prefetch_fuzzy_matches(persistence, specs) -> None:
         if starts_with or len(lower_term) > MAX_QUERY_CHARS - 1:
             singles.append(key)  # prefix criterion / long query: solo path
             continue
-        by_field.setdefault(field, []).append((lower_term, distance))
+        # short queries sweep the short matrix variant (terms longer than
+        # qlen + d can't be within distance d) — group per variant
+        from ..persistence import SHORT_SWEEP_MAX
+
+        short = len(lower_term) + distance <= SHORT_SWEEP_MAX
+        by_field.setdefault((field, short), []).append((lower_term, distance))
 
     max_matches = 256
-    pending = []  # (field, items, device outputs)
-    for field, items in by_field.items():
+    pending = []  # (field, dev variant, items, device outputs)
+    for (field, short), items in by_field.items():
         dev = persistence.device_field(field)
+        if short:
+            dev = dev.sweep_variant(1)
         n = dev.num_terms
         if n == 0 or dev.chars.shape[0] == 0:
             for lower_term, distance in items:
@@ -201,6 +208,7 @@ def prefetch_fuzzy_matches(persistence, specs) -> None:
                 dist_b, _pd, ispref_b = levenshtein_sweep_pallas_banded_batch(
                     dev.chars_t, dev.lengths, jnp.asarray(queries),
                     jnp.asarray(qlens),
+                    band=2 if max(d for _t, d in citems) <= 2 else 4,
                 )
             else:
                 dist_b, _pd, ispref_b = jax.vmap(
@@ -212,15 +220,14 @@ def prefetch_fuzzy_matches(persistence, specs) -> None:
                     d, p, d, dd, max_matches=mm, remap=remap_j
                 )
             )(dist_b, ispref_b, jnp.asarray(dists_in))
-            pending.append((field, citems, out))
+            pending.append((field, dev, citems, out))
 
     if pending:
-        fetched = jax.device_get([p[2] for p in pending])  # ONE sync
-        for (field, items, _), (ids_b, dist_b, pref_b, total_b) in zip(
+        fetched = jax.device_get([p[3] for p in pending])  # ONE sync
+        for (field, dev, items, _), (ids_b, dist_b, pref_b, total_b) in zip(
             pending, fetched
         ):
             dictionary = persistence.get_dictionary(field)
-            dev = persistence.device_field(field)
             for row, (lower_term, distance) in enumerate(items):
                 if int(total_b[row]) > min(max_matches, dev.chars.shape[0]):
                     continue  # overflow: solo path re-runs with a grown window
@@ -272,6 +279,8 @@ def _match_fuzzy_device(persistence, field, lower_term, distance, starts_with):
     if n == 0:
         e = np.empty(0, np.int64)
         return e, np.empty(0, np.int64), np.empty(0, bool)
+    # short queries can only match short terms — sweep the short variant
+    dev = dev.sweep_variant(len(lower_term) + distance, starts_with)
     q, qlen = encode_query(lower_term)
     import jax
     import jax.numpy as jnp
@@ -297,7 +306,9 @@ def _match_fuzzy_device(persistence, field, lower_term, distance, starts_with):
         if use_banded:
             from .pallas_support import banded_sweep
 
-            dist_d, prefix_d, ispref_d = banded_sweep(dev, q, qlen)
+            dist_d, prefix_d, ispref_d = banded_sweep(
+                dev, q, qlen, band=2 if distance <= 2 else 4
+            )
             crit_d = prefix_d if starts_with else dist_d
             sel_ids, sel_dist, sel_prefix, total = select_matches(
                 dist_d, ispref_d, crit_d, jnp.int32(distance), max_matches=mm,
