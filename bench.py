@@ -386,6 +386,10 @@ def scale_summary(n_docs, backend) -> dict:
         t0 = time.time()
         pers.save(d)
         out["save_s"] = round(time.time() - t0, 1)
+        # phase breakdown: device_init_s is the axon tunnel's per-process
+        # device acquisition (measured 134-424s on its own, independent of
+        # this code); warmup_s is OUR cost (H2D upload + compile-cache
+        # loads); first_query_s is what a user feels after warmup
         code = (
             "import time, json, sys\n"
             "t0 = time.time()\n"
@@ -393,15 +397,21 @@ def scale_summary(n_docs, backend) -> dict:
             f"p = Persistence.load({d!r})\n"
             "load_s = time.time() - t0\n"
             "t0 = time.time()\n"
+            "import jax, jax.numpy as jnp\n"
+            "float(jnp.ones((8, 8)).sum())\n"
+            "init_s = time.time() - t0\n"
+            "t0 = time.time()\n"
             "p.warmup()\n"
             "warm_s = time.time() - t0\n"
             "t0 = time.time()\n"
             "r = search(Request.from_dict({'search_req': {'search': "
             f"{{'terms': [{terms[0]!r}], 'path': 'title'}}}}, 'top': {TOP_K}}}), p)\n"
             "q_s = time.time() - t0\n"
-            "print(json.dumps({'load_s': round(load_s, 1), 'warmup_s': "
+            "print(json.dumps({'load_s': round(load_s, 1), "
+            "'device_init_s': round(init_s, 1), 'warmup_s': "
             "round(warm_s, 1), 'first_query_s': round(q_s, 2), "
-            "'hits': len(r.data)}))\n"
+            "'hits': len(r.data), "
+            "**getattr(p, 'last_warmup_breakdown', {})}))\n"
         )
         try:
             proc = subprocess.run(

@@ -184,6 +184,17 @@ class DeviceField:
             return None
         return self._up(self._kp + "sweep_ids", lambda: self._sweep_ids_host)
 
+    def prefetch(self):
+        """Force the lazy H2D uploads NOW (warmup's upload phase — otherwise
+        the first kernel dispatch pays them and the warmup breakdown
+        misattributes upload as compile)."""
+        for prop in ("chars_t", "lengths", "offsets", "anchors", "scores01",
+                     "sweep_ids", "packed"):
+            try:
+                getattr(self, prop)
+            except AttributeError:
+                pass
+
     def sweep_variant(self, max_match_len: int, starts_with: bool = False):
         """The cheapest sweep matrix that still sees every possible match.
 
@@ -789,10 +800,18 @@ class Persistence:
             for f in self.get_all_fields()
             if self.has_token_to_anchor(f + TEXTINDEX + TO_ANCHOR_ID_SCORE)
         ]
+        if comb is not None:
+            comb.prefetch()
         for field in fields:
-            self.device_field(field)  # H2D: per-field bundle + chars
+            self.device_field(field).prefetch()  # H2D: bundle + chars
+        if fields:
+            import jax.numpy as _jnp
+
+            float(_jnp.max(self.device_field(fields[0]).lengths))  # sync
+        h2d_s = _time.time() - t0
+        self.last_warmup_breakdown = {"h2d_s": round(h2d_s, 1)}
         if comb is None or not fields:
-            return _time.time() - t0
+            return h2d_s
 
         if queries is None:
             # self-derived probes: the largest and a median posting run —
@@ -826,6 +845,7 @@ class Persistence:
                 node = leaves[0] if len(leaves) == 1 else SearchRequest.or_(leaves)
                 reqs.append(Request(search_req=node, top=top))
         if reqs:
+            t1 = _time.time()
             search_batch(reqs, self)
             # the per-request dispatch (a lone search()) lowers the same
             # shapes through a DIFFERENT driver — compile that too, or the
@@ -834,6 +854,9 @@ class Persistence:
             from .search.executor import search as _search_one
 
             _search_one(reqs[-1], self)
+            self.last_warmup_breakdown["compile_s"] = round(
+                _time.time() - t1, 1
+            )
         return _time.time() - t0
 
     def heap_size_bytes(self) -> int:

@@ -584,6 +584,31 @@ def _make_emit(results, start):
     return _emit
 
 
+class _SyncPool:
+    """Cross-runner D2H coalescing: runners append ``(device_outputs,
+    callback)`` and :meth:`drain` fetches EVERY pending output with ONE
+    ``jax.device_get`` per round — one ~30 ms link round-trip TOTAL per
+    round on the tunnel, no matter how many runner/field/capacity groups
+    are in flight. Callbacks may append new work (the adaptive-capacity
+    re-dispatch contract), which lands in the NEXT round, so fuzzy retries
+    coalesce across fields and with the generic groups too."""
+
+    def __init__(self) -> None:
+        self.pending: list = []
+
+    def add(self, outs, cb) -> None:
+        self.pending.append((outs, cb))
+
+    def drain(self) -> None:
+        import jax
+
+        while self.pending:
+            batch, self.pending = self.pending, []
+            fetched = jax.device_get([o for o, _cb in batch])
+            for (_o, cb), f in zip(batch, fetched):
+                cb(f)
+
+
 def search_single_fused(request: Request, persistence) -> Optional[SearchResult]:
     """One request through the batched tree machinery (a batch of one).
 
@@ -708,6 +733,7 @@ def search_batch(requests: List[Request], persistence) -> List[SearchResult]:
     num_docs = persistence.num_docs
     ho = comb.host_offsets if comb is not None else None
     _emit = _make_emit(results, start)
+    pool = _SyncPool()
 
     if singles:
         # dominant shape: ONE term id per query -> scatter-free kernel.
@@ -745,14 +771,15 @@ def search_batch(requests: List[Request], persistence) -> List[SearchResult]:
                 k=k_eff,
             )
             pending_s.append((entries, out))
-        import jax as _jax
 
-        fetched_all = _jax.device_get([p[1] for p in pending_s])  # ONE sync
-        for (entries, _out), (ids_b, scores_b, hits_b) in zip(
-            pending_s, fetched_all
-        ):
-            for row, (qi, req, _g) in enumerate(entries):
-                _emit(qi, req, ids_b[row], scores_b[row], hits_b[row])
+        for entries, out in pending_s:
+
+            def cb(fetched, entries=entries):
+                ids_b, scores_b, hits_b = fetched
+                for row, (qi, req, _g) in enumerate(entries):
+                    _emit(qi, req, ids_b[row], scores_b[row], hits_b[row])
+
+            pool.add(out, cb)
 
     if plain_entries:
         _run_generic_group(
@@ -761,24 +788,33 @@ def search_batch(requests: List[Request], persistence) -> List[SearchResult]:
             ("tree", (), (), False, False),
             plain_entries,
             _emit,
+            pool=pool,
         )
 
     # generic batches (filter/boost/facet/phrase requests): one fused
     # program each — exact trees and fuzzy leaves take separate kernels
     for sig, entries in generic_groups.items():
         if sig[0] == "fz":
-            _run_fuzzy_generic_group(persistence, sig, entries, _emit, results)
+            _run_fuzzy_generic_group(
+                persistence, sig, entries, _emit, results, pool=pool
+            )
         else:
-            _run_generic_group(persistence, comb, sig, entries, _emit)
+            _run_generic_group(
+                persistence, comb, sig, entries, _emit, pool=pool
+            )
 
     # fuzzy batches: one vmapped fused program per field chunk
     for field, entries in fuzzy_groups.items():
-        _run_fuzzy_group(persistence, field, entries, results, start)
+        _run_fuzzy_group(persistence, field, entries, results, start, pool=pool)
+
+    # ONE link round-trip per round for EVERYTHING above (retries coalesce
+    # across runners/fields into subsequent rounds)
+    pool.drain()
 
     return results  # type: ignore[return-value]
 
 
-def _run_generic_group(persistence, comb, sig, entries, emit) -> None:
+def _run_generic_group(persistence, comb, sig, entries, emit, pool=None) -> None:
     """Dispatch one extras-signature group through the sorted tree kernel
     (`batched_tree_topk`) — cost O(capacity), independent of corpus size.
 
@@ -786,8 +822,9 @@ def _run_generic_group(persistence, comb, sig, entries, emit) -> None:
     query's terms, known exactly on the host — fuzzy leaves included, their
     matches are already resolved): under a zipfian term distribution most
     queries need a far smaller sort window than the group max. All
-    sub-dispatches are issued asynchronously and synced with ONE device_get
-    (one D2H round trip regardless of sub-group count)."""
+    sub-dispatches are issued asynchronously and synced through ``pool``
+    (one D2H round trip shared with every OTHER runner in the batch); a
+    local pool drains immediately for the single-request front door."""
     import jax
     import jax.numpy as jnp
 
@@ -879,15 +916,24 @@ def _run_generic_group(persistence, comb, sig, entries, emit) -> None:
 
     if not pending:
         return
-    fetched = jax.device_get([p[1] for p in pending])  # ONE sync
-    for (chunk, _), (ids_b, scores_b, hits_b, fc_b) in zip(pending, fetched):
-        for row, (qi, req, _spec) in enumerate(chunk):
-            facets = (
-                _facets_of(persistence, req, facet_fields, fc_b, row)
-                if facet_fields
-                else None
-            )
-            emit(qi, req, ids_b[row], scores_b[row], hits_b[row], facets)
+    local = pool is None
+    if local:
+        pool = _SyncPool()
+    for chunk, out in pending:
+
+        def cb(fetched, chunk=chunk):
+            ids_b, scores_b, hits_b, fc_b = fetched
+            for row, (qi, req, _spec) in enumerate(chunk):
+                facets = (
+                    _facets_of(persistence, req, facet_fields, fc_b, row)
+                    if facet_fields
+                    else None
+                )
+                emit(qi, req, ids_b[row], scores_b[row], hits_b[row], facets)
+
+        pool.add(out, cb)
+    if local:
+        pool.drain()
 
 
 def _boost_device_arrays(persistence, boost_key):
@@ -916,13 +962,15 @@ def _facets_of(persistence, req, facet_fields, fc_rows, row):
 
 
 def _run_fuzzy_generic_group(
-    persistence, sig, entries, emit, results, fallback="search"
+    persistence, sig, entries, emit, results, fallback="search", pool=None
 ) -> None:
     """Fuzzy leaf + filter/boost/facet/phrase extras: one fused program per
     chunk (ops/fuzzy_step.batched_fuzzy_generic_topk), with the plain fuzzy
     path's optimistic-capacity re-dispatch contract. ``fallback=None``
     leaves clipped entries as None (single-request mode — the caller's
-    executor path handles them) instead of recursing into `search`."""
+    executor path handles them) instead of recursing into `search`.
+    Dispatches and capacity retries sync through ``pool`` (shared with the
+    whole batch when the caller passes one)."""
     import os
 
     import jax
@@ -962,6 +1010,9 @@ def _run_fuzzy_generic_group(
     if has_filter:
         fmask_stack, fkey_slot = _filter_mask_stack(persistence, entries)
 
+    local = pool is None
+    if local:
+        pool = _SyncPool()
     for base in range(0, len(entries), chunk_q):
         chunk = entries[base : base + chunk_q]
         qc = len(chunk)
@@ -1000,8 +1051,10 @@ def _run_fuzzy_generic_group(
             else dev
         )
         chars_arg = dv.chars_t if use_banded else dv.chars
-        capacity = min(worst, fuzzy_start_capacity(persistence, field))
-        while True:
+
+        def attempt(capacity, chunk=chunk, queries=queries, qlens=qlens,
+                    dists=dists, fi_arr=fi_arr, pa_arr=pa_arr, k_eff=k_eff,
+                    dv=dv, chars_arg=chars_arg):
             out = batched_fuzzy_generic_topk(
                 chars_arg,
                 dv.lengths,
@@ -1026,33 +1079,41 @@ def _run_fuzzy_generic_group(
                 sweep_ids=dv.sweep_ids,
                 band=(2 if int(dists.max()) <= 2 else 4) if use_banded else 4,
             )
-            ids_b, scores_b, hits_b, totals_b, post_b, fc_b = jax.device_get(out)
-            need = int(post_b.max()) if len(post_b) else 0
-            if need <= capacity or capacity >= worst:
-                break
-            capacity = min(worst, _cap_bucket(need))
-        # adapt DOWN too (at most one bucket per batch, so an oscillating
-        # workload can't thrash re-dispatch + recompile): the old
-        # high-water-mark hint pinned every later batch to the worst query
-        # ever seen
-        persistence._fuzzy_cap_hint[field] = max(
-            bucket_size(max(need, 64)), capacity // 2
-        )
-        for row, (qi, req, _spec) in enumerate(chunk):
-            if int(totals_b[row]) > max_terms:
-                # selection window clipped — per-request path decides
-                if fallback is not None:
-                    results[qi] = search(req, persistence)
-                continue
-            facets = (
-                _facets_of(persistence, req, facet_fields, fc_b, row)
-                if facet_fields
-                else None
-            )
-            emit(qi, req, ids_b[row], scores_b[row], hits_b[row], facets)
+
+            def cb(fetched):
+                ids_b, scores_b, hits_b, totals_b, post_b, fc_b = fetched
+                need = int(post_b.max()) if len(post_b) else 0
+                if need > capacity and capacity < worst:
+                    attempt(min(worst, _cap_bucket(need)))
+                    return
+                # adapt DOWN too (at most one bucket per batch, so an
+                # oscillating workload can't thrash re-dispatch + recompile):
+                # the old high-water-mark hint pinned every later batch to
+                # the worst query ever seen
+                persistence._fuzzy_cap_hint[field] = max(
+                    bucket_size(max(need, 64)), capacity // 2
+                )
+                for row, (qi, req, _spec) in enumerate(chunk):
+                    if int(totals_b[row]) > max_terms:
+                        # selection window clipped — per-request path decides
+                        if fallback is not None:
+                            results[qi] = search(req, persistence)
+                        continue
+                    facets = (
+                        _facets_of(persistence, req, facet_fields, fc_b, row)
+                        if facet_fields
+                        else None
+                    )
+                    emit(qi, req, ids_b[row], scores_b[row], hits_b[row], facets)
+
+            pool.add(out, cb)
+
+        attempt(min(worst, fuzzy_start_capacity(persistence, field)))
+    if local:
+        pool.drain()
 
 
-def _run_fuzzy_group(persistence, field, entries, results, start) -> None:
+def _run_fuzzy_group(persistence, field, entries, results, start, pool=None) -> None:
     import os
     import time
 
@@ -1152,6 +1213,9 @@ def _run_fuzzy_group(persistence, field, entries, results, start) -> None:
         res.execution_time_ns = time.time_ns() - start
         results[qi] = res
 
+    local = pool is None
+    if local:
+        pool = _SyncPool()
     for base in range(0, len(entries), chunk_q):
         chunk = entries[base : base + chunk_q]
         # pass 1: everyone at the sticky per-field capacity hint and a SMALL
@@ -1178,69 +1242,85 @@ def _run_fuzzy_group(persistence, field, entries, results, start) -> None:
             work = [(chunk, c0, mt0, dev)]
         needs: list = []
         matches: list = []
-        while work:
-            outs = [
-                (rows, cap, mt, dv, dispatch(rows, cap, mt, dv))
-                for rows, cap, mt, dv in work
-            ]
-            fetched = jax.device_get([o[4] for o in outs])  # ONE sync/round
+
+        def finalize(c0=c0, needs=needs, matches=matches, mt_hints=mt_hints):
+            # sticky hints track the workload's p75 (bounded one bucket move
+            # per batch, so an oscillating workload can't thrash): capacity
+            # AND the selection window — a d=2-heavy workload where most
+            # queries match >64 terms should start wide instead of paying a
+            # retry round
+            if needs:
+                p75 = bucket_size(max(int(np.percentile(needs, 75)), 64))
+                if p75 > c0:
+                    persistence._fuzzy_cap_hint[field] = min(worst, c0 * 2)
+                elif p75 < c0:
+                    persistence._fuzzy_cap_hint[field] = max(64, c0 // 2)
+            if matches:
+                p75m = int(np.percentile(matches, 75))
+                mt_hints[field] = (
+                    64 if p75m <= 64 else (128 if p75m <= 128 else 256)
+                )
+
+        def start_round(work, needs=needs, matches=matches, finalize=finalize):
             nxt: dict = {}
-            for (rows, cap, mt, dv, _), (
-                ids_b, scores_b, hits_b, totals_b, post_b
-            ) in zip(outs, fetched):
-                for row, (qi, req, term, distance) in enumerate(rows):
-                    tm = int(totals_b[row])
-                    need = int(post_b[row])
-                    matches.append(tm)
-                    if tm > 256:
-                        # selection window clipped — per-request path decides
-                        results[qi] = search(req, persistence)
-                        continue
-                    if tm > mt:
-                        # more matches than the small window: retry wide (the
-                        # posting total under the small window undercounts,
-                        # so the retry capacity stays optimistic and may grow
-                        # once more)
-                        nxt.setdefault(
-                            (
-                                min(worst, _cap_bucket(max(need, cap))),
-                                256,
-                                dv is short_dev and short_dev is not dev,
-                            ),
-                            [],
-                        ).append((qi, req, term, distance))
-                        continue
-                    needs.append(need)
-                    if need <= cap or cap >= worst:
-                        emit_row(qi, req, ids_b[row], scores_b[row], hits_b[row])
-                    else:
-                        nxt.setdefault(
-                            (
-                                min(worst, _cap_bucket(need)),
-                                mt,
-                                dv is short_dev and short_dev is not dev,
-                            ),
-                            [],
-                        ).append((qi, req, term, distance))
-            work = [
-                (rows, cap, mt, short_dev if sv else dev)
-                for (cap, mt, sv), rows in sorted(nxt.items())
-            ]
-        # sticky hints track the workload's p75 (bounded one bucket move per
-        # batch, so an oscillating workload can't thrash): capacity AND the
-        # selection window — a d=2-heavy workload where most queries match
-        # >64 terms should start wide instead of paying a retry round
-        if needs:
-            p75 = bucket_size(max(int(np.percentile(needs, 75)), 64))
-            if p75 > c0:
-                persistence._fuzzy_cap_hint[field] = min(worst, c0 * 2)
-            elif p75 < c0:
-                persistence._fuzzy_cap_hint[field] = max(64, c0 // 2)
-        if matches:
-            p75m = int(np.percentile(matches, 75))
-            mt_hints[field] = (
-                64 if p75m <= 64 else (128 if p75m <= 128 else 256)
-            )
+            remaining = {"n": len(work)}
+            for rows, cap, mt, dv in work:
+                out = dispatch(rows, cap, mt, dv)
+
+                def cb(fetched, rows=rows, cap=cap, mt=mt, dv=dv):
+                    ids_b, scores_b, hits_b, totals_b, post_b = fetched
+                    for row, (qi, req, term, distance) in enumerate(rows):
+                        tm = int(totals_b[row])
+                        need = int(post_b[row])
+                        matches.append(tm)
+                        if tm > 256:
+                            # selection window clipped — per-request path
+                            results[qi] = search(req, persistence)
+                            continue
+                        if tm > mt:
+                            # more matches than the small window: retry wide
+                            # (the posting total under the small window
+                            # undercounts, so the retry capacity stays
+                            # optimistic and may grow once more)
+                            nxt.setdefault(
+                                (
+                                    min(worst, _cap_bucket(max(need, cap))),
+                                    256,
+                                    dv is short_dev and short_dev is not dev,
+                                ),
+                                [],
+                            ).append((qi, req, term, distance))
+                            continue
+                        needs.append(need)
+                        if need <= cap or cap >= worst:
+                            emit_row(
+                                qi, req, ids_b[row], scores_b[row], hits_b[row]
+                            )
+                        else:
+                            nxt.setdefault(
+                                (
+                                    min(worst, _cap_bucket(need)),
+                                    mt,
+                                    dv is short_dev and short_dev is not dev,
+                                ),
+                                [],
+                            ).append((qi, req, term, distance))
+                    remaining["n"] -= 1
+                    if remaining["n"] == 0:
+                        work2 = [
+                            (rows2, cap2, mt2, short_dev if sv else dev)
+                            for (cap2, mt2, sv), rows2 in sorted(nxt.items())
+                        ]
+                        if work2:
+                            start_round(work2)
+                        else:
+                            finalize()
+
+                pool.add(out, cb)
+
+        start_round(work)
+    if local:
+        pool.drain()
 
 
 def _search_batch_mesh(requests, persistence, mc, start) -> List[SearchResult]:
