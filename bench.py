@@ -404,12 +404,18 @@ def scale_summary(n_docs, backend) -> dict:
             "p.warmup()\n"
             "warm_s = time.time() - t0\n"
             "t0 = time.time()\n"
-            "r = search(Request.from_dict({'search_req': {'search': "
-            f"{{'terms': [{terms[0]!r}], 'path': 'title'}}}}, 'top': {TOP_K}}}), p)\n"
+            "req = Request.from_dict({'search_req': {'search': "
+            f"{{'terms': [{terms[0]!r}], 'path': 'title'}}}}, 'top': {TOP_K}}}) \n"
+            "r = search(req, p)\n"
             "q_s = time.time() - t0\n"
+            "laps = []\n"
+            "for _ in range(5):\n"
+            "    t0 = time.time(); search(req, p); laps.append(time.time() - t0)\n"
+            "laps.sort()\n"
             "print(json.dumps({'load_s': round(load_s, 1), "
             "'device_init_s': round(init_s, 1), 'warmup_s': "
             "round(warm_s, 1), 'first_query_s': round(q_s, 2), "
+            "'warm_query_p50_ms': round(laps[2] * 1e3, 1), "
             "'hits': len(r.data), "
             "**getattr(p, 'last_warmup_breakdown', {})}))\n"
         )

@@ -78,6 +78,7 @@ def _resolve_kernel(
     term_scores: jax.Array,  # [T_pad] float32
     capacity: int,
     num_docs: int,
+    packed=None,  # [nnz_pad, 2] i32 rows replace anchors/scores01
 ):
     t_pad = term_ids.shape[0]
     valid_term = term_ids >= 0
@@ -95,9 +96,16 @@ def _resolve_kernel(
     seg = jnp.minimum(seg, t_pad - 1)
     in_range = idx < total
     src = starts[seg] + (idx - out_starts[seg])
-    src = jnp.where(in_range, src, anchors.shape[0] - 1)
-    a = jnp.where(in_range, anchors[src], num_docs)
-    s = jnp.where(in_range, scores01[src] * term_scores[seg], -jnp.inf)
+    if packed is not None:
+        src = jnp.where(in_range, src, packed.shape[0] - 1)
+        rows = packed[src]  # ONE 8-byte row gather per posting
+        a = jnp.where(in_range, rows[:, 0], num_docs)
+        s01 = jax.lax.bitcast_convert_type(rows[:, 1], jnp.float32)
+        s = jnp.where(in_range, s01 * term_scores[seg], -jnp.inf)
+    else:
+        src = jnp.where(in_range, src, anchors.shape[0] - 1)
+        a = jnp.where(in_range, anchors[src], num_docs)
+        s = jnp.where(in_range, scores01[src] * term_scores[seg], -jnp.inf)
 
     dense = jax.ops.segment_max(
         s, a, num_segments=num_docs + 1, indices_are_sorted=False
@@ -127,14 +135,16 @@ def resolve_to_anchor_dense(
     tid_p[: len(term_ids)] = term_ids.astype(np.int32)
     ts_p = np.zeros(t_pad, dtype=np.float32)
     ts_p[: len(term_scores)] = term_scores
+    packed = dev_field.packed
     return _resolve_kernel(
         dev_field.offsets,
-        dev_field.anchors,
-        dev_field.scores01,
+        None if packed is not None else dev_field.anchors,
+        None if packed is not None else dev_field.scores01,
         jnp.asarray(tid_p),
         jnp.asarray(ts_p),
         capacity=capacity,
         num_docs=num_docs,
+        packed=packed,
     )
 
 

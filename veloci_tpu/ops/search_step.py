@@ -36,14 +36,23 @@ __all__ = [
 ]
 
 
-def _single_term_impl(offsets, anchors, scores01, term_id, term_score, capacity, k):
+def _single_term_impl(offsets, anchors, scores01, term_id, term_score, capacity, k,
+                      packed=None):
     start = offsets[term_id]
     count = offsets[term_id + 1] - start
     # a term's posting run is CONTIGUOUS: a dynamic_slice is a straight HBM
     # DMA (a per-element gather lowers to a ~9ns/element serial loop on TPU
     # — measured; the device arrays carry >= capacity tail padding so the
-    # window never clamps)
-    s_run = jax.lax.dynamic_slice(scores01, (start,), (capacity,))
+    # window never clamps). With ``packed`` ONE [capacity, 2] row slice
+    # replaces both slices — and the separate anchors/scores01 arrays never
+    # need to exist on device at all (half the posting H2D/HBM).
+    if packed is not None:
+        rows = jax.lax.dynamic_slice(packed, (start, 0), (capacity, 2))
+        s_run = jax.lax.bitcast_convert_type(rows[:, 1], jnp.float32)
+        a_run = rows[:, 0]
+    else:
+        s_run = jax.lax.dynamic_slice(scores01, (start,), (capacity,))
+        a_run = None
     idx = jnp.arange(capacity, dtype=jnp.int32)
     in_r = idx < count
     # REVERSED orientation: position asc = anchor desc, so the stable
@@ -52,7 +61,8 @@ def _single_term_impl(offsets, anchors, scores01, term_id, term_score, capacity,
     pos, scores = topk_positions(s, k)
     # map reversed positions back to forward offsets; gather only k anchors
     fwd = jnp.where(jnp.isfinite(scores), (capacity - 1) - pos, 0)
-    a_run = jax.lax.dynamic_slice(anchors, (start,), (capacity,))
+    if a_run is None:
+        a_run = jax.lax.dynamic_slice(anchors, (start,), (capacity,))
     ids = jnp.where(scores > 0, a_run[fwd], 0).astype(jnp.int32)
     num_hits = jnp.minimum(count, capacity)
     return ids, scores, num_hits
@@ -61,21 +71,23 @@ def _single_term_impl(offsets, anchors, scores01, term_id, term_score, capacity,
 @partial(jax.jit, static_argnames=("capacity", "k"))
 def single_term_search_topk(
     offsets: jax.Array,  # [num_keys + 2] int32
-    anchors: jax.Array,  # [nnz_pad] int32
-    scores01: jax.Array,  # [nnz_pad] f32
+    anchors: jax.Array,  # [nnz_pad] int32 (None when packed is given)
+    scores01: jax.Array,  # [nnz_pad] f32 (None when packed is given)
     term_id: jax.Array,  # scalar int32
     term_score: jax.Array,  # scalar f32
     capacity: int,
     k: int,
+    packed=None,  # [nnz_pad, 2] i32 interleaved rows
 ):
     """One exact term -> top-k docs. Scatter-free, plane-free, exact ties.
 
-    CONTRACT: ``anchors``/``scores01`` must carry >= ``capacity`` elements of
+    CONTRACT: the posting arrays must carry >= ``capacity`` elements of
     tail padding past the last real posting (``Persistence.device_field``
     guarantees this), so the slice window never clamps.
     """
     return _single_term_impl(
-        offsets, anchors, scores01, term_id, term_score, capacity, k
+        offsets, anchors, scores01, term_id, term_score, capacity, k,
+        packed=packed,
     )
 
 
@@ -88,13 +100,14 @@ def batched_single_term_topk(
     term_scores: jax.Array,  # [Q] f32
     capacity: int,
     k: int,
+    packed=None,
 ):
     """Throughput mode for the dominant query shape: Q single-term exact
     queries in ONE dispatch."""
 
     def one(tid, tsc):
         return _single_term_impl(
-            offsets, anchors, scores01, tid, tsc, capacity, k
+            offsets, anchors, scores01, tid, tsc, capacity, k, packed=packed
         )
 
     return jax.vmap(one)(term_ids, term_scores)
@@ -163,8 +176,13 @@ def _gather_postings(offsets, anchors, scores01, term_ids, term_scores,
     buf_seg = jnp.zeros((capacity + win,), dtype=jnp.int32)
     buf_tsc = jnp.zeros((capacity + win,), dtype=jnp.float32)
     for t in range(t_pad):  # static unroll: t_pad is small (<= 16)
-        a_win = jax.lax.dynamic_slice(anchors, (starts[t],), (win,))
-        s_win = jax.lax.dynamic_slice(scores01, (starts[t],), (win,))
+        if packed is not None:
+            rows_win = jax.lax.dynamic_slice(packed, (starts[t], 0), (win, 2))
+            a_win = rows_win[:, 0]
+            s_win = jax.lax.bitcast_convert_type(rows_win[:, 1], jnp.float32)
+        else:
+            a_win = jax.lax.dynamic_slice(anchors, (starts[t],), (win,))
+            s_win = jax.lax.dynamic_slice(scores01, (starts[t],), (win,))
         buf_a = jax.lax.dynamic_update_slice(buf_a, a_win, (out_starts_ex[t],))
         buf_s = jax.lax.dynamic_update_slice(buf_s, s_win, (out_starts_ex[t],))
         buf_seg = jax.lax.dynamic_update_slice(
@@ -193,11 +211,12 @@ def exact_search_topk(
     num_docs: int,
     k: int,
     win: int | None = None,
+    packed=None,
 ):
     """Single-query search: resolve postings, dedup-max per anchor, top-k."""
     a, s, _seg = _gather_postings(
         offsets, anchors, scores01, term_ids, term_scores, capacity, num_docs,
-        win=win,
+        win=win, packed=packed,
     )
     dense = jax.ops.segment_max(s, a, num_segments=num_docs + 1)[:num_docs]
     dense = jnp.where(jnp.isfinite(dense), dense, 0.0)
@@ -217,6 +236,7 @@ def batched_search_topk(
     num_docs: int,
     k: int,
     win: int | None = None,
+    packed=None,
 ):
     """Throughput mode: a batch of queries in ONE device dispatch.
 
@@ -228,7 +248,7 @@ def batched_search_topk(
     def one(tids, tscores):
         return exact_search_topk(
             offsets, anchors, scores01, tids, tscores,
-            capacity=capacity, num_docs=num_docs, k=k, win=win,
+            capacity=capacity, num_docs=num_docs, k=k, win=win, packed=packed,
         )
 
     return jax.vmap(one)(term_ids, term_scores)
@@ -236,11 +256,11 @@ def batched_search_topk(
 
 def _union_impl(
     offsets, anchors, scores01, term_ids, term_scores, term_slots,
-    capacity, num_docs, k, num_slots, win=None,
+    capacity, num_docs, k, num_slots, win=None, packed=None,
 ):
     a, s, slot = _gather_postings(
         offsets, anchors, scores01, term_ids, term_scores, capacity, num_docs,
-        win=win, term_slots=term_slots,
+        win=win, term_slots=term_slots, packed=packed,
     )
     # plane key = slot * (num_docs+1) + anchor
     plane = slot * (num_docs + 1) + a
@@ -268,6 +288,7 @@ def union_search_topk(
     k: int,
     num_slots: int,
     win: int | None = None,
+    packed=None,
 ):
     """Multi-term OR: per-slot max, sum over slots * distinct^2, top-k.
 
@@ -276,7 +297,7 @@ def union_search_topk(
     """
     return _union_impl(
         offsets, anchors, scores01, term_ids, term_scores, term_slots,
-        capacity, num_docs, k, num_slots, win=win,
+        capacity, num_docs, k, num_slots, win=win, packed=packed,
     )
 
 
@@ -293,6 +314,7 @@ def batched_union_search_topk(
     k: int,
     num_slots: int,
     win: int | None = None,
+    packed=None,
 ):
     """Batched multi-term OR: the full union semantics (per-distinct-term max,
     distinct^2 boost) vmapped over a query batch — the serving kernel behind
@@ -302,7 +324,7 @@ def batched_union_search_topk(
     def one(tids, tscores, tslots):
         return _union_impl(
             offsets, anchors, scores01, tids, tscores, tslots,
-            capacity, num_docs, k, num_slots, win=win,
+            capacity, num_docs, k, num_slots, win=win, packed=packed,
         )
 
     return jax.vmap(one)(term_ids, term_scores, term_slots)
@@ -321,13 +343,14 @@ def intersect_search_topk(
     k: int,
     num_slots: int,
     win: int | None = None,
+    packed=None,
 ):
     """Multi-leaf AND: per-leaf max, keep anchors hit by EVERY leaf, score =
     sum over leaves — intersect_hits_score (set_op.rs:368-448) as one fused
     program."""
     a, s, slot = _gather_postings(
         offsets, anchors, scores01, term_ids, term_scores, capacity, num_docs,
-        win=win, term_slots=term_slots,
+        win=win, term_slots=term_slots, packed=packed,
     )
     plane = slot * (num_docs + 1) + a
     per_slot = jax.ops.segment_max(

@@ -188,8 +188,9 @@ class DeviceField:
         """Force the lazy H2D uploads NOW (warmup's upload phase — otherwise
         the first kernel dispatch pays them and the warmup breakdown
         misattributes upload as compile)."""
-        for prop in ("chars_t", "lengths", "offsets", "anchors", "scores01",
-                     "sweep_ids", "packed"):
+        # packed rows are the ONLY posting form the serving kernels read;
+        # the separate anchors/scores01 never upload (half the posting H2D)
+        for prop in ("chars_t", "lengths", "offsets", "sweep_ids", "packed"):
             try:
                 getattr(self, prop)
             except AttributeError:
@@ -249,7 +250,11 @@ class DeviceField:
         posting instead of two separate 4-byte gathers — measured 2.1x
         faster at capacity 2048 and 4.7x at 8192 on v5e (per-element
         gathers lower to serial loops; the row form takes wider loads).
-        Costs one extra HBM copy of the postings; built lazily."""
+        This is the ONLY posting form the device kernels read — the
+        separate ``anchors``/``scores01`` arrays never upload on the
+        single-chip serving paths (callers pass them as None), halving
+        posting H2D and HBM. Built lazily from the padded host arrays, so
+        it inherits the >= capacity slice-window tail padding."""
         if not self._has_postings:
             return None
 

@@ -763,12 +763,13 @@ def search_batch(requests: List[Request], persistence) -> List[SearchResult]:
                 ts_arr[row] = gtids[0][1]
             out = batched_single_term_topk(
                 comb.offsets,
-                comb.anchors,
-                comb.scores01,
+                None,
+                None,
                 jnp.asarray(tid_arr),
                 jnp.asarray(ts_arr),
                 capacity=capacity,
                 k=k_eff,
+                packed=comb.packed,
             )
             pending_s.append((entries, out))
 
@@ -894,8 +895,8 @@ def _run_generic_group(persistence, comb, sig, entries, emit, pool=None) -> None
                     pa_arr[row, : len(pa)] = pa.astype(np.int32)
             out = batched_tree_topk(
                 comb.offsets,
-                comb.anchors,
-                comb.scores01,
+                None,
+                None,
                 jnp.asarray(tid_arr),
                 jnp.asarray(ts_arr),
                 jnp.asarray(sl_arr),
@@ -1062,8 +1063,8 @@ def _run_fuzzy_generic_group(
                 jnp.asarray(qlens),
                 jnp.asarray(dists),
                 dv.offsets,
-                dv.anchors,
-                dv.scores01,
+                None,
+                None,
                 fmask_stack,
                 jnp.asarray(fi_arr) if has_filter else None,
                 jnp.asarray(pa_arr) if has_phrase else None,
@@ -1189,8 +1190,8 @@ def _run_fuzzy_group(persistence, field, entries, results, start, pool=None) -> 
             jnp.asarray(qlens),
             jnp.asarray(dists),
             dv.offsets,
-            dv.anchors,
-            dv.scores01,
+            None,
+            None,
             max_terms=mt,
             capacity=capacity,
             num_docs=num_docs,

@@ -438,14 +438,17 @@ def _try_fast_path(request: Request, persistence, top: int) -> Optional[SearchRe
     if len(gtid_list) == 1 and not is_and:
         # dominant query shape: ONE exact term -> scatter-free fused kernel
         g, sc0, _sl = gtid_list[0]
+        # packed rows replace anchors/scores01 entirely: half the posting
+        # H2D/HBM (the separate arrays never upload)
         ids, scores, num_hits = single_term_search_topk(
             dev.offsets,
-            dev.anchors,
-            dev.scores01,
+            None,
+            None,
             jnp.int32(g),
             jnp.float32(sc0),
             capacity=capacity,
             k=k_eff,
+            packed=dev.packed,
         )
     else:
         t_pad = bucket_size(max(len(gtid_list), 1), 8)
@@ -464,8 +467,8 @@ def _try_fast_path(request: Request, persistence, top: int) -> Optional[SearchRe
         )
         ids, scores, num_hits = step(
             dev.offsets,
-            dev.anchors,
-            dev.scores01,
+            None,
+            None,
             jnp.asarray(term_ids),
             jnp.asarray(term_scores),
             jnp.asarray(term_slots),
@@ -474,6 +477,7 @@ def _try_fast_path(request: Request, persistence, top: int) -> Optional[SearchRe
             k=k_eff,
             num_slots=max(num_slots, 1),
             win=win,
+            packed=dev.packed,
         )
     # the fused kernels return exact (score desc, id desc) order (two-stage
     # tie-proof selection, ops/topk.py) — just drop the misses.
@@ -617,8 +621,8 @@ def _try_fuzzy_fast_path(
                     jnp.int32(qlen),
                     jnp.int32(distance),
                     dev.offsets,
-                    dev.anchors,
-                    dev.scores01,
+                    None,
+                    None,
                     max_terms=max_terms,
                     capacity=capacity,
                     num_docs=num_docs,
@@ -637,8 +641,8 @@ def _try_fuzzy_fast_path(
                     jnp.int32(qlen),
                     jnp.int32(distance),
                     dev.offsets,
-                    dev.anchors,
-                    dev.scores01,
+                    None,
+                    None,
                     max_terms=max_terms,
                     capacity=capacity,
                     num_docs=num_docs,
