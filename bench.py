@@ -52,7 +52,9 @@ import numpy as np
 
 N_DOCS = int(os.environ.get("BENCH_DOCS", "100000"))
 N_EXACT_QUERIES = int(os.environ.get("BENCH_EXACT_QUERIES", "200"))
-N_FUZZY_QUERIES = int(os.environ.get("BENCH_FUZZY_QUERIES", "64"))
+# 128 = the banded sweep's chunk width; a bigger fuzzy batch amortises the
+# ~30 ms link round-trips exactly like exact's 200-query batches do
+N_FUZZY_QUERIES = int(os.environ.get("BENCH_FUZZY_QUERIES", "128"))
 TOP_K = 10
 _START = time.time()
 
@@ -200,15 +202,16 @@ def engine_exact(pers, tid_host, backend):
         "exact capacity buckets: "
         + ", ".join(f"{cap}x{int(t.shape[0])}" for cap, t, _s in buckets)
     )
-    offs_d, anc_d, sc_d = dev.offsets, dev.anchors, dev.scores01
+    offs_d, packed_d = dev.offsets, dev.packed  # serving memory layout:
+    # packed rows ONLY, anchors/scores01 never upload
 
     def body(carry):
         off = (carry * jnp.float32(1e-20)).astype(jnp.int32)
         acc = jnp.float32(0.0)
         for cap, tids, tscs in buckets:
             _ids, scores, _nh = batched_single_term_topk(
-                offs_d, anc_d, sc_d, tids + off, tscs,
-                capacity=cap, k=min(TOP_K, cap),
+                offs_d, None, None, tids + off, tscs,
+                capacity=cap, k=min(TOP_K, cap), packed=packed_d,
             )
             acc = acc + scores[0, 0]
         return acc * jnp.float32(1e-12)
@@ -684,7 +687,7 @@ def main() -> None:
         if all(len(t) + 2 <= SHORT_SWEEP_MAX for t in fuzzy_terms[:fq]):
             dev = dev.sweep_variant(1)
         chars_d, chars_t_d, lens_d = dev.chars, dev.chars_t, dev.lengths
-        offs_d, anc_d, sc_d = dev.offsets, dev.anchors, dev.scores01
+        offs_d, anc_d, sc_d = dev.offsets, None, None  # packed-only
         packed_d = dev.packed
 
         use_banded = backend == "tpu"
@@ -789,7 +792,7 @@ def main() -> None:
             "generic buckets: "
             + ", ".join(f"{cap}x{int(t.shape[0])}" for cap, t, *_r in g_buckets)
         )
-        offs_c, anc_c, sc_c = comb.offsets, comb.anchors, comb.scores01
+        offs_c, anc_c, sc_c = comb.offsets, None, None  # packed-only
 
         def generic_body(carry):
             off = (carry * jnp.float32(1e-20)).astype(jnp.int32)
@@ -919,7 +922,7 @@ def main() -> None:
             "generator engine plan: "
             + ", ".join(f"{cap}x{len(idxs)}" for cap, idxs in sorted(sub.items()))
         )
-        offs_c2, anc_c2, sc_c2 = comb.offsets, comb.anchors, comb.scores01
+        offs_c2, anc_c2, sc_c2 = comb.offsets, None, None  # packed-only
 
         def gen_body(carry):
             off = (carry * jnp.float32(1e-20)).astype(jnp.int32)

@@ -338,3 +338,158 @@ def test_prefetch_primes_memo(pers, monkeypatch):
     ](pers, "meanings.ger[]", "majestat", 1, False)
     assert np.array_equal(m, m2) and np.array_equal(d, d2)
     assert np.array_equal(p, p2)
+
+
+# ---------------------------------------------------------------- round 3:
+# multi-chunk adaptive retries and the sort-capacity cap
+
+
+@pytest.fixture(scope="module")
+def big_fuzzy_pers():
+    """700 docs sharing one term: any d=1 query near "buch" matches ~700
+    postings — enough to overflow a 64-capacity pass 1 and trigger the
+    adaptive re-dispatch."""
+    import json
+
+    docs = []
+    for i in range(700):
+        docs.append(
+            json.dumps({"title": f"buch lesen w{i % 37}", "tag": f"t{i % 2}"})
+        )
+    docs.append(json.dumps({"title": "buchx lesen", "tag": "t0"}))
+    # filters need the TextIDToAnchor index (reference feature gating:
+    # features.rs:74-78 — disabled under the default feature set). NOTE the
+    # filter term must be a full text value, not a bare token — reference
+    # parity: "No Filter are possible on tokens" (search_field.rs:471)
+    cfg = '["*GLOBAL*"]\nfeatures = ["All"]\n'
+    return Persistence.create_from_str("\n".join(docs), cfg)
+
+
+def _fuzzy_filter_req(term):
+    return {
+        "search_req": {
+            "search": {
+                "terms": [term],
+                "path": "title",
+                "levenshtein_distance": 1,
+            }
+        },
+        "filter": {"search": {"terms": ["t0"], "path": "tag"}},
+        "top": 10,
+    }
+
+
+def test_fuzzy_generic_multichunk_retry_answers_every_chunk(
+    big_fuzzy_pers, monkeypatch
+):
+    """Regression: the fuzzy-generic runner's capacity retry callback
+    late-bound the LAST chunk's dispatch closure, so with more than one
+    chunk an overflowing earlier chunk re-dispatched the wrong queries and
+    its own requests were never answered (results stayed None)."""
+    pers = big_fuzzy_pers
+    monkeypatch.setattr(batch_mod, "SMALL_DOCS", 1)
+    monkeypatch.setattr(ex_mod, "SMALL_DOCS", 1)
+    monkeypatch.setenv("VELOCI_FUZZY_CHUNK_Q", "1")  # one chunk per query
+    pers._fuzzy_cap_hint = {"title": 64}  # force pass-1 overflow (~700 needed)
+    reqs = [
+        Request.from_dict(_fuzzy_filter_req(t))
+        for t in ("buc", "bucj", "buch", "buchy")
+    ]
+    got = batch_mod.search_batch(reqs, pers)
+    assert all(r is not None for r in got)
+    pers._fuzzy_cap_hint = {}
+    for t, br in zip(("buc", "bucj", "buch", "buchy"), got):
+        ref = ex_mod.search(Request.from_dict(_fuzzy_filter_req(t)), pers)
+        assert br.num_hits == ref.num_hits, t
+        assert [h.id for h in br.data] == [h.id for h in ref.data], t
+        for g, w in zip(br.data, ref.data):
+            assert float(g.score) == pytest.approx(float(w.score), rel=1e-4)
+
+
+def test_plain_fuzzy_multichunk_retry_parity(big_fuzzy_pers, monkeypatch):
+    """Plain fuzzy chunks (one per query via VELOCI_FUZZY_CHUNK_Q) with a
+    forced pass-1 overflow: every chunk's retries must emit its own rows
+    and the sticky hints must not be corrupted across chunks."""
+    pers = big_fuzzy_pers
+    monkeypatch.setattr(batch_mod, "SMALL_DOCS", 1)
+    monkeypatch.setattr(ex_mod, "SMALL_DOCS", 1)
+    monkeypatch.setenv("VELOCI_FUZZY_CHUNK_Q", "1")
+    pers._fuzzy_cap_hint = {"title": 64}
+    dicts = [
+        {
+            "search_req": {
+                "search": {
+                    "terms": [t],
+                    "path": "title",
+                    "levenshtein_distance": 1,
+                }
+            },
+            "top": 10,
+        }
+        for t in ("buc", "bucj", "buch")
+    ]
+    got = batch_mod.search_batch([Request.from_dict(d) for d in dicts], pers)
+    assert all(r is not None for r in got)
+    pers._fuzzy_cap_hint = {}
+    for d, br in zip(dicts, got):
+        ref = ex_mod.search(Request.from_dict(d), pers)
+        assert br.num_hits == ref.num_hits, d
+        assert [h.id for h in br.data] == [h.id for h in ref.data], d
+
+
+def test_sort_capacity_cap_routes_to_dense_executor(big_fuzzy_pers, monkeypatch):
+    """Queries whose posting totals exceed MAX_SORT_CAPACITY must fall back
+    to the dense-plane executor (the variadic-sort kernels blow up the XLA
+    compile at multi-million capacities) and still answer exactly."""
+    import veloci_tpu.ops.postings as postings_mod
+
+    pers = big_fuzzy_pers
+    monkeypatch.setattr(batch_mod, "SMALL_DOCS", 1)
+    monkeypatch.setattr(ex_mod, "SMALL_DOCS", 1)
+    dicts = [
+        # tree with a fuzzy leaf: ~700 postings > 256 -> generic-group fallback
+        {
+            "search_req": {
+                "or": {
+                    "queries": [
+                        {
+                            "search": {
+                                "terms": ["buc"],
+                                "path": "title",
+                                "levenshtein_distance": 1,
+                            }
+                        },
+                        {"search": {"terms": ["lesen"], "path": "title"}},
+                    ]
+                }
+            },
+            "top": 10,
+        },
+        # plain fuzzy single leaf: worst capped -> per-request dense path
+        {
+            "search_req": {
+                "search": {
+                    "terms": ["buch"],
+                    "path": "title",
+                    "levenshtein_distance": 1,
+                }
+            },
+            "top": 10,
+        },
+    ]
+    expected = [ex_mod.search(Request.from_dict(d), pers) for d in dicts]
+    pers._fuzzy_cap_hint = {}
+    monkeypatch.setattr(postings_mod, "MAX_SORT_CAPACITY", 256)
+    got = batch_mod.search_batch([Request.from_dict(d) for d in dicts], pers)
+    single = [
+        batch_mod.search_single_fused(Request.from_dict(d), pers) for d in dicts
+    ]
+    pers._fuzzy_cap_hint = {}
+    for d, br, ref in zip(dicts, got, expected):
+        assert br is not None and br.num_hits == ref.num_hits, d
+        assert [h.id for h in br.data] == [h.id for h in ref.data], d
+    # the single-request front door declines (returns None) instead of
+    # compiling an over-cap sort shape; executor.search then goes dense
+    for d, sf, ref in zip(dicts, single, expected):
+        if sf is not None:
+            assert sf.num_hits == ref.num_hits, d

@@ -69,6 +69,16 @@ def bucket_size(n: int, minimum: int = 64) -> int:
     return m
 
 
+import os as _os
+
+# Sorted-run / slice-window kernels are O(gathered postings): past this many
+# postings the dense-plane executor (O(num_docs)) is both cheaper AND avoids
+# multi-million-element variadic sorts that blow up the XLA compile (the 6M
+# repeat-doc corpus SIGKILLed the remote compile helper at a 2^23 bucket).
+# Queries over the cap route per-request through the plane kernels.
+MAX_SORT_CAPACITY = int(_os.environ.get("VELOCI_MAX_SORT_CAPACITY", str(1 << 21)))
+
+
 @partial(jax.jit, static_argnames=("capacity", "num_docs"))
 def _resolve_kernel(
     offsets: jax.Array,  # [num_keys + 2] int32 (tail-padded)

@@ -66,7 +66,15 @@ def enable_compilation_cache() -> None:
     try:
         import jax
 
-        if jax.default_backend() == "cpu" and not os.environ.get(
+        # Decide WITHOUT jax.default_backend(): that call initialises the
+        # backend client, and through the axon tunnel device acquisition
+        # costs 10s-600s — paid at Persistence.load/create time, long before
+        # any device work. Read the platform *setting* instead.
+        plat = (
+            os.environ.get("JAX_PLATFORMS", "")
+            or str(getattr(jax.config, "jax_platforms", None) or "")
+        )
+        if plat.split(",")[0] == "cpu" and not os.environ.get(
             "VELOCI_COMPILE_CACHE_DIR"
         ):
             # CPU AOT artifacts are machine-feature-pinned (reload warnings /
@@ -808,11 +816,26 @@ class Persistence:
         if comb is not None:
             comb.prefetch()
         for field in fields:
-            self.device_field(field).prefetch()  # H2D: bundle + chars
-        if fields:
-            import jax.numpy as _jnp
+            dv = self.device_field(field)
+            dv.prefetch()  # H2D: bundle + chars
+            # the short sweep-matrix variant serves the canonical auto-lev
+            # traffic (short terms) — upload it now too or the first short
+            # fuzzy query pays its build + H2D + compile
+            dv.sweep_variant(1).prefetch()
+        # await the uploads: transfers are per-buffer async, so sync a tiny
+        # slice of EVERY cached array or h2d_s under-reports and compile_s
+        # absorbs the remainder
+        sync = []
+        for dv in self._device_fields.values():
+            # the short sweep variant shares this _dev dict (namespaced
+            # keys), so one pass covers both
+            for arr in getattr(dv, "_dev", {}).values():
+                if arr is not None and getattr(arr, "ndim", 0) > 0:
+                    sync.append(arr.ravel()[0])
+        if sync:
+            import jax as _jax
 
-            float(_jnp.max(self.device_field(fields[0]).lengths))  # sync
+            _jax.device_get(sync)  # ONE round-trip for all
         h2d_s = _time.time() - t0
         self.last_warmup_breakdown = {"h2d_s": round(h2d_s, 1)}
         if comb is None or not fields:
@@ -827,7 +850,19 @@ class Persistence:
             if len(counts):
                 big = int(np.argmax(counts))
                 mid = int(np.argsort(counts)[len(counts) // 2])
-                for gid in {big, mid}:
+                probes = {big, mid}
+                # plus a frequent SHORT term: short auto-lev queries route
+                # through the short sweep-matrix variant — compile it now
+                for gid in np.argsort(counts)[::-1][:256]:
+                    for field, (base, nk) in comb.key_base.items():
+                        if base <= gid < base + nk:
+                            t = self.get_dictionary(field).terms[gid - base]
+                            if t.strip() and len(t) + 2 <= SHORT_SWEEP_MAX:
+                                probes.add(int(gid))
+                            break
+                    if len(probes) > 2:
+                        break
+                for gid in probes:
                     for field, (base, nk) in comb.key_base.items():
                         if base <= gid < base + nk:
                             term = self.get_dictionary(field).terms[gid - base]

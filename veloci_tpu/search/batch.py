@@ -782,6 +782,9 @@ def search_batch(requests: List[Request], persistence) -> List[SearchResult]:
 
             pool.add(out, cb)
 
+    def _per_request(qi, req):
+        results[qi] = search(req, persistence)
+
     if plain_entries:
         _run_generic_group(
             persistence,
@@ -790,6 +793,7 @@ def search_batch(requests: List[Request], persistence) -> List[SearchResult]:
             plain_entries,
             _emit,
             pool=pool,
+            fallback=_per_request,
         )
 
     # generic batches (filter/boost/facet/phrase requests): one fused
@@ -801,7 +805,8 @@ def search_batch(requests: List[Request], persistence) -> List[SearchResult]:
             )
         else:
             _run_generic_group(
-                persistence, comb, sig, entries, _emit, pool=pool
+                persistence, comb, sig, entries, _emit, pool=pool,
+                fallback=_per_request,
             )
 
     # fuzzy batches: one vmapped fused program per field chunk
@@ -815,7 +820,9 @@ def search_batch(requests: List[Request], persistence) -> List[SearchResult]:
     return results  # type: ignore[return-value]
 
 
-def _run_generic_group(persistence, comb, sig, entries, emit, pool=None) -> None:
+def _run_generic_group(
+    persistence, comb, sig, entries, emit, pool=None, fallback=None
+) -> None:
     """Dispatch one extras-signature group through the sorted tree kernel
     (`batched_tree_topk`) — cost O(capacity), independent of corpus size.
 
@@ -846,12 +853,22 @@ def _run_generic_group(persistence, comb, sig, entries, emit, pool=None) -> None
     boost_arrays, boost_specs = _boost_device_arrays(persistence, boost_key)
     facet_mats = tuple(facet_matrix(persistence, f)[0] for f in facet_fields)
 
+    from ..ops.postings import MAX_SORT_CAPACITY
+
     # capacity sub-buckets (floor 256 bounds the bucket count)
     sub: dict = {}
     for qi, req, spec in entries:
         gtids = spec["gtids"]
         tot = sum(int(ho[g + 1] - ho[g]) for g, _s, _sl in gtids)
-        sub.setdefault(_cap_bucket(max(tot, 1)), []).append((qi, req, spec))
+        cap_b = _cap_bucket(max(tot, 1))
+        if cap_b > MAX_SORT_CAPACITY:
+            # posting total too large for the variadic-sort kernel (the
+            # sort state explodes the XLA compile; the dense-plane executor
+            # is O(num_docs) and cheaper anyway past ~num_docs/2 postings)
+            if fallback is not None:
+                fallback(qi, req)
+            continue
+        sub.setdefault(cap_b, []).append((qi, req, spec))
 
     pending = []  # (chunk, device outputs)
     for capacity, sub_entries in sorted(sub.items()):
@@ -983,11 +1000,16 @@ def _run_fuzzy_generic_group(
     from .executor import fuzzy_start_capacity, search
     from .facet import facet_matrix
 
+    from ..ops.postings import MAX_SORT_CAPACITY
+
     _tag, field, boost_key, facet_fields, has_filter, has_phrase = sig
     dev = persistence.device_field(field)
     num_docs = persistence.num_docs
     max_terms = 256
-    worst = dev.fuzzy_capacity(max_terms)
+    # the fused fuzzy kernels sort [capacity]-wide — past MAX_SORT_CAPACITY
+    # postings the dense-plane executor takes over (truncated rows fall back
+    # per-request below)
+    worst = min(dev.fuzzy_capacity(max_terms), MAX_SORT_CAPACITY)
     use_banded = (
         os.environ.get("VELOCI_PALLAS_SWEEP", "1") != "0"
         and jax.default_backend() == "tpu"
@@ -1002,6 +1024,7 @@ def _run_fuzzy_generic_group(
     else:
         chunk_q = max(1, int(256e6 // max(n_pad * (l + 1) * 4, 1)))
     chunk_q = min(chunk_q, max(1, int(_PLANE_BUDGET_BYTES // max(num_docs * 4, 1))))
+    chunk_q = int(os.environ.get("VELOCI_FUZZY_CHUNK_Q", chunk_q))
 
     max_p = max((len(e[2]["panchors"]) for e in entries), default=1) if has_phrase else 0
     p_pad = bucket_size(max(max_p, 1), 64) if has_phrase else 0
@@ -1014,8 +1037,12 @@ def _run_fuzzy_generic_group(
     local = pool is None
     if local:
         pool = _SyncPool()
-    for base in range(0, len(entries), chunk_q):
-        chunk = entries[base : base + chunk_q]
+
+    def process_chunk(chunk):
+        # a FUNCTION per chunk (not loop-body closures): retry callbacks run
+        # during pool.drain(), after the chunk loop has finished, so any
+        # free-variable reference to loop-scoped state would resolve to the
+        # LAST chunk's bindings and re-dispatch/emit the wrong queries
         qc = len(chunk)
         queries = np.zeros((qc, 32), dtype=np.uint16)
         qlens = np.zeros(qc, dtype=np.int32)
@@ -1041,21 +1068,15 @@ def _run_fuzzy_generic_group(
         k_eff = min(num_docs, max_k)
         # short matrix when EVERY row in the chunk qualifies (terms longer
         # than qlen + d can't match within distance d)
-        from ..persistence import SHORT_SWEEP_MAX
-
-        dv = (
-            dev.sweep_variant(1)
-            if all(
-                len(spec["fuzzy"][1]) + spec["fuzzy"][2] <= SHORT_SWEEP_MAX
+        dv = dev.sweep_variant(
+            max(
+                len(spec["fuzzy"][1]) + spec["fuzzy"][2]
                 for _qi, _req, spec in chunk
             )
-            else dev
         )
         chars_arg = dv.chars_t if use_banded else dv.chars
 
-        def attempt(capacity, chunk=chunk, queries=queries, qlens=qlens,
-                    dists=dists, fi_arr=fi_arr, pa_arr=pa_arr, k_eff=k_eff,
-                    dv=dv, chars_arg=chars_arg):
+        def attempt(capacity):
             out = batched_fuzzy_generic_topk(
                 chars_arg,
                 dv.lengths,
@@ -1095,8 +1116,12 @@ def _run_fuzzy_generic_group(
                     bucket_size(max(need, 64)), capacity // 2
                 )
                 for row, (qi, req, _spec) in enumerate(chunk):
-                    if int(totals_b[row]) > max_terms:
-                        # selection window clipped — per-request path decides
+                    if (
+                        int(totals_b[row]) > max_terms
+                        or int(post_b[row]) > capacity
+                    ):
+                        # selection window clipped / posting total past the
+                        # sort cap — per-request path decides (dense plane)
                         if fallback is not None:
                             results[qi] = search(req, persistence)
                         continue
@@ -1110,6 +1135,9 @@ def _run_fuzzy_generic_group(
             pool.add(out, cb)
 
         attempt(min(worst, fuzzy_start_capacity(persistence, field)))
+
+    for base in range(0, len(entries), chunk_q):
+        process_chunk(entries[base : base + chunk_q])
     if local:
         pool.drain()
 
@@ -1129,10 +1157,14 @@ def _run_fuzzy_group(persistence, field, entries, results, start, pool=None) -> 
     from ..ops.postings import bucket_size
     from .executor import fuzzy_start_capacity
 
+    from ..ops.postings import MAX_SORT_CAPACITY
+
     dev = persistence.device_field(field)
     num_docs = persistence.num_docs
     max_terms = 256
-    worst = dev.fuzzy_capacity(max_terms)
+    # sorted-run resolve is a [capacity]-wide sort: cap it; rows whose
+    # posting total exceeds the cap fall back to the dense-plane executor
+    worst = min(dev.fuzzy_capacity(max_terms), MAX_SORT_CAPACITY)
     use_banded = (
         os.environ.get("VELOCI_PALLAS_SWEEP", "1") != "0"
         and jax.default_backend() == "tpu"
@@ -1145,6 +1177,7 @@ def _run_fuzzy_group(persistence, field, entries, results, start, pool=None) -> 
         chunk_q = 128
     else:
         chunk_q = max(1, int(256e6 // max(n_pad * (l + 1) * 4, 1)))
+    chunk_q = int(os.environ.get("VELOCI_FUZZY_CHUNK_Q", chunk_q))
     step = (
         batched_fuzzy_search_topk_banded if use_banded else batched_fuzzy_search_topk
     )
@@ -1217,8 +1250,12 @@ def _run_fuzzy_group(persistence, field, entries, results, start, pool=None) -> 
     local = pool is None
     if local:
         pool = _SyncPool()
-    for base in range(0, len(entries), chunk_q):
-        chunk = entries[base : base + chunk_q]
+
+    def process_chunk(chunk):
+        # a FUNCTION per chunk: retry callbacks run during pool.drain(),
+        # after the chunk loop finished — loop-body closures would late-bind
+        # the LAST chunk's needs/matches/finalize and re-run its rounds
+        #
         # pass 1: everyone at the sticky per-field capacity hint and a SMALL
         # selection window. Optimistic under-provisioning is FINE — the
         # kernel reports each query's exact match count and posting total,
@@ -1244,7 +1281,7 @@ def _run_fuzzy_group(persistence, field, entries, results, start, pool=None) -> 
         needs: list = []
         matches: list = []
 
-        def finalize(c0=c0, needs=needs, matches=matches, mt_hints=mt_hints):
+        def finalize():
             # sticky hints track the workload's p75 (bounded one bucket move
             # per batch, so an oscillating workload can't thrash): capacity
             # AND the selection window — a d=2-heavy workload where most
@@ -1262,7 +1299,7 @@ def _run_fuzzy_group(persistence, field, entries, results, start, pool=None) -> 
                     64 if p75m <= 64 else (128 if p75m <= 128 else 256)
                 )
 
-        def start_round(work, needs=needs, matches=matches, finalize=finalize):
+        def start_round(work):
             nxt: dict = {}
             remaining = {"n": len(work)}
             for rows, cap, mt, dv in work:
@@ -1293,10 +1330,14 @@ def _run_fuzzy_group(persistence, field, entries, results, start, pool=None) -> 
                             ).append((qi, req, term, distance))
                             continue
                         needs.append(need)
-                        if need <= cap or cap >= worst:
+                        if need <= cap:
                             emit_row(
                                 qi, req, ids_b[row], scores_b[row], hits_b[row]
                             )
+                        elif cap >= worst:
+                            # posting total past the sort cap: exact answer
+                            # needs the dense-plane executor
+                            results[qi] = search(req, persistence)
                         else:
                             nxt.setdefault(
                                 (
@@ -1320,6 +1361,9 @@ def _run_fuzzy_group(persistence, field, entries, results, start, pool=None) -> 
                 pool.add(out, cb)
 
         start_round(work)
+
+    for base in range(0, len(entries), chunk_q):
+        process_chunk(entries[base : base + chunk_q])
     if local:
         pool.drain()
 

@@ -609,7 +609,9 @@ def _try_fuzzy_fast_path(
     # max_terms largest runs) makes the gather/scatter ~10-100x too big for
     # typical fuzzy matches; start small and re-dispatch on overflow (the
     # kernel reports the true posting total)
-    worst = dev.fuzzy_capacity(max_terms)
+    from ..ops.postings import MAX_SORT_CAPACITY
+
+    worst = min(dev.fuzzy_capacity(max_terms), MAX_SORT_CAPACITY)
     capacity = min(worst, fuzzy_start_capacity(persistence, field))
     while True:
         if use_banded:
@@ -656,8 +658,12 @@ def _try_fuzzy_fast_path(
         )
         if int(total_matches) > max_terms:
             return None  # selection window clipped — generic path decides
-        if int(total_postings) <= capacity or capacity >= worst:
+        if int(total_postings) <= capacity:
             break
+        if capacity >= worst:
+            # posting total past the sort cap — the dense-plane path is
+            # exact and O(num_docs) there
+            return None
         from ..ops.postings import bucket_size
 
         capacity = min(worst, bucket_size(int(total_postings)))
