@@ -1184,15 +1184,11 @@ def _run_fuzzy_group(persistence, field, entries, results, start, pool=None) -> 
     # short queries (qlen + d <= SHORT_SWEEP_MAX) sweep the short matrix —
     # terms longer than qlen + d can't be within distance d, and dropping
     # the long-term rows ~halves sweep + select on mixed corpora
-    from ..persistence import SHORT_SWEEP_MAX
-
     short_dev = dev.sweep_variant(1)
 
     def row_variant(row) -> "object":
         _qi, _req, term, distance = row
-        if len(term) + distance <= SHORT_SWEEP_MAX:
-            return short_dev
-        return dev
+        return dev.sweep_variant(len(term) + distance)
 
     def dispatch(chunk_rows, capacity, mt, dv=dev):
         """One fused dispatch for a list of (qi, req, term, distance)."""
