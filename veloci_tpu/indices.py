@@ -263,16 +263,45 @@ class TermDictionary:
 
     def prefix_range(self, prefix: str, ignore_case: bool = True) -> List[int]:
         """Term ids whose term starts with ``prefix``."""
+        return list(self.prefix_range_ids(prefix, ignore_case=ignore_case))
+
+    def prefix_range_ids(self, prefix: str, ignore_case: bool = True) -> np.ndarray:
+        """Vector form of :meth:`prefix_range`: sorted ``int64`` ids.
+
+        The sorted-range slice [bisect(p), bisect(p + U+10FFFF)) IS the
+        prefix set — any string ordered inside the interval must share the
+        prefix (a differing codepoint before the prefix ends would order it
+        outside) — so no per-term ``startswith`` verification pass."""
         if ignore_case:
             lo = prefix.lower()
             arr = self._lower_sorted
             i = bisect.bisect_left(arr, lo)
             j = bisect.bisect_right(arr, lo + "\U0010FFFF", lo=i)
-            return [self.lower_perm[k] for k in range(i, j) if arr[k].startswith(lo)]
+            return np.sort(self.lower_perm_np[i:j]).astype(np.int64)
         arr2 = self.terms
         i = bisect.bisect_left(arr2, prefix)
         j = bisect.bisect_right(arr2, prefix + "\U0010FFFF", lo=i)
-        return [k for k in range(i, j) if arr2[k].startswith(prefix)]
+        return np.arange(i, j, dtype=np.int64)
+
+    @property
+    def lower_perm_np(self) -> np.ndarray:
+        cached = getattr(self, "_lower_perm_np", None)
+        if cached is None:
+            cached = self._lower_perm_np = np.asarray(
+                self.lower_perm, dtype=np.int64
+            )
+        return cached
+
+    def char_lengths(self) -> np.ndarray:
+        """[n] int32 — TRUE lowercase char count per term (unlike the sweep
+        matrix lengths, which zero out terms longer than MAX_TERM_CHARS)."""
+        cached = getattr(self, "_true_char_lengths", None)
+        if cached is None:
+            lower = self._lower
+            cached = self._true_char_lengths = np.fromiter(
+                (len(t) for t in lower), dtype=np.int32, count=len(lower)
+            )
+        return cached
 
     def ord_to_term(self, term_id: int) -> str:
         """id -> term (reference `ord_to_term`, search_field.rs:36-51)."""

@@ -385,8 +385,7 @@ def get_term_ids_in_field(
             ids = [tid] if tid is not None else []
         matched = np.array(sorted(ids), dtype=np.int64)
     elif distance == 0 and request.starts_with:
-        ids = dictionary.prefix_range(term, ignore_case=ignore_case)
-        matched = np.array(sorted(ids), dtype=np.int64)
+        matched = dictionary.prefix_range_ids(term, ignore_case=ignore_case)
     else:
         if len(lower_term) > MAX_QUERY_CHARS - 1:
             # very long query: host loop
@@ -428,8 +427,16 @@ def get_term_ids_in_field(
         if aligned_dists is not None:
             distances = aligned_dists
             prefix_matches = aligned_prefixes & should_check_prefix
+        elif distance == 0 and request.starts_with and not request.is_regex:
+            # prefix-range path, vectorised: every matched term starts with
+            # the query by construction, so distance = |candidate| - |query|
+            distances = (
+                dictionary.char_lengths()[matched].astype(np.int64)
+                - len(lower_term)
+            )
+            prefix_matches = np.full(len(matched), should_check_prefix)
         else:
-            # exact / prefix-range path: distance = |candidate| - |query| when
+            # exact / regex path: distance = |candidate| - |query| when
             # the candidate starts with the query, else true distance
             distances = np.empty(len(matched), dtype=np.int64)
             prefix_matches = np.zeros(len(matched), dtype=bool)
@@ -456,7 +463,14 @@ def get_term_ids_in_field(
             result.term_scores = scores[order]
 
     if return_term or store_term_texts:
-        for tid in matched:
+        # only the SURVIVING ids need their strings (top-n pruning above can
+        # shrink thousands of prefix matches to `top`)
+        keep = (
+            result.term_ids
+            if get_scores and result.term_ids is not None
+            else matched
+        )
+        for tid in keep:
             t = dictionary.terms[int(tid)]
             result.terms[int(tid)] = t.lower() if return_term_lowercase else t
 
