@@ -487,12 +487,48 @@ def test_large_summary(n_docs) -> dict:
 
 
 def main() -> None:
+    # Device-init watchdog: when the tunnel is down/half-up, axon backend
+    # init blocks in C for up to ~25 min (observed) and can hang
+    # indefinitely — unkillable from Python. If init + first op don't
+    # complete within BENCH_DEVICE_PROBE_S, re-exec this process pinned to
+    # XLA-CPU so the driver still gets a JSON line (flagged via
+    # detail.backend). execve replaces the whole process, blocked C threads
+    # included.
+    device_ready = None
+    if not os.environ.get("JAX_PLATFORMS", "").startswith("cpu"):
+        import threading
+
+        device_ready = threading.Event()
+
+        def _watchdog():
+            budget = float(os.environ.get("BENCH_DEVICE_PROBE_S", "900"))
+            if not device_ready.wait(budget):
+                log(
+                    f"device init exceeded {budget:.0f}s — "
+                    "re-exec on XLA-CPU fallback"
+                )
+                env = dict(os.environ, JAX_PLATFORMS="cpu")
+                os.execve(
+                    sys.executable,
+                    [sys.executable, os.path.abspath(__file__)] + sys.argv[1:],
+                    env,
+                )
+
+        threading.Thread(target=_watchdog, daemon=True).start()
+
     import jax
+
+    if os.environ.get("JAX_PLATFORMS", "").startswith("cpu"):
+        jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
 
     from veloci_tpu import Persistence
 
     backend = jax.default_backend()
+    if backend != "cpu":
+        float(jnp.ones((2, 2)).sum())  # first op: a half-up tunnel hangs HERE
+    if device_ready is not None:
+        device_ready.set()
     log(f"backend: {backend}, devices: {jax.devices()}")
 
     # host-link health diagnostic. The tunnel intermittently degrades to
@@ -575,7 +611,7 @@ def main() -> None:
     res_batch = search_batch(reqs, pers)
     serving_wall = time.perf_counter() - t0
     qps_serving = len(reqs) / serving_wall
-    assert res_batch[0].data, "serving path returned no hits"
+    assert any(r.data for r in res_batch), "serving path returned no hits"
     log(
         f"[{backend}] serving e2e (search_batch, {len(reqs)} reqs): "
         f"{qps_serving:.0f} QPS ({serving_wall*1e3:.1f} ms incl. host prep + link)"
