@@ -493,3 +493,38 @@ def test_sort_capacity_cap_routes_to_dense_executor(big_fuzzy_pers, monkeypatch)
     for d, sf, ref in zip(dicts, single, expected):
         if sf is not None:
             assert sf.num_hits == ref.num_hits, d
+
+
+def test_all_runner_types_share_one_batch(pers, monkeypatch):
+    """Every search_batch runner in ONE call — singles, plain trees,
+    fuzzy-leaf trees, generic extras, plain fuzzy, fuzzy-generic and the
+    per-request fallback — all draining through the shared sync pool, with
+    full parity against the host executor."""
+    from test_batch_generic import GENERIC_REQUESTS
+
+    dicts = [
+        # single exact term (batched_single_term_topk)
+        {"search_req": {"search": {"terms": ["urge"], "path": "meanings.eng[]"}}},
+        # plain tree (sorted tree kernel)
+        FUZZY_TREE_REQUESTS[0],
+        AND_OF_ORS_REQUESTS[0],
+        # generic extras (filters/boosts/facets)
+        GENERIC_REQUESTS[0],
+        GENERIC_REQUESTS[5],
+        # plain single-leaf fuzzy (fused sweep kernel)
+        {
+            "search_req": {
+                "search": {
+                    "terms": ["majestat"],
+                    "path": "meanings.ger[]",
+                    "levenshtein_distance": 1,
+                }
+            }
+        },
+        # ineligible -> per-request fallback inside the same batch
+        {
+            "search_req": {"search": {"terms": ["urge"], "path": "meanings.eng[]"}},
+            "why_found": True,
+        },
+    ]
+    _assert_parity(monkeypatch, pers, dicts)
