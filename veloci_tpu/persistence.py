@@ -66,14 +66,23 @@ def enable_compilation_cache() -> None:
     try:
         import jax
 
-        # Decide WITHOUT jax.default_backend(): that call initialises the
-        # backend client, and through the axon tunnel device acquisition
+        # Decide WITHOUT initialising a backend: jax.default_backend()
+        # creates the client, and through the axon tunnel device acquisition
         # costs 10s-600s — paid at Persistence.load/create time, long before
-        # any device work. Read the platform *setting* instead.
+        # any device work. Read the platform *setting*; when it's unset
+        # (auto-select) only decide once some backend has ALREADY been
+        # initialised (this function is re-invoked from device_field /
+        # device_combined, by which point one has).
         plat = (
             os.environ.get("JAX_PLATFORMS", "")
             or str(getattr(jax.config, "jax_platforms", None) or "")
         )
+        if not plat:
+            from jax._src import xla_bridge as _xb
+
+            if not getattr(_xb, "_backends", None):
+                return  # unknown backend, none initialised: decide later
+            plat = jax.default_backend()  # safe: no new init
         if plat.split(",")[0] == "cpu" and not os.environ.get(
             "VELOCI_COMPILE_CACHE_DIR"
         ):
@@ -574,6 +583,9 @@ class Persistence:
         cached = self._device_fields.get(field)
         if cached is not None:
             return cached
+        # auto-platform (JAX_PLATFORMS unset): the load-time call deferred
+        # the decision; by now a backend exists, so this resolves
+        enable_compilation_cache()
         import jax.numpy as jnp
 
         dictionary = self.get_dictionary(field)
@@ -848,12 +860,13 @@ class Persistence:
             ho = comb.host_offsets
             counts = np.diff(ho[: comb.num_score_keys + 1])
             if len(counts):
-                big = int(np.argmax(counts))
-                mid = int(np.argsort(counts)[len(counts) // 2])
+                order = np.argsort(counts)
+                big = int(order[-1])
+                mid = int(order[len(counts) // 2])
                 probes = {big, mid}
                 # plus a frequent SHORT term: short auto-lev queries route
                 # through the short sweep-matrix variant — compile it now
-                for gid in np.argsort(counts)[::-1][:256]:
+                for gid in order[::-1][:256]:
                     for field, (base, nk) in comb.key_base.items():
                         if base <= gid < base + nk:
                             t = self.get_dictionary(field).terms[gid - base]

@@ -783,7 +783,9 @@ def search_batch(requests: List[Request], persistence) -> List[SearchResult]:
             pool.add(out, cb)
 
     def _per_request(qi, req):
-        results[qi] = search(req, persistence)
+        # already measured past the fused kernels' limits: go straight to
+        # the dense per-step executor (no re-probing dispatches)
+        results[qi] = search(req, persistence, dense_only=True)
 
     if plain_entries:
         _run_generic_group(
@@ -801,7 +803,8 @@ def search_batch(requests: List[Request], persistence) -> List[SearchResult]:
     for sig, entries in generic_groups.items():
         if sig[0] == "fz":
             _run_fuzzy_generic_group(
-                persistence, sig, entries, _emit, results, pool=pool
+                persistence, sig, entries, _emit, results, pool=pool,
+                fallback=_per_request,
             )
         else:
             _run_generic_group(
@@ -860,14 +863,16 @@ def _run_generic_group(
     for qi, req, spec in entries:
         gtids = spec["gtids"]
         tot = sum(int(ho[g + 1] - ho[g]) for g, _s, _sl in gtids)
-        cap_b = _cap_bucket(max(tot, 1))
-        if cap_b > MAX_SORT_CAPACITY:
+        if tot > MAX_SORT_CAPACITY:
             # posting total too large for the variadic-sort kernel (the
             # sort state explodes the XLA compile; the dense-plane executor
             # is O(num_docs) and cheaper anyway past ~num_docs/2 postings)
             if fallback is not None:
                 fallback(qi, req)
             continue
+        # clamp the coarse x4 ladder to the cap (totals in its last step
+        # still fit a MAX_SORT_CAPACITY-wide sort)
+        cap_b = min(_cap_bucket(max(tot, 1)), MAX_SORT_CAPACITY)
         sub.setdefault(cap_b, []).append((qi, req, spec))
 
     pending = []  # (chunk, device outputs)
@@ -980,7 +985,7 @@ def _facets_of(persistence, req, facet_fields, fc_rows, row):
 
 
 def _run_fuzzy_generic_group(
-    persistence, sig, entries, emit, results, fallback="search", pool=None
+    persistence, sig, entries, emit, results, fallback=None, pool=None
 ) -> None:
     """Fuzzy leaf + filter/boost/facet/phrase extras: one fused program per
     chunk (ops/fuzzy_step.batched_fuzzy_generic_topk), with the plain fuzzy
@@ -1024,7 +1029,7 @@ def _run_fuzzy_generic_group(
     else:
         chunk_q = max(1, int(256e6 // max(n_pad * (l + 1) * 4, 1)))
     chunk_q = min(chunk_q, max(1, int(_PLANE_BUDGET_BYTES // max(num_docs * 4, 1))))
-    chunk_q = int(os.environ.get("VELOCI_FUZZY_CHUNK_Q", chunk_q))
+    chunk_q = max(1, int(os.environ.get("VELOCI_FUZZY_CHUNK_Q", chunk_q)))
 
     max_p = max((len(e[2]["panchors"]) for e in entries), default=1) if has_phrase else 0
     p_pad = bucket_size(max(max_p, 1), 64) if has_phrase else 0
@@ -1123,7 +1128,7 @@ def _run_fuzzy_generic_group(
                         # selection window clipped / posting total past the
                         # sort cap — per-request path decides (dense plane)
                         if fallback is not None:
-                            results[qi] = search(req, persistence)
+                            fallback(qi, req)
                         continue
                     facets = (
                         _facets_of(persistence, req, facet_fields, fc_b, row)
@@ -1177,7 +1182,7 @@ def _run_fuzzy_group(persistence, field, entries, results, start, pool=None) -> 
         chunk_q = 128
     else:
         chunk_q = max(1, int(256e6 // max(n_pad * (l + 1) * 4, 1)))
-    chunk_q = int(os.environ.get("VELOCI_FUZZY_CHUNK_Q", chunk_q))
+    chunk_q = max(1, int(os.environ.get("VELOCI_FUZZY_CHUNK_Q", chunk_q)))
     step = (
         batched_fuzzy_search_topk_banded if use_banded else batched_fuzzy_search_topk
     )
@@ -1308,8 +1313,11 @@ def _run_fuzzy_group(persistence, field, entries, results, start, pool=None) -> 
                         need = int(post_b[row])
                         matches.append(tm)
                         if tm > 256:
-                            # selection window clipped — per-request path
-                            results[qi] = search(req, persistence)
+                            # selection window clipped: every fused window
+                            # is 256 too, so go straight to the dense path
+                            results[qi] = search(
+                                req, persistence, dense_only=True
+                            )
                             continue
                         if tm > mt:
                             # more matches than the small window: retry wide
@@ -1332,8 +1340,11 @@ def _run_fuzzy_group(persistence, field, entries, results, start, pool=None) -> 
                             )
                         elif cap >= worst:
                             # posting total past the sort cap: exact answer
-                            # needs the dense-plane executor
-                            results[qi] = search(req, persistence)
+                            # needs the dense-plane executor (skip the fast
+                            # paths — they would re-run the same ladder)
+                            results[qi] = search(
+                                req, persistence, dense_only=True
+                            )
                         else:
                             nxt.setdefault(
                                 (

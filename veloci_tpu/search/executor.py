@@ -681,8 +681,14 @@ def _try_fuzzy_fast_path(
     return result
 
 
-def search(request: Request, persistence) -> SearchResult:
-    """Reference search::search (src/search.rs:143-228)."""
+def search(request: Request, persistence, dense_only: bool = False) -> SearchResult:
+    """Reference search::search (src/search.rs:143-228).
+
+    ``dense_only`` skips every fused fast path and goes straight to the
+    dense per-step executor — for callers that have ALREADY measured the
+    query past the fused kernels' limits (posting totals over
+    MAX_SORT_CAPACITY, clipped selection windows): re-probing would
+    re-dispatch the sweep/capacity ladder for nothing."""
     start = time.time_ns()
     if request.search_req is None:
         raise InvalidRequestError("search_req is required in search")
@@ -701,29 +707,31 @@ def search(request: Request, persistence) -> SearchResult:
         return mesh_search(request, persistence)
 
     skip0 = request.skip or 0
-    fast = _try_fast_path(request, persistence, top + skip0)
-    if fast is not None:
-        count_path("fused_exact")
-    if fast is None:
-        fast = _try_fuzzy_fast_path(request, persistence, top + skip0)
+    if not dense_only:
+        fast = _try_fast_path(request, persistence, top + skip0)
         if fast is not None:
-            count_path("fused_fuzzy")
-    if fast is not None:
-        if skip0:
-            fast.data = fast.data[skip0:]
-        fast.data = fast.data[:top]
-        fast.execution_time_ns = time.time_ns() - start
-        return fast
-    # canonical query-language shapes (fuzzy leaves, AND-of-ORs) and
-    # filter/boost/facet/phrase extras: ONE fused program via the batched
-    # tree machinery (a batch of one) instead of the per-step walk
-    from .batch import search_single_fused
+            count_path("fused_exact")
+        if fast is None:
+            fast = _try_fuzzy_fast_path(request, persistence, top + skip0)
+            if fast is not None:
+                count_path("fused_fuzzy")
+        if fast is not None:
+            if skip0:
+                fast.data = fast.data[skip0:]
+            fast.data = fast.data[:top]
+            fast.execution_time_ns = time.time_ns() - start
+            return fast
+        # canonical query-language shapes (fuzzy leaves, AND-of-ORs) and
+        # filter/boost/facet/phrase extras: ONE fused program via the
+        # batched tree machinery (a batch of one) instead of the per-step
+        # walk
+        from .batch import search_single_fused
 
-    fast = search_single_fused(request, persistence)
-    if fast is not None:
-        count_path("fused_tree_single")
-        fast.execution_time_ns = time.time_ns() - start
-        return fast
+        fast = search_single_fused(request, persistence)
+        if fast is not None:
+            count_path("fused_tree_single")
+            fast.execution_time_ns = time.time_ns() - start
+            return fast
     count_fallback(fallback_reason(request, persistence))
 
     tm = info_time("search")
