@@ -682,3 +682,48 @@ def test_native_radix_sorts_match_numpy():
         assert native.lexsort_kv_u64_u32(k3, v3)
         order = np.lexsort((v, k))
         assert np.array_equal(k3, k[order]) and np.array_equal(v3, v[order])
+
+
+def test_dynlen_banded_batch_parity():
+    """The dynamic-query-length banded batch sweep == the static 32-step
+    unroll, across edge lengths (qlen 0 pad rows, 1, max 31) and bands."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from veloci_tpu.ops.levenshtein import encode_query
+    from veloci_tpu.ops.pallas_levenshtein import (
+        levenshtein_sweep_pallas_banded_batch,
+    )
+
+    rng = np.random.default_rng(17)
+    words = (
+        [f"w{i:03d}" for i in range(300)]
+        + ["a", "ab", "hello", "help", "hells", "x" * 31, "x" * 32]
+    )
+    n_pad = 4096
+    chars = np.zeros((n_pad, 32), np.uint16)
+    lens = np.zeros(n_pad, np.int32)
+    for i, w in enumerate(words):
+        for j, ch in enumerate(w[:32]):
+            chars[i, j] = ord(ch)
+        lens[i] = len(w)
+    chars_t = jnp.asarray(np.ascontiguousarray(chars.T))
+    lens_j = jnp.asarray(lens)
+
+    qterms = ["", "a", "w01", "hela", "x" * 31, "w0015"]
+    queries = np.zeros((8, 32), np.uint16)
+    qlens = np.zeros(8, np.int32)
+    for row, t in enumerate(qterms):
+        q, ql = encode_query(t)
+        queries[row] = q
+        qlens[row] = ql
+    qj, lj = jnp.asarray(queries), jnp.asarray(qlens)
+    for band in (2, 4):
+        a = levenshtein_sweep_pallas_banded_batch(
+            chars_t, lens_j, qj, lj, interpret=True, band=band, dyn=False
+        )
+        b = levenshtein_sweep_pallas_banded_batch(
+            chars_t, lens_j, qj, lj, interpret=True, band=band, dyn=True
+        )
+        for x, y in zip(a, b):
+            np.testing.assert_array_equal(np.asarray(x), np.asarray(y))

@@ -195,6 +195,77 @@ def _kernel_banded(
 TILE_N_BATCH = 4096
 
 
+def _kernel_banded_batch_dyn(
+    band, query_ref, qlen_ref, chars_ref, len_ref, dist_ref, prefix_ref, chars32
+):
+    """Dynamic-length variant of `_kernel_banded_batch`: the DP loop over
+    query chars is a ``fori_loop`` bounded by EACH query's actual length
+    instead of a full 32-step unroll. Typical fuzzy traffic is 5-9 chars, so
+    this does ~3-5x less DP per (query, tile). The price: the chars row
+    index ``j = i + o`` becomes dynamic — Mosaic supports dynamic sublane
+    loads on the 32-bit staged tile (the reason the ``chars32`` scratch
+    exists), at slightly higher per-access cost than the static unroll.
+    Semantics are identical (parity-tested in interpret mode)."""
+    D_BAND = band
+    _W = 2 * band + 1
+    nq = dist_ref.shape[0]
+    lens = len_ref[0, :]
+    chars32[:, :] = chars_ref[:, :].astype(jnp.int32)
+
+    def one_query(q, _):
+        qlen = jnp.minimum(qlen_ref[q], MAX_QUERY_CHARS)
+        init_rows = []
+        for oi in range(_W):
+            o = oi - D_BAND
+            if o >= 0:
+                init_rows.append(jnp.full((TILE_N_BATCH,), o, dtype=jnp.int32))
+            else:
+                init_rows.append(jnp.full((TILE_N_BATCH,), _BIG, dtype=jnp.int32))
+        B0 = jnp.stack(init_rows, axis=0)  # [_W, TILE]
+
+        def qstep(i, B):
+            qc = query_ref[q, i - 1]
+            i_vec = jnp.full((TILE_N_BATCH,), 0, dtype=jnp.int32) + i
+            prev = jnp.full((TILE_N_BATCH,), _BIG, dtype=jnp.int32)
+            new_rows = []
+            for oi in range(_W):
+                o = oi - D_BAND
+                j_idx = i + o  # traced scalar
+                row = chars32[jnp.clip(j_idx - 1, 0, L - 1), :]
+                cost = (row != qc).astype(jnp.int32)
+                up = (
+                    B[oi + 1] + 1
+                    if oi + 1 < _W
+                    else jnp.full((TILE_N_BATCH,), _BIG, jnp.int32)
+                )
+                diag = B[oi] + cost
+                val = jnp.minimum(jnp.minimum(up, diag), prev + 1)
+                # j == 0 -> D[i][0] = i; j < 0 or j > L -> outside the DP
+                val = jnp.where(j_idx == 0, i_vec, val)
+                val = jnp.where((j_idx < 0) | (j_idx > L), _BIG, val)
+                val = jnp.minimum(val, _BIG)
+                prev = val
+                new_rows.append(val)
+            return jnp.stack(new_rows, axis=0)
+
+        B = jax.lax.fori_loop(1, qlen + 1, qstep, B0)
+
+        off = lens - qlen + D_BAND
+        dist = jnp.full((TILE_N_BATCH,), _BIG, dtype=jnp.int32)
+        prefix_dist = jnp.full((TILE_N_BATCH,), _BIG, dtype=jnp.int32)
+        for oi in range(_W):
+            o = oi - D_BAND
+            dist = jnp.where(off == oi, B[oi], dist)
+            ok = (qlen + o >= 0) & (qlen + o <= lens)
+            prefix_dist = jnp.minimum(prefix_dist, jnp.where(ok, B[oi], _BIG))
+        valid = lens > 0
+        dist_ref[q, :] = jnp.where(valid, dist, _BIG)
+        prefix_ref[q, :] = jnp.where(valid, prefix_dist, _BIG)
+        return 0
+
+    jax.lax.fori_loop(0, nq, one_query, 0)
+
+
 def _kernel_banded_batch(
     band, query_ref, qlen_ref, chars_ref, len_ref, dist_ref, prefix_ref, chars32
 ):
@@ -260,7 +331,13 @@ def _kernel_banded_batch(
     jax.lax.fori_loop(0, nq, one_query, 0)
 
 
-@functools.partial(jax.jit, static_argnames=("interpret", "band"))
+def _dyn_default() -> bool:
+    import os
+
+    return os.environ.get("VELOCI_DYNLEN_SWEEP", "1") != "0"
+
+
+@functools.partial(jax.jit, static_argnames=("interpret", "band", "dyn"))
 def levenshtein_sweep_pallas_banded_batch(
     chars_t: jax.Array,  # [L, N_pad] uint16
     term_lens: jax.Array,  # [N_pad] int32
@@ -268,13 +345,17 @@ def levenshtein_sweep_pallas_banded_batch(
     query_lens: jax.Array,  # [Q] int32
     interpret: bool = False,
     band: int = D_BAND,
+    dyn: bool | None = None,
 ):
     """Batched banded sweep: ONE kernel for a whole query batch.
 
     Returns (dist [Q, N], prefix_dist [Q, N], is_prefix [Q, N]). The chars
     tile stays VMEM-resident across the inner query axis, so HBM traffic is
-    ~one dictionary read per batch instead of per query.
-    """
+    ~one dictionary read per batch instead of per query. ``dyn`` selects the
+    dynamic-query-length DP loop (default on, VELOCI_DYNLEN_SWEEP=0 reverts
+    to the full 32-step unroll)."""
+    if dyn is None:
+        dyn = _dyn_default()
     l, n = chars_t.shape
     q = queries.shape[0]
     tb = TILE_N_BATCH
@@ -287,7 +368,9 @@ def levenshtein_sweep_pallas_banded_batch(
     assert l == L
     grid = (n // tb,)
     dist, prefix_dist = pl.pallas_call(
-        functools.partial(_kernel_banded_batch, band),
+        functools.partial(
+            _kernel_banded_batch_dyn if dyn else _kernel_banded_batch, band
+        ),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,
             grid=grid,
