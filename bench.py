@@ -930,6 +930,52 @@ def main() -> None:
             fuzzy_ms_per_batch=round(fuzzy_ms_per_batch, 3),
             fuzzy_serving_e2e_qps=round(fuzzy_serving_qps, 1),
         )
+
+        # native single-core fuzzy baseline (VERDICT r3 #4): the reference's
+        # Levenshtein-automaton x FST walk as a sorted-dictionary walk with
+        # dead-prefix skipping + the same resolve/top_n_sort tail
+        # (native/baseline.cpp vbl_fuzzy_topk; search_field.rs:85-96,400-504)
+        try:
+            from veloci_tpu.native import (
+                baseline_fuzzy_index,
+                baseline_fuzzy_topk,
+            )
+
+            dictionary_f = pers.get_dictionary("title")
+            fidx = baseline_fuzzy_index(dictionary_f)
+            if fidx is not None:
+                store_f = pers.anchor_scores[
+                    "title.textindex.to_anchor_id_score"
+                ]
+                # engine parity: distance capped at len(term)-1
+                fdists_eff = np.array(
+                    [min(2, max(len(t) - 1, 0)) for t in fuzzy_terms[:fq]],
+                    dtype=np.int32,
+                )
+                args = (
+                    fidx, fqueries[:fq], fqlens[:fq], fdists_eff,
+                    store_f.offsets, store_f.anchors, store_f.scores, TOP_K,
+                )
+                baseline_fuzzy_topk(*args)  # warm (page faults)
+                reps_f = 3
+                t0 = time.perf_counter()
+                for _ in range(reps_f):
+                    baseline_fuzzy_topk(*args)
+                nf_qps = round(
+                    fq / ((time.perf_counter() - t0) / reps_f), 1
+                )
+                vs_f = (
+                    round(qps_fuzzy_batched / nf_qps, 2) if nf_qps else None
+                )
+                log(
+                    f"native fuzzy baseline: {nf_qps} QPS single-core "
+                    f"(vs_baseline_fuzzy {vs_f})"
+                )
+                update_result(
+                    native_cpu_fuzzy_qps=nf_qps, vs_baseline_fuzzy=vs_f
+                )
+        except Exception as exc:
+            log(f"native fuzzy baseline failed: {type(exc).__name__}: {exc}")
     except Exception as exc:
         log(f"fuzzy batched failed: {type(exc).__name__}: {exc}")
 
@@ -1367,6 +1413,8 @@ def main() -> None:
             "fuzzy_d2_batched_qps": round(qps_fuzzy_batched, 1),
             "fuzzy_ms_per_batch": round(fuzzy_ms_per_batch, 3),
             "fuzzy_serving_e2e_qps": round(fuzzy_serving_qps, 1),
+            "native_cpu_fuzzy_qps": _RESULT["detail"].get("native_cpu_fuzzy_qps"),
+            "vs_baseline_fuzzy": _RESULT["detail"].get("vs_baseline_fuzzy"),
             "generic_batched_qps": round(qps_generic, 1),
             "generic_ms_per_batch": round(generic_ms, 3),
             "generic_serving_e2e_qps": round(generic_serving_qps, 1),

@@ -22,6 +22,7 @@
 // and parity-tested against the engine in tests/test_native.py.
 
 #include <algorithm>
+#include <cmath>
 #include <cstdint>
 #include <cstring>
 #include <vector>
@@ -394,6 +395,166 @@ void vbl_exact_topk_vint(const uint8_t* blob, const int64_t* blob_offsets,
             } else {
                 out_ids[q * top_n + i] = 0;
                 out_scores[q * top_n + i] = 0.0f;
+            }
+        }
+    }
+}
+
+}  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Fuzzy baseline: the reference's Levenshtein-automaton x FST product walk
+// (search_field.rs:85-96, 298-300) as a single-core sorted-dictionary walk
+// with shared-prefix incremental DP and dead-prefix skipping — when every
+// extension of a prefix exceeds the distance budget, the walk binary-searches
+// past ALL terms sharing that prefix, exactly the pruning the automaton gives
+// the reference. Followed by the same resolve + dedup-max + top_n_sort tail
+// as vbl_exact_topk (search_field.rs:400-504, sort.rs:5-34), with the term
+// score from get_default_score_for_distance (search_field.rs:27-33).
+//
+// Input matrix must be LOWERCASED and LEX-SORTED by (chars row, len) —
+// zero padding sorts shorter terms first, so raw row comparison is proper
+// lexicographic order. row_tid maps each row to its dictionary term id.
+
+extern "C" {
+
+void vbl_fuzzy_topk(const uint16_t* chars,   // [m, L]
+                    const int32_t* lens,     // [m]
+                    const int32_t* row_tid,  // [m]
+                    int32_t m, int32_t L,
+                    const uint16_t* queries,  // [nq, 32]
+                    const int32_t* qlens,     // [nq]
+                    const int32_t* dists,     // [nq]
+                    const int64_t* offsets, const uint32_t* anchors,
+                    const uint16_t* scores, int32_t num_keys, int32_t nq,
+                    int32_t top_n, uint32_t* out_ids, float* out_scores,
+                    int32_t* out_hits, int32_t* out_matches) {
+    struct Match {
+        int32_t tid;
+        int32_t dist;
+        bool is_prefix;
+    };
+    std::vector<int32_t> rows;   // (L+1) stacked DP rows of width qlen+1
+    std::vector<int32_t> rmin;   // per-depth row minimum
+    std::vector<Match> matches;
+    std::vector<Hit> hits;
+    std::vector<Hit> topk;
+
+    for (int32_t q = 0; q < nq; ++q) {
+        const uint16_t* query = queries + q * 32;
+        int32_t qlen = qlens[q];
+        int32_t d = dists[q];
+        int32_t w = qlen + 1;
+        rows.assign(static_cast<size_t>(L + 1) * w, 0);
+        rmin.assign(L + 1, 0);
+        for (int32_t j = 0; j < w; ++j) rows[j] = j;  // depth-0 row
+        rmin[0] = 0;
+        matches.clear();
+
+        int32_t i = 0;
+        const uint16_t* prev = nullptr;  // previous term's chars row
+        int32_t prev_valid = 0;          // rows valid up to this depth
+        while (i < m) {
+            const uint16_t* c = chars + static_cast<int64_t>(i) * L;
+            int32_t len = lens[i];
+            if (len <= 0) { ++i; prev = nullptr; prev_valid = 0; continue; }
+            // shared-prefix reuse: rows up to lcp(prev, c) stay valid
+            int32_t lcp = 0;
+            if (prev) {
+                int32_t cap = prev_valid < len ? prev_valid : len;
+                while (lcp < cap && prev[lcp] == c[lcp]) ++lcp;
+            }
+            bool dead = false;
+            int32_t depth = lcp;
+            for (; depth < len; ++depth) {
+                const int32_t* pr = rows.data() + static_cast<size_t>(depth) * w;
+                int32_t* nr = rows.data() + static_cast<size_t>(depth + 1) * w;
+                uint16_t tc = c[depth];
+                int32_t mn = depth + 1;
+                nr[0] = depth + 1;
+                for (int32_t j = 1; j < w; ++j) {
+                    int32_t cost = (query[j - 1] != tc) ? 1 : 0;
+                    int32_t v = pr[j] + 1;            // delete (term char)
+                    int32_t v2 = nr[j - 1] + 1;       // insert
+                    int32_t v3 = pr[j - 1] + cost;    // substitute / copy
+                    if (v2 < v) v = v2;
+                    if (v3 < v) v = v3;
+                    nr[j] = v;
+                    if (v < mn) mn = v;
+                }
+                rmin[depth + 1] = mn;
+                if (mn > d) {
+                    // DEAD prefix c[:depth+1]: skip every term sharing it
+                    int32_t plen = depth + 1;
+                    int32_t lo = i + 1, hi = m;
+                    while (lo < hi) {
+                        int32_t mid = lo + (hi - lo) / 2;
+                        const uint16_t* t = chars + static_cast<int64_t>(mid) * L;
+                        // t <= prefix c[:plen] (t shares the prefix)?
+                        bool shares = true;
+                        for (int32_t j = 0; j < plen; ++j) {
+                            if (t[j] != c[j]) { shares = false; break; }
+                        }
+                        if (shares) lo = mid + 1; else hi = mid;
+                    }
+                    i = lo;
+                    prev = c;
+                    prev_valid = plen;  // rows below the dead depth stay valid
+                    dead = true;
+                    break;
+                }
+            }
+            if (!dead) {
+                int32_t dist = rows[static_cast<size_t>(len) * w + qlen];
+                if (dist <= d) {
+                    bool is_prefix = len >= qlen;
+                    if (is_prefix) {
+                        for (int32_t j = 0; j < qlen; ++j)
+                            if (c[j] != query[j]) { is_prefix = false; break; }
+                    }
+                    matches.push_back(Match{row_tid[i], dist, is_prefix});
+                }
+                prev = c;
+                prev_valid = len;
+                ++i;
+            }
+        }
+        out_matches[q] = static_cast<int32_t>(matches.size());
+
+        // resolve + dedup-max + top_n_sort (single slot: fuzzy leaf)
+        hits.clear();
+        for (const Match& mt : matches) {
+            if (mt.tid < 0 || mt.tid >= num_keys) continue;
+            float df = static_cast<float>(mt.dist);
+            float ts = mt.is_prefix ? 2.0f / (std::log2(df + 1.0f) + 0.2f)
+                                    : 2.0f / (df + 0.2f);
+            int64_t s = offsets[mt.tid], e = offsets[mt.tid + 1];
+            hits.reserve(hits.size() + static_cast<size_t>(e - s));
+            for (int64_t p = s; p < e; ++p)
+                hits.push_back(
+                    Hit{anchors[p], ts * (static_cast<float>(scores[p]) / 100.0f)});
+        }
+        std::sort(hits.begin(), hits.end(),
+                  [](const Hit& a, const Hit& b) { return a.id < b.id; });
+        size_t wr = 0;
+        for (size_t p = 0; p < hits.size(); ++p) {
+            if (wr > 0 && hits[wr - 1].id == hits[p].id) {
+                if (hits[p].score > hits[wr - 1].score)
+                    hits[wr - 1].score = hits[p].score;
+            } else {
+                hits[wr++] = hits[p];
+            }
+        }
+        hits.resize(wr);
+        top_n_sort(hits, static_cast<uint32_t>(top_n), topk);
+        out_hits[q] = static_cast<int32_t>(hits.size());
+        for (int32_t p = 0; p < top_n; ++p) {
+            if (static_cast<size_t>(p) < topk.size()) {
+                out_ids[q * top_n + p] = topk[p].id;
+                out_scores[q * top_n + p] = topk[p].score;
+            } else {
+                out_ids[q * top_n + p] = 0;
+                out_scores[q * top_n + p] = 0.0f;
             }
         }
     }

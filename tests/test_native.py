@@ -301,3 +301,76 @@ def test_doc_store_native_byte_parity():
     assert loader.num_docs == 5000
     assert json.loads(loader.get_doc(0))["t"].startswith("doc 0")
     assert json.loads(loader.get_doc(4999))["t"].startswith("doc 4999")
+
+
+def test_fuzzy_baseline_engine_parity():
+    """The single-core C++ fuzzy baseline (automaton-equivalent sorted-
+    dictionary walk + resolve + top_n_sort, native/baseline.cpp
+    vbl_fuzzy_topk) must find exactly the brute-force match set and return
+    the engine's top-k."""
+    from veloci_tpu import Persistence, Request, search
+    from veloci_tpu.native import (
+        baseline_available,
+        baseline_fuzzy_index,
+        baseline_fuzzy_topk,
+    )
+    from veloci_tpu.ops.levenshtein import (
+        encode_query,
+        levenshtein_distance_host,
+    )
+
+    if not baseline_available():
+        pytest.skip("native baseline unavailable")
+    pers = Persistence.create_from_str(data_ndjson(), TEST_CONFIG)
+    field = "meanings.ger[]"
+    store = pers.anchor_scores[field + ".textindex.to_anchor_id_score"]
+    dictionary = pers.get_dictionary(field)
+    idx = baseline_fuzzy_index(dictionary)
+    assert idx is not None
+
+    qterms = [("majestät", 1), ("majestätischer", 2), ("anblik", 2),
+              ("ausehen", 1), ("urkunde", 2), ("zz", 1)]
+    nq = len(qterms)
+    queries = np.zeros((nq, 32), np.uint16)
+    qlens = np.zeros(nq, np.int32)
+    dists = np.zeros(nq, np.int32)
+    for row, (t, d) in enumerate(qterms):
+        q, ql = encode_query(t)
+        queries[row], qlens[row], dists[row] = q, ql, d
+    ids_b, sc_b, nh_b, nm_b = baseline_fuzzy_topk(
+        idx, queries, qlens, dists,
+        store.offsets, store.anchors, store.scores, 10,
+    )
+
+    for row, (t, d) in enumerate(qterms):
+        # (a) match count == brute force over the dictionary
+        brute = sum(
+            1
+            for term in dictionary.terms
+            if len(term) <= 32
+            and levenshtein_distance_host(t, term.lower()) <= d
+        )
+        assert int(nm_b[row]) == brute, (t, d)
+        # (b) top-k ids/scores == the engine
+        ref = search(
+            Request.from_dict(
+                {
+                    "search_req": {
+                        "search": {
+                            "terms": [t],
+                            "path": field,
+                            "levenshtein_distance": d,
+                        }
+                    }
+                }
+            ),
+            pers,
+        )
+        got_ids = [int(x) for x in ids_b[row][: len(ref.data)]]
+        assert got_ids == [h.id for h in ref.data], (t, d)
+        for gs, ws in zip(
+            [float(x) for x in sc_b[row][: len(ref.data)]],
+            [h.score for h in ref.data],
+        ):
+            assert gs == pytest.approx(ws, rel=1e-5), (t, d)
+        assert int(nh_b[row]) == ref.num_hits, (t, d)

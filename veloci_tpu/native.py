@@ -734,6 +734,85 @@ def baseline_exact_topk_vint(index: VintBaselineIndex, term_ids, term_scores, to
     return out_ids, out_scores, out_hits
 
 
+class FuzzyBaselineIndex:
+    """Lex-sorted lowercase char matrix for the native fuzzy baseline walk
+    (`vbl_fuzzy_topk`, native/baseline.cpp): the single-core stand-in for
+    the reference's Levenshtein-automaton x FST walk
+    (search_field.rs:85-96)."""
+
+    def __init__(self, chars, lens, row_tid):
+        self.chars = chars  # [m, L] uint16, lex-sorted rows
+        self.lens = lens  # [m] int32
+        self.row_tid = row_tid  # [m] int32 -> dictionary term id
+
+
+def baseline_fuzzy_index(dictionary) -> Optional[FuzzyBaselineIndex]:
+    """Build the sorted matrix from a TermDictionary's compact char matrix."""
+    if _load() is None:
+        return None
+    chars, lens, ids = dictionary.char_matrix_compact()
+    # rows are zero-padded, so raw row comparison == lexicographic order with
+    # shorter terms first (the contract vbl_fuzzy_topk's prefix skip needs)
+    order = np.lexsort(tuple(chars[:, j] for j in range(chars.shape[1] - 1, -1, -1)))
+    return FuzzyBaselineIndex(
+        np.ascontiguousarray(chars[order], dtype=np.uint16),
+        np.ascontiguousarray(lens[order], dtype=np.int32),
+        np.ascontiguousarray(ids[order], dtype=np.int32),
+    )
+
+
+def baseline_fuzzy_topk(
+    index: FuzzyBaselineIndex,
+    queries: np.ndarray,  # [nq, 32] uint16 lowercased (encode_query rows)
+    qlens: np.ndarray,  # [nq] int32
+    dists: np.ndarray,  # [nq] int32
+    offsets: np.ndarray,
+    anchors: np.ndarray,
+    scores: np.ndarray,
+    top_n: int,
+):
+    """Single-core fuzzy query loop: automaton-equivalent dictionary walk +
+    resolve + dedup-max + top_n_sort. Returns (ids [nq, top_n], scores,
+    num_hits [nq], num_matches [nq]) or None without the native library."""
+    lib = _load()
+    if lib is None or not hasattr(lib, "vbl_fuzzy_topk"):
+        return None
+    chars = index.chars
+    m, L = chars.shape
+    queries = np.ascontiguousarray(queries, dtype=np.uint16)
+    qlens = np.ascontiguousarray(qlens, dtype=np.int32)
+    dists = np.ascontiguousarray(dists, dtype=np.int32)
+    offsets = np.ascontiguousarray(offsets.astype(np.int64, copy=False))
+    anchors = np.ascontiguousarray(anchors, dtype=np.uint32)
+    scores = np.ascontiguousarray(scores, dtype=np.uint16)
+    nq = queries.shape[0]
+    out_ids = np.zeros((nq, top_n), dtype=np.uint32)
+    out_scores = np.zeros((nq, top_n), dtype=np.float32)
+    out_hits = np.zeros(nq, dtype=np.int32)
+    out_matches = np.zeros(nq, dtype=np.int32)
+    lib.vbl_fuzzy_topk(
+        chars.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)),
+        index.lens.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        index.row_tid.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        ctypes.c_int32(m),
+        ctypes.c_int32(L),
+        queries.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)),
+        qlens.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        dists.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        anchors.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+        scores.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)),
+        ctypes.c_int32(len(offsets) - 1),
+        ctypes.c_int32(nq),
+        ctypes.c_int32(top_n),
+        out_ids.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+        out_scores.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        out_hits.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        out_matches.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+    )
+    return out_ids, out_scores, out_hits, out_matches
+
+
 def doc_store_body(data: bytes, flush_threshold: int):
     """One-pass native doc-store body builder (native/baseline.cpp
     vbl_doc_store_body). Returns (body bytes, index_rows uint64 [B,3],
