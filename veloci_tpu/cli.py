@@ -9,6 +9,9 @@ Mirrors the reference's veloci_bins (veloci_bins/src/bin/):
   synthetic / gutenberg text) (create_test_index.rs:19-31)
 * ``test_large_search`` — N-doc repeat corpus smoke test
   (test_large_search.rs:23-45)
+* ``test_very_large_index`` — 40M-pair spill-writer smoke at the default
+  chunk threshold with bounded anonymous-RSS verification
+  (test_very_large_index.rs:19-31)
 
 Usage: ``python -m veloci_tpu.cli <command> [args]``.
 """
@@ -97,6 +100,81 @@ def cmd_test_large_search(args) -> None:
     )
 
 
+def cmd_test_very_large_index(args) -> None:
+    """Writer-scale smoke test (reference test_very_large_index.rs:19-31):
+    push ``--pairs`` pseudo-random (key, value) pairs through the external
+    SpillSorter at its DEFAULT chunk threshold, merge, and verify the
+    sorted stream — while asserting peak RSS stays bounded by the chunk
+    buffer, not the total pair count (the bounded-RAM claim the spill
+    machinery makes). Prints one summary line with anon_peak_mb for
+    callers to assert on (anonymous RSS — ru_maxrss would also count
+    reclaimable file-backed memmap pages and say nothing about the
+    sorter's buffers)."""
+    import resource
+
+    def _anon_mb() -> float:
+        try:
+            with open("/proc/self/status") as f:
+                for line in f:
+                    if line.startswith("RssAnon:"):
+                        return int(line.split()[1]) / 1024.0
+        except OSError:
+            pass
+        return resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1024.0
+
+    import numpy as np
+
+    from .spill import SpillSorter
+
+    pairs = args.pairs
+    chunk = args.chunk_items
+    gen_batch = 1_000_000
+    rng = np.random.default_rng(42)
+    t0 = time.time()
+    key_sum = 0  # Python int, reduced mod 2^64 (intentional wraparound)
+    anon_peak = _anon_mb()
+    with SpillSorter(**({"chunk_items": chunk} if chunk else {})) as s:
+        left = pairs
+        while left > 0:
+            n = min(gen_batch, left)
+            keys = rng.integers(0, 1 << 62, size=n, dtype=np.uint64)
+            vals = keys ^ np.uint64(0xDEADBEEF)
+            key_sum = (key_sum + int(keys.sum(dtype=np.uint64))) & 0xFFFFFFFFFFFFFFFF
+            s.add(keys, vals)
+            left -= n
+            anon_peak = max(anon_peak, _anon_mb())
+        add_s = time.time() - t0
+        t0 = time.time()
+        sk, sv = s.finish()
+        merge_s = time.time() - t0
+        anon_peak = max(anon_peak, _anon_mb())
+        # verify the merged stream block-wise (bounded RAM even here)
+        blk = 4_000_000
+        out_sum = 0
+        prev_last = None
+        count = 0
+        for base in range(0, len(sk), blk):
+            kb = np.asarray(sk[base : base + blk])
+            vb = np.asarray(sv[base : base + blk])
+            assert np.all(kb[1:] >= kb[:-1]), "merged stream not sorted"
+            if prev_last is not None:
+                assert kb[0] >= prev_last, "run boundary out of order"
+            prev_last = kb[-1]
+            assert np.all(vb == (kb ^ np.uint64(0xDEADBEEF))), "payload mismatch"
+            out_sum = (out_sum + int(kb.sum(dtype=np.uint64))) & 0xFFFFFFFFFFFFFFFF
+            count += len(kb)
+        anon_peak = max(anon_peak, _anon_mb())
+    assert count == pairs, (count, pairs)
+    assert out_sum == key_sum, "key checksum mismatch"
+    rss_mb = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1024.0
+    print(
+        f"test_very_large_index ok: pairs={pairs} add={add_s:.1f}s "
+        f"merge+verify={merge_s:.1f}s anon_peak_mb={anon_peak:.0f} "
+        f"rss_mb={rss_mb:.0f} "
+        f"pairs_per_s={pairs / max(add_s + merge_s, 1e-9):.0f}"
+    )
+
+
 def main(argv=None) -> None:
     ap = argparse.ArgumentParser(prog="veloci_tpu", description=__doc__)
     sub = ap.add_subparsers(dest="command", required=True)
@@ -124,6 +202,17 @@ def main(argv=None) -> None:
     p = sub.add_parser("test_large_search", help="repeat-corpus smoke test")
     p.add_argument("--num-docs", type=int, default=1_000_000)
     p.set_defaults(fn=cmd_test_large_search)
+
+    p = sub.add_parser(
+        "test_very_large_index",
+        help="40M-pair spill-writer smoke test (bounded-RAM external sort)",
+    )
+    p.add_argument("--pairs", type=int, default=40_000_000)
+    p.add_argument(
+        "--chunk-items", type=int, default=0,
+        help="SpillSorter chunk size (0 = the default threshold)",
+    )
+    p.set_defaults(fn=cmd_test_very_large_index)
 
     p = sub.add_parser("serve", help="start the HTTP server")
     p.add_argument("databases", nargs="*")

@@ -1048,29 +1048,7 @@ def _run_fuzzy_generic_group(
         # during pool.drain(), after the chunk loop has finished, so any
         # free-variable reference to loop-scoped state would resolve to the
         # LAST chunk's bindings and re-dispatch/emit the wrong queries
-        qc = len(chunk)
-        queries = np.zeros((qc, 32), dtype=np.uint16)
-        qlens = np.zeros(qc, dtype=np.int32)
-        dists = np.zeros(qc, dtype=np.int32)
-        fi_arr = np.zeros(qc, dtype=np.int32) if has_filter else None
-        pa_arr = (
-            np.full((qc, p_pad), num_docs, dtype=np.int32) if has_phrase else None
-        )
-        max_k = 1
-        for row, (qi, req, spec) in enumerate(chunk):
-            _field, term, distance = spec["fuzzy"]
-            q, qlen = encode_query(term)
-            queries[row] = q
-            qlens[row] = qlen
-            dists[row] = distance
-            if has_filter:
-                fi_arr[row] = fkey_slot[spec["fkey"]]
-            if has_phrase:
-                pa = spec["panchors"]
-                pa_arr[row, : len(pa)] = pa.astype(np.int32)
-            top = req.top if req.top is not None else 10
-            max_k = max(max_k, top + (req.skip or 0))
-        k_eff = min(num_docs, max_k)
+        #
         # short matrix when EVERY row in the chunk qualifies (terms longer
         # than qlen + d can't match within distance d)
         dv = dev.sweep_variant(
@@ -1080,8 +1058,40 @@ def _run_fuzzy_generic_group(
             )
         )
         chars_arg = dv.chars_t if use_banded else dv.chars
+        c0 = min(worst, fuzzy_start_capacity(persistence, field))
 
-        def attempt(capacity):
+        def dispatch(rows, capacity, first):
+            """One fused dispatch for ``rows``; overflowing rows re-dispatch
+            ALONE at their own capacity bucket (row-level, parity with the
+            plain fuzzy runner — round 3 re-ran the whole chunk, so one hot
+            row re-paid everyone's sweep). Rows pad to pow2 so retries of
+            arbitrary subset sizes reuse a handful of compile shapes."""
+            qc = len(rows)
+            q_pad = bucket_size(qc, 8)
+            queries = np.zeros((q_pad, 32), dtype=np.uint16)
+            qlens = np.zeros(q_pad, dtype=np.int32)
+            dists = np.zeros(q_pad, dtype=np.int32)
+            fi_arr = np.zeros(q_pad, dtype=np.int32) if has_filter else None
+            pa_arr = (
+                np.full((q_pad, p_pad), num_docs, dtype=np.int32)
+                if has_phrase
+                else None
+            )
+            max_k = 1
+            for row, (qi, req, spec) in enumerate(rows):
+                _field, term, distance = spec["fuzzy"]
+                q, qlen = encode_query(term)
+                queries[row] = q
+                qlens[row] = qlen
+                dists[row] = distance
+                if has_filter:
+                    fi_arr[row] = fkey_slot[spec["fkey"]]
+                if has_phrase:
+                    pa = spec["panchors"]
+                    pa_arr[row, : len(pa)] = pa.astype(np.int32)
+                top = req.top if req.top is not None else 10
+                max_k = max(max_k, top + (req.skip or 0))
+            k_eff = min(num_docs, max_k)
             out = batched_fuzzy_generic_topk(
                 chars_arg,
                 dv.lengths,
@@ -1107,39 +1117,57 @@ def _run_fuzzy_generic_group(
                 band=(2 if int(dists.max()) <= 2 else 4) if use_banded else 4,
             )
 
-            def cb(fetched):
+            def cb(fetched, rows=rows, capacity=capacity, first=first):
                 ids_b, scores_b, hits_b, totals_b, post_b, fc_b = fetched
-                need = int(post_b.max()) if len(post_b) else 0
-                if need > capacity and capacity < worst:
-                    attempt(min(worst, _cap_bucket(need)))
-                    return
-                # adapt DOWN too (at most one bucket per batch, so an
-                # oscillating workload can't thrash re-dispatch + recompile):
-                # the old high-water-mark hint pinned every later batch to
-                # the worst query ever seen
-                persistence._fuzzy_cap_hint[field] = max(
-                    bucket_size(max(need, 64)), capacity // 2
-                )
-                for row, (qi, req, _spec) in enumerate(chunk):
-                    if (
-                        int(totals_b[row]) > max_terms
-                        or int(post_b[row]) > capacity
-                    ):
-                        # selection window clipped / posting total past the
-                        # sort cap — per-request path decides (dense plane)
+                if first and len(rows):
+                    # sticky capacity hint tracks the workload's p75 (bounded
+                    # one bucket move per batch) — a high-water mark pinned
+                    # every later batch to the worst query ever seen
+                    p75 = bucket_size(
+                        max(int(np.percentile(post_b[: len(rows)], 75)), 64)
+                    )
+                    if p75 > capacity:
+                        persistence._fuzzy_cap_hint[field] = min(
+                            worst, capacity * 2
+                        )
+                    elif p75 < capacity:
+                        persistence._fuzzy_cap_hint[field] = max(
+                            64, capacity // 2
+                        )
+                nxt: dict = {}
+                for row, (qi, req, spec) in enumerate(rows):
+                    need = int(post_b[row])
+                    if int(totals_b[row]) > max_terms:
+                        # selection window clipped — per-request path decides
                         if fallback is not None:
                             fallback(qi, req)
                         continue
-                    facets = (
-                        _facets_of(persistence, req, facet_fields, fc_b, row)
-                        if facet_fields
-                        else None
-                    )
-                    emit(qi, req, ids_b[row], scores_b[row], hits_b[row], facets)
+                    if need <= capacity:
+                        facets = (
+                            _facets_of(
+                                persistence, req, facet_fields, fc_b, row
+                            )
+                            if facet_fields
+                            else None
+                        )
+                        emit(
+                            qi, req, ids_b[row], scores_b[row], hits_b[row],
+                            facets,
+                        )
+                    elif capacity >= worst:
+                        # posting total past the sort cap: dense plane
+                        if fallback is not None:
+                            fallback(qi, req)
+                    else:
+                        nxt.setdefault(
+                            min(worst, _cap_bucket(need)), []
+                        ).append((qi, req, spec))
+                for cap2, rows2 in sorted(nxt.items()):
+                    dispatch(rows2, cap2, False)
 
             pool.add(out, cb)
 
-        attempt(min(worst, fuzzy_start_capacity(persistence, field)))
+        dispatch(chunk, c0, True)
 
     for base in range(0, len(entries), chunk_q):
         process_chunk(entries[base : base + chunk_q])
