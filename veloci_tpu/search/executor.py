@@ -963,14 +963,132 @@ def search_to_result_with_doc(
     )
 
 
+def _suggest_fast(persistence, request: Request):
+    """Vectorised suggest for the canonical shape (every part: one term,
+    starts_with, lev 0 after the length cap, ignore_case, no
+    regex/snippet/token_value/options/part-level windowing) — the entire
+    per-field select runs as a handful of numpy ops on the prefix range.
+
+    Key observation: in the prefix path the score is a monotone-decreasing
+    function of candidate LENGTH alone (distance = len - |prefix|,
+    get_default_score_for_distance with the prefix branch), so the
+    comparator (score desc, text desc) = (length asc, text desc) and the
+    per-part top-K can be selected positionally in the lowercase-sorted
+    slice without materialising any strings beyond the K winners. Per-part
+    top-K is sufficient for the cross-part merged top-K (an element of the
+    merged top-K must rank <= K in its best part). Ties and case-fold
+    duplicates reproduce `suggest` exactly: equal-lowercase ids keep the
+    smallest id (ascending iteration, strictly-greater replacement), and
+    across parts the earlier part wins equal scores.
+
+    Returns None when any part doesn't fit the shape (caller falls back).
+    """
+    if request.top is None:
+        return None
+    skip = request.skip or 0
+    need = request.top + skip
+    if need <= 0:
+        return []
+    from ..create import TEXTINDEX
+
+    per_part: list = []
+    for part in request.suggest:
+        d = part.levenshtein_distance
+        if d:
+            d = min(d, max(len(part.terms[0].lower()) - 1, 0))
+        if (
+            len(part.terms) != 1
+            or not part.starts_with
+            or d
+            or part.is_regex
+            or part.snippet
+            or (part.options or None)
+            or part.token_value is not None
+            or part.top is not None
+            or part.skip is not None
+            or part.ignore_case is False
+        ):
+            return None
+        field = part.path
+        if field.endswith(TEXTINDEX):
+            field = field[: -len(TEXTINDEX)]
+        try:
+            dictionary = persistence.get_dictionary(field)
+        except Exception:
+            return None
+        prefix = part.terms[0].lower()
+        import bisect as _bisect
+
+        arr = dictionary._lower_sorted
+        i = _bisect.bisect_left(arr, prefix)
+        j = _bisect.bisect_right(arr, prefix + "\U0010FFFF", lo=i)
+        if j <= i:
+            continue
+        perm = dictionary.lower_perm_np[i:j]
+        lens = dictionary.char_lengths()[perm]
+        # (length asc, slice-position desc) == (score desc, text desc);
+        # equal-lowercase duplicates are adjacent in the slice and stay
+        # adjacent after the stable length sort
+        pos = np.arange(len(perm))
+        order = np.lexsort((-pos, lens))
+        boost = np.float32(part.boost) if part.boost is not None else None
+        sel: list = []  # (lower_term, score, tid) text-desc within length
+        kept = 0
+        prev_txt = None
+        for oi in order:
+            txt = arr[i + int(oi)]
+            if prev_txt is not None and txt == prev_txt:
+                # equal lowercase: keep the SMALLEST id (ascending-id
+                # iteration with strictly-greater replacement in `suggest`)
+                last = sel[-1]
+                tid = int(perm[oi])
+                if tid < last[2]:
+                    sel[-1] = (last[0], last[1], tid)
+                continue
+            if kept >= need:
+                break  # fresh text past the window: done (dups absorbed)
+            dist = np.float32(int(lens[oi]) - len(prefix))
+            score = np.float32(2.0) / (
+                np.log2(dist + np.float32(1.0)) + np.float32(0.2)
+            )
+            if boost is not None:
+                score = np.float32(score * boost)
+            sel.append((txt, float(score), int(perm[oi])))
+            prev_txt = txt
+            kept += 1
+        per_part.append(sel)
+
+    merged: Dict[str, Tuple[float, int]] = {}
+    for sel in per_part:
+        for term, score, tid in sel:
+            prev = merged.get(term)
+            if prev is None or score > prev[0]:
+                merged[term] = (score, tid)
+    out = [(term, score, tid) for term, (score, tid) in merged.items()]
+    out.sort(key=lambda el: el[0], reverse=True)
+    out.sort(key=lambda el: -el[1])
+    return out[skip : skip + request.top]
+
+
+def suggest_batch(persistence, requests: List[Request]):
+    """A batch of suggest requests (the server's fold dispatcher and the
+    bench concurrency smoke): each rides the vectorised fast path when its
+    shape allows, the reference-faithful path otherwise."""
+    return [suggest(persistence, r) for r in requests]
+
+
 def suggest(persistence, request: Request):
     """Reference search_field::suggest_multi (search_field.rs:194-219).
 
-    Per-field term sweeps fan out over a thread pool (the reference's rayon
-    par_iter; numpy / device dispatch release the GIL) and merge on the
-    host."""
+    The canonical prefix shape runs the vectorised fast path
+    (:func:`_suggest_fast`); anything else fans per-field term sweeps over
+    a thread pool (the reference's rayon par_iter; numpy / device dispatch
+    release the GIL) and merges on the host."""
     if not request.suggest:
         raise VelociError("only suggest allowed in suggest function")
+    fast = _suggest_fast(persistence, request)
+    if fast is not None:
+        return fast
 
     def one(part):
         return get_term_ids_in_field(

@@ -176,18 +176,20 @@ _fold_lock = threading.Lock()
 
 
 class _FoldItem:
-    __slots__ = ("pers", "request", "event", "result", "error")
+    __slots__ = ("pers", "request", "event", "result", "error", "kind")
 
-    def __init__(self, pers, request):
+    def __init__(self, pers, request, kind="search"):
         self.pers = pers
         self.request = request
         self.event = threading.Event()
         self.result = None
         self.error = None
+        self.kind = kind
 
 
 def _fold_loop() -> None:  # pragma: no cover - exercised via threads in tests
     from .search.batch import search_batch
+    from .search.executor import suggest_batch
     from .search.stats import count_path
 
     while True:
@@ -198,15 +200,19 @@ def _fold_loop() -> None:  # pragma: no cover - exercised via threads in tests
                 batch.append(_fold_queue.get_nowait())
             except _queue.Empty:
                 break
-        by_pers: Dict[int, tuple] = {}
+        by_pers: Dict[tuple, tuple] = {}
         for it in batch:
-            by_pers.setdefault(id(it.pers), (it.pers, []))[1].append(it)
+            by_pers.setdefault((id(it.pers), it.kind), (it.pers, []))[1].append(it)
         count_path("fold_dispatches")
         if len(batch) > 1:
             count_path("fold_folded_requests", len(batch))
-        for pers, items in by_pers.values():
+        for (_pid, kind), (pers, items) in by_pers.items():
             try:
-                if len(items) == 1:
+                if kind == "suggest":
+                    res = suggest_batch(pers, [it.request for it in items])
+                    for it, r in zip(items, res):
+                        it.result = r
+                elif len(items) == 1:
                     items[0].result = search(items[0].request, pers)
                 else:
                     res = search_batch([it.request for it in items], pers)
@@ -220,9 +226,7 @@ def _fold_loop() -> None:  # pragma: no cover - exercised via threads in tests
                 it.event.set()
 
 
-def _folded_search(pers, request: Request):
-    if not _FOLD_ENABLED:
-        return search(request, pers)
+def _folded(pers, request: Request, kind: str):
     global _fold_queue, _fold_thread
     if _fold_thread is None:
         with _fold_lock:
@@ -233,12 +237,26 @@ def _folded_search(pers, request: Request):
                 )
                 t.start()
                 _fold_thread = t
-    item = _FoldItem(pers, request)
+    item = _FoldItem(pers, request, kind)
     _fold_queue.put(item)
     item.event.wait()
     if item.error is not None:
         raise item.error
     return item.result
+
+
+def _folded_search(pers, request: Request):
+    if not _FOLD_ENABLED:
+        return search(request, pers)
+    return _folded(pers, request, "search")
+
+
+def _folded_suggest(pers, request: Request):
+    """Concurrent suggest requests fold like search does (VERDICT r3 #8):
+    queued items drain into ONE suggest_batch per dispatch round."""
+    if not _FOLD_ENABLED:
+        return suggest(pers, request)
+    return _folded(pers, request, "suggest")
 
 
 def _search_result_json(pers, request: Request) -> dict:
@@ -304,7 +322,7 @@ class _Handler(BaseHTTPRequestHandler):
                     if qs.get("levenshtein_auto_limit")
                     else None,
                 )
-                self._reply(suggest(pers, request))
+                self._reply(_folded_suggest(pers, request))
                 return
             if len(parts) == 3 and parts[1] == "_id":
                 pers = ensure_database(urllib.parse.unquote(parts[0]))
@@ -369,7 +387,7 @@ class _Handler(BaseHTTPRequestHandler):
                     return
                 if route == "suggest":
                     request = Request.from_dict(body)
-                    self._reply(suggest(pers, request))
+                    self._reply(_folded_suggest(pers, request))
                     return
                 if route == "highlight":
                     part = RequestSearchPart.from_dict(body)
