@@ -528,3 +528,221 @@ def test_all_runner_types_share_one_batch(pers, monkeypatch):
         },
     ]
     _assert_parity(monkeypatch, pers, dicts)
+
+
+# ---------------------------------------------------------------------------
+# Deep trees (VERDICT r3 #5): OR-of-ANDs and depth-3 shapes through the deep
+# tree kernel (tree_candidates_deep) — raw Request JSON surface, zero
+# per-request fallbacks.
+
+DEEP_TREE_REQUESTS = [
+    # OR of ANDs (the shape the 2-level kernel rejects)
+    {
+        "search_req": {
+            "or": {
+                "queries": [
+                    {"and": {"queries": [
+                        {"search": {"terms": ["majestät"], "path": "meanings.ger[]"}},
+                        {"search": {"terms": ["anblick"], "path": "meanings.ger[]"}},
+                    ]}},
+                    {"and": {"queries": [
+                        {"search": {"terms": ["urkunde"], "path": "meanings.ger[]"}},
+                        {"search": {"terms": ["urge"], "path": "meanings.eng[]"}},
+                    ]}},
+                ]
+            }
+        },
+        "top": 10,
+    },
+    # mixed OR(leaf, AND(...)) — leaf rides as a singleton subtree
+    {
+        "search_req": {
+            "or": {
+                "queries": [
+                    {"search": {"terms": ["aussehen"], "path": "meanings.ger[]"}},
+                    {"and": {"queries": [
+                        {"search": {"terms": ["majestät"], "path": "meanings.ger[]"}},
+                        {"search": {"terms": ["anblick"], "path": "meanings.ger[]"}},
+                    ]}},
+                ]
+            }
+        },
+        "top": 10,
+    },
+    # depth 3: OR( AND( leaf, OR(leaves) ), leaf )
+    {
+        "search_req": {
+            "or": {
+                "queries": [
+                    {"and": {"queries": [
+                        {"search": {"terms": ["majestät"], "path": "meanings.ger[]"}},
+                        {"or": {"queries": [
+                            {"search": {"terms": ["anblick"], "path": "meanings.ger[]"}},
+                            {"search": {"terms": ["aussehen"], "path": "meanings.ger[]"}},
+                        ]}},
+                    ]}},
+                    {"search": {"terms": ["urkunde"], "path": "meanings.ger[]"}},
+                ]
+            }
+        },
+        "top": 10,
+    },
+    # same representative term on two sibling subtrees (executor unions by
+    # repr term with MAX across them — stage 4 of the deep kernel)
+    {
+        "search_req": {
+            "or": {
+                "queries": [
+                    {"and": {"queries": [
+                        {"search": {"terms": ["majestät"], "path": "meanings.ger[]"}},
+                        {"search": {"terms": ["anblick"], "path": "meanings.ger[]"}},
+                    ]}},
+                    {"and": {"queries": [
+                        {"search": {"terms": ["majestät"], "path": "meanings.ger[]"}},
+                        {"search": {"terms": ["aussehen"], "path": "meanings.ger[]"}},
+                    ]}},
+                ]
+            }
+        },
+        "top": 10,
+    },
+    # fuzzy + prefix leaves inside a deep tree
+    {
+        "search_req": {
+            "or": {
+                "queries": [
+                    {"and": {"queries": [
+                        {"search": {"terms": ["majestat"], "path": "meanings.ger[]",
+                                    "levenshtein_distance": 1}},
+                        {"or": {"queries": [
+                            {"search": {"terms": ["anbl"], "path": "meanings.ger[]",
+                                        "starts_with": True}},
+                            {"search": {"terms": ["ausseh"], "path": "meanings.ger[]",
+                                        "starts_with": True}},
+                        ]}},
+                    ]}},
+                    {"and": {"queries": [
+                        {"search": {"terms": ["urkunde"], "path": "meanings.ger[]"}},
+                        {"search": {"terms": ["urge"], "path": "meanings.eng[]"}},
+                    ]}},
+                ]
+            }
+        },
+        "top": 10,
+    },
+    # redundant nesting must normalize (OR(OR(AND(AND))) etc.)
+    {
+        "search_req": {
+            "or": {
+                "queries": [
+                    {"or": {"queries": [
+                        {"and": {"queries": [
+                            {"and": {"queries": [
+                                {"search": {"terms": ["majestät"], "path": "meanings.ger[]"}},
+                                {"search": {"terms": ["anblick"], "path": "meanings.ger[]"}},
+                            ]}},
+                        ]}},
+                    ]}},
+                    {"search": {"terms": ["urkunde"], "path": "meanings.ger[]"}},
+                ]
+            }
+        },
+        "top": 10,
+    },
+]
+
+
+def test_deep_trees_batch_with_parity(pers, monkeypatch):
+    from veloci_tpu.search import stats as stats_mod
+
+    monkeypatch.setattr(batch_mod, "SMALL_DOCS", 1)
+    monkeypatch.setattr(ex_mod, "SMALL_DOCS", 1)
+    stats_mod.reset()
+    batch_mod.search_batch(
+        [Request.from_dict(d) for d in DEEP_TREE_REQUESTS], pers
+    )
+    snap = stats_mod.snapshot()  # BEFORE the host oracle runs (it counts too)
+    assert snap["paths"].get("per_request_fallback", 0) == 0, snap
+    assert snap["paths"].get("batched_tree_deep", 0) >= len(DEEP_TREE_REQUESTS) - 1, snap
+    _assert_parity(monkeypatch, pers, DEEP_TREE_REQUESTS)
+
+
+def test_deep_tree_with_extras_batches(pers, monkeypatch):
+    """Deep tree + filter + boost column + facet rides the treedeep generic
+    signature (one fused program, no fallback)."""
+    from veloci_tpu.search import stats as stats_mod
+
+    req = {
+        "search_req": DEEP_TREE_REQUESTS[0]["search_req"],
+        "filter": {"search": {"terms": ["common"], "path": "tags[]"}},
+        "boost": [{"path": "commonness", "boost_fun": "Log10", "param": 1}],
+        "facets": [{"field": "commonness"}],
+        "top": 10,
+    }
+    monkeypatch.setattr(batch_mod, "SMALL_DOCS", 1)
+    monkeypatch.setattr(ex_mod, "SMALL_DOCS", 1)
+    stats_mod.reset()
+    batch_mod.search_batch([Request.from_dict(req)], pers)
+    snap = stats_mod.snapshot()
+    assert snap["paths"].get("per_request_fallback", 0) == 0, snap
+    assert snap["paths"].get("batched_generic", 0) == 1, snap
+    _assert_parity(monkeypatch, pers, [req])
+
+
+def test_deep_trees_randomized_battery(pers, monkeypatch):
+    """Randomized deep trees from the supported grammar (raw Request JSON):
+    every one batches (0 per-request fallbacks) and matches the host
+    executor."""
+    import numpy as np
+
+    from veloci_tpu.search import stats as stats_mod
+
+    rng = np.random.default_rng(23)
+    ger = pers.get_dictionary("meanings.ger[]")
+    eng = pers.get_dictionary("meanings.eng[]")
+    vocab = [
+        (t, "meanings.ger[]") for t in ger.terms if 3 <= len(t) <= 12
+    ][:40] + [
+        (t, "meanings.eng[]") for t in eng.terms if 3 <= len(t) <= 12
+    ][:40]
+
+    def leaf():
+        term, path = vocab[int(rng.integers(0, len(vocab)))]
+        kind = rng.random()
+        if kind < 0.2 and len(term) > 4:
+            return {"search": {"terms": [term[:-1] + "x"], "path": path,
+                               "levenshtein_distance": 1}}
+        if kind < 0.35:
+            return {"search": {"terms": [term[:4]], "path": path,
+                               "starts_with": True}}
+        if kind < 0.45:
+            return {"search": {"terms": ["zzz_miss"], "path": path}}
+        return {"search": {"terms": [term], "path": path}}
+
+    def subtree():
+        if rng.random() < 0.3:
+            return leaf()
+        children = []
+        for _ in range(int(rng.integers(2, 4))):
+            if rng.random() < 0.3:
+                children.append(
+                    {"or": {"queries": [leaf() for _ in range(int(rng.integers(2, 4)))]}}
+                )
+            else:
+                children.append(leaf())
+        return {"and": {"queries": children}}
+
+    reqs = []
+    for _ in range(24):
+        children = [subtree() for _ in range(int(rng.integers(2, 5)))]
+        if all("and" not in c for c in children):
+            children.append(subtree())
+        reqs.append({"search_req": {"or": {"queries": children}}, "top": 10})
+
+    monkeypatch.setattr(batch_mod, "SMALL_DOCS", 1)
+    monkeypatch.setattr(ex_mod, "SMALL_DOCS", 1)
+    stats_mod.reset()
+    batch_mod.search_batch([Request.from_dict(d) for d in reqs], pers)
+    snap = stats_mod.snapshot()
+    assert snap["paths"].get("per_request_fallback", 0) == 0, snap
+    _assert_parity(monkeypatch, pers, reqs)

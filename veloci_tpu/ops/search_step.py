@@ -115,7 +115,7 @@ def batched_single_term_topk(
 
 def _gather_postings(offsets, anchors, scores01, term_ids, term_scores,
                      capacity, num_docs, win=None, term_slots=None,
-                     packed=None):
+                     packed=None, term_ngs=None):
     """Concatenate the selected terms' posting runs into static [capacity]
     arrays (+ the matching term-slot segment vector).
 
@@ -170,6 +170,14 @@ def _gather_postings(offsets, anchors, scores01, term_ids, term_scores,
             a = jnp.where(in_range, anchors[src], num_docs)
             s = jnp.where(in_range, scores01[src] * tsc_fill, -jnp.inf)
         slot_fill = jnp.where(in_range, slot_fill, slots[t_pad - 1])
+        if term_ngs is not None:
+            # per-row AND-gate count for the deep tree kernel: every posting
+            # row carries its subtree's group count (tree_candidates_deep)
+            ng_fill = fill_segments_f32(
+                term_ngs.astype(jnp.float32), out_starts_ex, capacity
+            )
+            ng_fill = jnp.where(in_range, ng_fill, term_ngs[t_pad - 1])
+            return a, s, slot_fill, ng_fill
         return a, s, slot_fill
     buf_a = jnp.full((capacity + win,), num_docs, dtype=jnp.int32)
     buf_s = jnp.full((capacity + win,), -jnp.inf, dtype=jnp.float32)

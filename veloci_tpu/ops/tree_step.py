@@ -57,9 +57,26 @@ import jax.numpy as jnp
 from .search_step import _gather_postings
 from .topk import topk_positions
 
-__all__ = ["batched_tree_topk", "tree_candidates", "GROUP_SHIFT"]
+__all__ = [
+    "batched_tree_topk",
+    "tree_candidates",
+    "tree_candidates_deep",
+    "GROUP_SHIFT",
+    "DEEP_GROUP_SHIFT",
+    "DEEP_SUB_SHIFT",
+    "DEEP_TERM_SHIFT",
+]
 
 GROUP_SHIFT = 8  # slot = group << 8 | slot_in_group; <= 256 slots per group
+# deep (3-alternation) encoding, still one i32 below the phrase sentinel:
+# slot = term_slot << 19 | subtree << 14 | group << 8 | slot_in
+#   term_slot: distinct top-level repr terms (<= 32)
+#   subtree:   same-term sibling subtrees under the top OR (<= 32)
+#   group:     AND children within a subtree (<= 64)
+#   slot_in:   distinct term strings within a leaf-OR group (<= 256)
+DEEP_GROUP_SHIFT = 8
+DEEP_SUB_SHIFT = 14
+DEEP_TERM_SHIFT = 19
 _PHRASE_SLOT = 1 << 24  # sorts before every real slot (slot desc order)
 _EPS = jnp.float32(1e-5)
 _HIT_EPS = jnp.float32(1e-30)
@@ -147,6 +164,109 @@ def tree_candidates(
     return a_s, final
 
 
+def _seg_scan_max(values, resets):
+    """Inclusive segmented max (identity 0 — tree scores are >= 0)."""
+
+    def comb(x, y):
+        fx, vx = x
+        fy, vy = y
+        return fx | fy, jnp.maximum(vy, jnp.where(fy, jnp.zeros_like(vx), vx))
+
+    _f, v = jax.lax.associative_scan(comb, (resets, values))
+    return v
+
+
+def tree_candidates_deep(
+    a: jax.Array,  # [cap] int32 anchors (pad -> num_docs)
+    s: jax.Array,  # [cap] f32 scores (pad -> -inf)
+    slot: jax.Array,  # [cap] int32 deep-packed (see DEEP_* shifts)
+    ng: jax.Array,  # [cap] f32 — the row's SUBTREE group count (AND gate)
+    num_docs: int,
+    phrase_count: Optional[jax.Array] = None,
+):
+    """Three-alternation tree evaluation (VERDICT r3 #5): the host
+    executor's recursive composition (_eval_scores) as two more segmented
+    stages over the same single sort.
+
+    Per anchor:  OR( AND( OR(leaves) ... ) ... ) =
+      stage 1  per (anchor, ..., slot): dedup-max            (resolve)
+      stage 2  per (..., group): sum of slot maxima x distinct^2   (union)
+      stage 3  per (..., subtree): sum over groups, gated on ALL ``ng``
+               groups hitting                                (intersect)
+      stage 4  per (anchor, term): MAX over same-repr-term subtrees —
+               the executor unions children grouped by representative
+               term (executor.py OR: max per distinct term)
+      stage 5  per anchor: sum of term maxima x distinct^2        (union)
+    """
+    neg_a = (-1 - a).astype(jnp.int32)
+    neg_slot = (-1 - slot).astype(jnp.int32)
+    neg_s = -s
+    if phrase_count is None:
+        neg_a, neg_slot, neg_s, ng_s = jax.lax.sort(
+            (neg_a, neg_slot, neg_s, ng), num_keys=3
+        )
+        pcnt_in = None
+    else:
+        neg_a, neg_slot, neg_s, ng_s, pcnt_in = jax.lax.sort(
+            (neg_a, neg_slot, neg_s, ng, phrase_count), num_keys=3
+        )
+    a_s = (-1 - neg_a).astype(jnp.int32)
+    slot_s = (-1 - neg_slot).astype(jnp.int32)
+    s_s = -neg_s
+    term_s = slot_s >> DEEP_TERM_SHIFT
+    sub_s = slot_s >> DEEP_SUB_SHIFT
+    group_s = slot_s >> DEEP_GROUP_SHIFT
+
+    true1 = jnp.ones(1, dtype=bool)
+    new_anchor = jnp.concatenate([true1, a_s[1:] != a_s[:-1]])
+    new_term = new_anchor | jnp.concatenate([true1, term_s[1:] != term_s[:-1]])
+    new_sub = new_term | jnp.concatenate([true1, sub_s[1:] != sub_s[:-1]])
+    new_group = new_sub | jnp.concatenate([true1, group_s[1:] != group_s[:-1]])
+    new_slot = new_group | jnp.concatenate([true1, slot_s[1:] != slot_s[:-1]])
+
+    # stage 1: per-slot max = first row of its run (score desc)
+    slot_max = jnp.where(new_slot, s_s, jnp.float32(0.0))
+    slot_hit = (new_slot & (s_s >= _EPS)).astype(jnp.float32)
+
+    # stage 2: union within each leaf-OR group
+    sum2 = _seg_scan(slot_max, new_group)
+    cnt2 = _seg_scan(slot_hit, new_group)
+    is_g_end = jnp.concatenate([new_group[1:], true1])
+    group_score = jnp.where(cnt2 > 0, sum2 * cnt2 * cnt2, jnp.float32(0.0))
+
+    # stage 3: AND over groups within a subtree, gated on ALL ng present
+    contrib3 = jnp.where(is_g_end, group_score, jnp.float32(0.0))
+    ghit3 = jnp.where(
+        is_g_end & (group_score > 0), jnp.float32(1.0), jnp.float32(0.0)
+    )
+    sum3 = _seg_scan(contrib3, new_sub)
+    cnt3 = _seg_scan(ghit3, new_sub)
+    is_s_end = jnp.concatenate([new_sub[1:], true1])
+    sub_score = jnp.where(cnt3 >= ng_s, sum3, jnp.float32(0.0))
+
+    # stage 4: max over same-term subtrees
+    contrib4 = jnp.where(is_s_end, sub_score, jnp.float32(0.0))
+    term_max = _seg_scan_max(contrib4, new_term)
+    is_t_end = jnp.concatenate([new_term[1:], true1])
+
+    # stage 5: union over distinct terms per anchor
+    contrib5 = jnp.where(is_t_end, term_max, jnp.float32(0.0))
+    thit5 = jnp.where(
+        is_t_end & (term_max >= _EPS), jnp.float32(1.0), jnp.float32(0.0)
+    )
+    sum5 = _seg_scan(contrib5, new_anchor)
+    cnt5 = _seg_scan(thit5, new_anchor)
+    is_a_end = jnp.concatenate([new_anchor[1:], true1])
+    final = sum5 * cnt5 * cnt5
+    if pcnt_in is not None:
+        pc = _seg_scan(pcnt_in, new_anchor)
+        final = final * jnp.power(jnp.float32(5.0), pc)
+    final = jnp.where(
+        is_a_end & (a_s >= 0) & (a_s < num_docs), final, jnp.float32(0.0)
+    )
+    return a_s, final
+
+
 def candidates_topk(a_s: jax.Array, final: jax.Array, k: int):
     """Exact (score desc, id desc) top-k over candidate positions.
 
@@ -195,7 +315,9 @@ def _apply_boost_gathered(final, a_s, pre):
 
 @partial(
     jax.jit,
-    static_argnames=("capacity", "num_docs", "k", "boost_specs", "has_phrase"),
+    static_argnames=(
+        "capacity", "num_docs", "k", "boost_specs", "has_phrase", "deep",
+    ),
 )
 def batched_tree_topk(
     offsets: jax.Array,  # [num_keys + 2] int32 (combined-field CSR)
@@ -216,6 +338,8 @@ def batched_tree_topk(
     boost_specs: Tuple = (),
     has_phrase: bool = False,
     packed: Optional[jax.Array] = None,  # [nnz_pad, 2] i32 interleaved rows
+    deep: bool = False,
+    term_ngs: Optional[jax.Array] = None,  # [Q, T_pad] i32 subtree AND gates
 ):
     """A batch of tree queries -> (ids [Q,k], scores [Q,k], num_hits [Q],
     facet_counts tuple of [Q, G_i] i32) — ONE program, cost O(capacity),
@@ -224,6 +348,11 @@ def batched_tree_topk(
     Order of operations matches `search()` (search.rs:143-228): tree ->
     filter -> boost columns (request order) -> phrase 5^g factors -> facet
     counts over the final hit set -> exact top-k.
+
+    ``deep=True`` switches to the three-alternation evaluator
+    (`tree_candidates_deep`): term_slots carry the deep packing, each term's
+    ``term_ngs`` is its subtree's AND-gate group count, and ``num_groups``
+    is ignored. A separate compile — the hot two-level shapes pay nothing.
     """
     from .generic_step import _precompute_boost
 
@@ -232,11 +361,18 @@ def batched_tree_topk(
         for (bv, pres, expr_add), spec in zip(boost_arrays, boost_specs)
     )
 
-    def one(tids, tscs, tslots, ng, fidx, panch):
-        a, s, slot = _gather_postings(
-            offsets, anchors, scores01, tids, tscs, capacity, num_docs,
-            term_slots=tslots, packed=packed,
-        )
+    def one(tids, tscs, tslots, ng, tngs, fidx, panch):
+        if deep:
+            a, s, slot, ng_row = _gather_postings(
+                offsets, anchors, scores01, tids, tscs, capacity, num_docs,
+                term_slots=tslots, packed=packed, term_ngs=tngs,
+            )
+        else:
+            a, s, slot = _gather_postings(
+                offsets, anchors, scores01, tids, tscs, capacity, num_docs,
+                term_slots=tslots, packed=packed,
+            )
+            ng_row = None
         pcnt = None
         if panch is not None:
             # phrase anchors ride the same sort as pseudo-entries
@@ -246,13 +382,23 @@ def batched_tree_topk(
             slot = jnp.concatenate(
                 [slot, jnp.full((p,), _PHRASE_SLOT, jnp.int32)]
             )
+            if deep:
+                # sentinel gate: the phrase pseudo-subtree can never pass
+                ng_row = jnp.concatenate(
+                    [ng_row, jnp.full((p,), 1e9, jnp.float32)]
+                )
             pcnt = jnp.concatenate(
                 [
                     jnp.zeros(a.shape[0] - p, jnp.float32),
                     jnp.where(panch < num_docs, 1.0, 0.0).astype(jnp.float32),
                 ]
             )
-        a_s, final = tree_candidates(a, s, slot, num_docs, ng, pcnt)
+        if deep:
+            a_s, final = tree_candidates_deep(
+                a, s, slot, ng_row, num_docs, pcnt
+            )
+        else:
+            a_s, final = tree_candidates(a, s, slot, num_docs, ng, pcnt)
         if fidx is not None:
             safe = jnp.clip(a_s, 0, num_docs - 1)
             final = jnp.where(filter_masks[fidx][safe], final, 0.0)
@@ -279,10 +425,11 @@ def batched_tree_topk(
 
     in_axes = (
         0, 0, 0, 0,
+        0 if term_ngs is not None else None,
         0 if filter_idx is not None else None,
         0 if phrase_anchors is not None else None,
     )
     return jax.vmap(one, in_axes=in_axes)(
-        term_ids, term_scores, term_slots, num_groups, filter_idx,
+        term_ids, term_scores, term_slots, num_groups, term_ngs, filter_idx,
         phrase_anchors,
     )

@@ -165,6 +165,126 @@ def _tree_spec(persistence, comb, node):
     return gtids, len(groups)
 
 
+def _normalize_node(node):
+    """Flatten same-kind nesting and collapse single-child nodes — the host
+    executor short-circuits ``len(children) == 1`` and the reference's
+    `simplify()` flattens AND/OR (search_request.rs:8-72), so shapes that
+    differ only by redundant nesting must map to the same spec."""
+    if node is None or node.kind == SearchRequest.SEARCH:
+        return node
+    children = []
+    for q in node.queries:
+        qn = _normalize_node(q)
+        if qn is None:
+            continue
+        if qn.kind == node.kind and not qn.options:
+            children.extend(qn.queries)
+        else:
+            children.append(qn)
+    if len(children) == 1 and not node.options:
+        return children[0]
+    return SearchRequest(node.kind, queries=children, options=node.options)
+
+
+def _node_deep(node):
+    """Deep-tree canonical form: ``OR( leaf | AND( leaf | OR(leaves) ) )``
+    -> [(repr_term, groups)] per subtree, or None. This is the
+    3-alternation surface (OR-of-ANDs, depth-3 trees) the 2-level kernel
+    rejects; anything deeper (4+ alternations) stays per-request.
+
+    ``repr_term`` is the subtree's LEFTMOST leaf term — the host executor's
+    OR unions children grouped by their representative term
+    (executor._eval_scores: children[0][1] propagates up)."""
+    node = _normalize_node(node)
+    if node is None or node.kind != SearchRequest.OR or node.options:
+        return None
+    if all(q.kind == SearchRequest.SEARCH for q in node.queries):
+        return None  # flat OR: 2-level kernel territory
+    supers = []
+    for q in node.queries:
+        if q.kind == SearchRequest.SEARCH:
+            if not _leaf_ok(q.part):
+                return None
+            supers.append((q.part.terms[0], [[q.part]]))
+            continue
+        if q.kind != SearchRequest.AND or q.options:
+            return None
+        groups = []
+        for c in q.queries:
+            if c.kind == SearchRequest.SEARCH:
+                if not _leaf_ok(c.part):
+                    return None
+                groups.append([c.part])
+            elif (
+                c.kind == SearchRequest.OR
+                and not c.options
+                and all(x.kind == SearchRequest.SEARCH for x in c.queries)
+            ):
+                parts = [x.part for x in c.queries]
+                if not all(_leaf_ok(p) for p in parts):
+                    return None
+                groups.append(parts)
+            else:
+                return None
+        first = q.queries[0]
+        repr_term = (
+            first.part.terms[0]
+            if first.kind == SearchRequest.SEARCH
+            else first.queries[0].part.terms[0]
+        )
+        supers.append((repr_term, groups))
+    return supers
+
+
+def _tree_spec_deep(persistence, comb, node):
+    """Deep tree -> gtids [(global_tid, score, deep_packed_slot, ng)] or
+    None. ``ng`` is the term's subtree group count (the AND gate
+    tree_candidates_deep checks); encoding bounds per DEEP_* shifts."""
+    from ..ops.tree_step import (
+        DEEP_GROUP_SHIFT,
+        DEEP_SUB_SHIFT,
+        DEEP_TERM_SHIFT,
+    )
+
+    supers = _node_deep(node)
+    if supers is None:
+        return None
+    terms_sorted = sorted({t for t, _g in supers})
+    if len(terms_sorted) > (1 << (24 - DEEP_TERM_SHIFT)):
+        return None
+    term_slot = {t: i for i, t in enumerate(terms_sorted)}
+    sub_count: dict = {}
+    gtids = []
+    for repr_term, groups in supers:
+        ts = term_slot[repr_term]
+        sub = sub_count.get(ts, 0)
+        sub_count[ts] = sub + 1
+        if sub >= (1 << (DEEP_TERM_SHIFT - DEEP_SUB_SHIFT)) or len(groups) > (
+            1 << (DEEP_SUB_SHIFT - DEEP_GROUP_SHIFT)
+        ):
+            return None
+        ng = len(groups)
+        for gi, parts in enumerate(groups):
+            term_strings = sorted({p.terms[0] for p in parts})
+            if len(term_strings) > (1 << DEEP_GROUP_SHIFT):
+                return None
+            slots = {t: i for i, t in enumerate(term_strings)}
+            for p in parts:
+                packed = (
+                    (ts << DEEP_TERM_SHIFT)
+                    | (sub << DEEP_SUB_SHIFT)
+                    | (gi << DEEP_GROUP_SHIFT)
+                    | slots[p.terms[0]]
+                )
+                g = _leaf_gtids(persistence, comb, p, packed)
+                if g is None:
+                    return None
+                gtids.extend((gid, sc, sl, ng) for gid, sc, sl in g)
+    if len(gtids) > _MAX_QUERY_TERMS:
+        return None
+    return gtids
+
+
 def _walk_fuzzy_specs(persistence, node, out) -> None:
     if node is None:
         return
@@ -379,6 +499,7 @@ def _generic_eligible(
         return None  # plain trees belong to the leaner exact/fuzzy kernels
     fuzzy = None
     num_groups = 1
+    deep = False
     if flat:
         tree = _tree_spec_flat(persistence, comb, request.search_req)
         if tree is not None:
@@ -399,10 +520,16 @@ def _generic_eligible(
         if tree is not None:
             gtids, num_groups = tree
         else:
-            fuzzy = _fuzzy_fast_eligible(request, persistence, allow_extras=True)
-            if fuzzy is None:
-                return None
-            gtids = []
+            dtree = _tree_spec_deep(persistence, comb, request.search_req)
+            if dtree is not None:
+                gtids, deep = dtree, True
+            else:
+                fuzzy = _fuzzy_fast_eligible(
+                    request, persistence, allow_extras=True
+                )
+                if fuzzy is None:
+                    return None
+                gtids = []
 
     from ..create import BOOST_VALID_TO_VALUE
 
@@ -465,9 +592,11 @@ def _generic_eligible(
         )
     else:
         # sorted tree kernel: groups/slots are DYNAMIC — one program per
-        # extras shape, not per tree shape
+        # extras shape, not per tree shape; deep (3-alternation) trees get
+        # their own compile (the extra scan stages cost the hot shapes
+        # nothing)
         sig = (
-            "tree",
+            "treedeep" if deep else "tree",
             tuple(boost_key),
             tuple(facet_fields),
             fanchors is not None,
@@ -480,6 +609,7 @@ def _generic_eligible(
         "num_slots": num_slots,
         "is_and": is_and,
         "fuzzy": fuzzy,
+        "deep": deep,
         "fanchors": fanchors,
         "fkey": fkey,
         "panchors": panchors,
@@ -526,8 +656,8 @@ def _phrase_anchor_list(persistence, phrase_boosts) -> Optional[np.ndarray]:
 
 def _plain_eligible(request: Request, persistence, comb):
     """Plain-tree eligibility (no extras): SEARCH / flat OR / flat AND /
-    AND-of-ORs over exact, prefix and fuzzy leaves ->
-    (gtids, num_groups), or None."""
+    AND-of-ORs over exact, prefix and fuzzy leaves -> (gtids, num_groups);
+    OR-of-ANDs / depth-3 trees -> ("deep", gtids4); else None."""
     if persistence.num_docs < SMALL_DOCS:
         return None
     if any(
@@ -544,7 +674,13 @@ def _plain_eligible(request: Request, persistence, comb):
         )
     ):
         return None
-    return _tree_spec(persistence, comb, request.search_req)
+    tree = _tree_spec(persistence, comb, request.search_req)
+    if tree is not None:
+        return tree
+    deep = _tree_spec_deep(persistence, comb, request.search_req)
+    if deep is not None:
+        return ("deep", deep)
+    return None
 
 
 def _cap_bucket(n: int, minimum: int = 256) -> int:
@@ -633,6 +769,19 @@ def search_single_fused(request: Request, persistence) -> Optional[SearchResult]
     emit = _make_emit(results, start)
     tree = _plain_eligible(request, persistence, comb)
     if tree is not None:
+        if tree[0] == "deep":
+            spec = {
+                "gtids": tree[1],
+                "num_groups": 1,
+                "fkey": None,
+                "panchors": None,
+                "deep": True,
+            }
+            _run_generic_group(
+                persistence, comb, ("treedeep", (), (), False, False),
+                [(0, request, spec)], emit,
+            )
+            return results[0]
         gtids, num_groups = tree
         spec = {
             "gtids": gtids,
@@ -698,9 +847,20 @@ def search_batch(requests: List[Request], persistence) -> List[SearchResult]:
         rest.append((qi, req))
     if comb is not None and rest:
         _prefetch_request_fuzzy(persistence, [req for _qi, req in rest])
+    deep_entries: list = []  # 3-alternation trees (deep kernel variant)
     for qi, req in rest:
         tree = _plain_eligible(req, persistence, comb) if comb is not None else None
         if tree is not None:
+            if tree[0] == "deep":
+                spec = {
+                    "gtids": tree[1],
+                    "num_groups": 1,
+                    "fkey": None,
+                    "panchors": None,
+                    "deep": True,
+                }
+                deep_entries.append((qi, req, spec))
+                continue
             gtids, num_groups = tree
             if len(gtids) == 1 and num_groups == 1:
                 singles.append((qi, req, gtids))
@@ -723,6 +883,7 @@ def search_batch(requests: List[Request], persistence) -> List[SearchResult]:
 
     count_path("batched_single_term", len(singles))
     count_path("batched_tree", len(plain_entries))
+    count_path("batched_tree_deep", len(deep_entries))
     for sig, entries in generic_groups.items():
         count_path(
             "batched_fuzzy_generic" if sig[0] == "fz" else "batched_generic",
@@ -798,6 +959,17 @@ def search_batch(requests: List[Request], persistence) -> List[SearchResult]:
             fallback=_per_request,
         )
 
+    if deep_entries:
+        _run_generic_group(
+            persistence,
+            comb,
+            ("treedeep", (), (), False, False),
+            deep_entries,
+            _emit,
+            pool=pool,
+            fallback=_per_request,
+        )
+
     # generic batches (filter/boost/facet/phrase requests): one fused
     # program each — exact trees and fuzzy leaves take separate kernels
     for sig, entries in generic_groups.items():
@@ -844,6 +1016,7 @@ def _run_generic_group(
     from .facet import facet_matrix
 
     _tag, boost_key, facet_fields, has_filter, has_phrase = sig
+    deep = _tag == "treedeep"  # 4-tuple gtids with per-subtree AND gates
     num_docs = persistence.num_docs
     ho = comb.host_offsets
 
@@ -862,7 +1035,7 @@ def _run_generic_group(
     sub: dict = {}
     for qi, req, spec in entries:
         gtids = spec["gtids"]
-        tot = sum(int(ho[g + 1] - ho[g]) for g, _s, _sl in gtids)
+        tot = sum(int(ho[g + 1] - ho[g]) for g, *_rest in gtids)
         if tot > MAX_SORT_CAPACITY:
             # posting total too large for the variadic-sort kernel (the
             # sort state explodes the XLA compile; the dense-plane executor
@@ -898,6 +1071,7 @@ def _run_generic_group(
             ts_arr = np.zeros((q_pad, t_pad), dtype=np.float32)
             sl_arr = np.zeros((q_pad, t_pad), dtype=np.int32)
             ng_arr = np.ones(q_pad, dtype=np.int32)
+            tng_arr = np.ones((q_pad, t_pad), dtype=np.int32) if deep else None
             fi_arr = np.zeros(q_pad, dtype=np.int32) if has_filter else None
             pa_arr = (
                 np.full((q_pad, p_pad), num_docs, dtype=np.int32)
@@ -905,10 +1079,12 @@ def _run_generic_group(
                 else None
             )
             for row, (_qi, _req, spec) in enumerate(chunk):
-                for j, (g, sc, sl) in enumerate(spec["gtids"][:t_pad]):
-                    tid_arr[row, j] = g
-                    ts_arr[row, j] = sc
-                    sl_arr[row, j] = sl
+                for j, entry in enumerate(spec["gtids"][:t_pad]):
+                    tid_arr[row, j] = entry[0]
+                    ts_arr[row, j] = entry[1]
+                    sl_arr[row, j] = entry[2]
+                    if deep:
+                        tng_arr[row, j] = entry[3]
                 ng_arr[row] = spec["num_groups"]
                 if has_filter:
                     fi_arr[row] = fkey_slot[spec["fkey"]]
@@ -934,6 +1110,8 @@ def _run_generic_group(
                 boost_specs=tuple(boost_specs),
                 has_phrase=has_phrase,
                 packed=comb.packed,
+                deep=deep,
+                term_ngs=jnp.asarray(tng_arr) if deep else None,
             )
             pending.append((chunk, out))
 

@@ -84,9 +84,13 @@ def fallback_reason(request, persistence) -> str:
     for flag in ("explain", "why_found", "suggest", "text_locality", "boost_term"):
         if getattr(request, flag, None):
             return flag
+    from .batch import _node_deep
+
     groups = _node_groups(request.search_req)
     if groups is None:
-        return "tree_shape"  # OR-of-ANDs / deeper nesting
+        if _node_deep(request.search_req) is not None:
+            return "deep_tree_leaf_or_width"  # deep shape, a bound tripped
+        return "tree_shape"  # 4+ alternation nesting / unsupported nodes
     if len(groups) > _MAX_GROUPS:
         return "and_width"
     for parts in groups:
