@@ -727,3 +727,35 @@ def test_dynlen_banded_batch_parity():
         )
         for x, y in zip(a, b):
             np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
+def test_tokenizer_pieces_matches_iter():
+    """GroupTokenizer.pieces (C-speed re.split) == iter() on adversarial
+    inputs: leading/trailing/consecutive separators, unicode separators,
+    empty text, separator-only text, regex-special separator chars."""
+    import numpy as np
+
+    from veloci_tpu.tokenizer import DEFAULT_SEPARATORS, GroupTokenizer
+
+    cases = [
+        "",
+        " ",
+        "   ",
+        "a",
+        "das \n ist",
+        ", leading",
+        "trailing ,",
+        "a,b..c…d・e—f",
+        "[bracket]{brace}<angle>'q'\"d\"“s™",
+        "multi  space\t\ttabs\n\nnewlines",
+        "ünï-cødé tøkens…",
+    ]
+    rng = np.random.default_rng(4)
+    alphabet = list("abcXYZ09üé") + list(DEFAULT_SEPARATORS)
+    for _ in range(200):
+        n = int(rng.integers(0, 30))
+        cases.append("".join(rng.choice(alphabet, size=n)))
+    for seps in (None, [" ", ","], ["]", "[", "-"], ["x"]):
+        tk = GroupTokenizer(seps)
+        for text in cases:
+            assert tk.pieces(text) == list(tk.iter(text)), (seps, text)

@@ -87,7 +87,11 @@ def highlight_text(
     if tokenizer is None:
         return None
 
-    tokens = [tok for tok, _sep in tokenizer.iter(text)]
+    tl_fn = getattr(tokenizer, "token_list", None)
+    if tl_fn is not None:
+        tokens = tl_fn(text)
+    else:
+        tokens = [tok for tok, _sep in tokenizer.iter(text)]
     hit_positions = [i for i, tok in enumerate(tokens) if tok in token_set]
 
     around = opt.num_words_around_snippet * 2
@@ -157,12 +161,15 @@ def highlight_on_original_document(
     """
     highlighted: Dict[str, List[str]] = {}
     idp = IDProvider()
+    # per-field tokenizer memo: FulltextIndexOptions.from_dict per text
+    # value was ~15% of the why-found path
+    tok_cache = getattr(persistence, "_hl_tokenizer_cache", None)
+    if tok_cache is None:
+        tok_cache = persistence._hl_tokenizer_cache = {}
 
-    def cb_text(_anchor: int, value: str, field_name: str, _parent: int) -> None:
-        path_text = field_name + TEXTINDEX
-        terms = why_found_terms.get(path_text)
-        if not terms:
-            return
+    def _field_tokenizer(field_name: str):
+        if field_name in tok_cache:
+            return tok_cache[field_name]
         col = persistence.columns.get(field_name)
         tokenizer = None
         if col:
@@ -172,7 +179,17 @@ def highlight_on_original_document(
                 col["textindex_metadata"]["options"]
             )
             tokenizer = opts.tokenizer
-        res = highlight_text(value, terms, DEFAULT_SNIPPET_INFO, tokenizer)
+        tok_cache[field_name] = tokenizer
+        return tokenizer
+
+    def cb_text(_anchor: int, value: str, field_name: str, _parent: int) -> None:
+        path_text = field_name + TEXTINDEX
+        terms = why_found_terms.get(path_text)
+        if not terms:
+            return
+        res = highlight_text(
+            value, terms, DEFAULT_SNIPPET_INFO, _field_tokenizer(field_name)
+        )
         if res is not None:
             highlighted.setdefault(field_name, []).append(res)
 

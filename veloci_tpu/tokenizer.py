@@ -19,6 +19,7 @@ never tokenize — they operate on the packed term dictionary.
 
 from __future__ import annotations
 
+import re
 from typing import Iterator, List, Sequence, Tuple
 
 # Reference: src/tokenizer/mod.rs:21-27 (DEFAULT_SEPERATORS, 26 chars).
@@ -59,13 +60,39 @@ class GroupTokenizer(Tokenizer):
     (`SimpleTokenizerCharsIterateGroupTokens` + `SimpleTokenizerGroupTokenIter`).
     """
 
-    __slots__ = ("separators", "_sep_set")
+    __slots__ = ("separators", "_sep_set", "_split_re")
 
     def __init__(self, separators: Sequence[str] | None = None) -> None:
         self.separators = (
             "".join(separators) if separators is not None else DEFAULT_SEPARATORS
         )
         self._sep_set = frozenset(self.separators)
+        # C-speed equivalent of iter(): split on separator RUNS; pieces
+        # alternate (non-sep, sep-run, non-sep, ...) with empty strings at
+        # run boundaries, which pieces() skips — parity-tested against
+        # iter() in tests/test_units.py
+        cls = "".join(re.escape(c) for c in sorted(self._sep_set))
+        self._split_re = re.compile(f"([{cls}]+)") if cls else None
+
+    def pieces(self, text: str) -> List[Tuple[str, bool]]:
+        """`list(iter(text))` at C speed (re.split) — the why-found
+        highlight path tokenizes every returned doc text; the per-char
+        Python loop dominated its cost (measured ~10x here)."""
+        if self._split_re is None:
+            return [(text, False)] if text else []
+        parts = self._split_re.split(text)
+        out = []
+        for i, piece in enumerate(parts):
+            if piece:
+                out.append((piece, bool(i & 1)))
+        return out
+
+    def token_list(self, text: str) -> List[str]:
+        """Just the token/separator-run strings of pieces(), one C-level
+        comprehension (no tuples) — the highlight hot path."""
+        if self._split_re is None:
+            return [text] if text else []
+        return [p for p in self._split_re.split(text) if p]
 
     def iter(self, text: str) -> Iterator[Tuple[str, bool]]:
         sep = self._sep_set
