@@ -847,76 +847,104 @@ def main() -> None:
         )
         memo = _fuzzy_match_cache(pers)
         ho_f = dev.host_offsets
-        retry: dict = {}
-        for row, t in enumerate(fuzzy_terms[:fq]):
-            m, _d, _p = memo[("title", t.lower(), 2, False)]
-            tot = int((ho_f[m + 1] - ho_f[m]).sum()) if len(m) else 0
-            if len(m) > mt0:
-                retry.setdefault(
-                    (min(worst, bucket_size(max(tot, c0))), 256), []
-                ).append(row)
-            elif tot > c0:
-                retry.setdefault(
-                    (min(worst, bucket_size(tot)), mt0), []
-                ).append(row)
-        log(
-            f"fuzzy serving plan: pass1 {fq}@({c0},mt{mt0}) + "
-            + ", ".join(f"{len(r)}@({c},mt{m})" for (c, m), r in retry.items())
-        )
-        # short-matrix variant when the whole batch qualifies (the serving
-        # path splits per-row; the bench batch is homogeneous short terms)
-        from veloci_tpu.persistence import SHORT_SWEEP_MAX
-
-        if all(len(t) + 2 <= SHORT_SWEEP_MAX for t in fuzzy_terms[:fq]):
-            dev = dev.sweep_variant(1)
-        chars_d, chars_t_d, lens_d = dev.chars, dev.chars_t, dev.lengths
-        offs_d, anc_d, sc_d = dev.offsets, None, None  # packed-only
-        packed_d = dev.packed
-
         use_banded = backend == "tpu"
         step_fn = (
             batched_fuzzy_search_topk_banded if use_banded else batched_fuzzy_search_topk
         )
-        chars_arg = chars_t_d if use_banded else chars_d
-        retry_static = [(cap, mt) for (cap, mt), _rows in sorted(retry.items())]
-        retry_arrays = tuple(
-            (
-                jnp.asarray(fqueries[rows]),
-                jnp.asarray(fqlens[rows]),
-                jnp.asarray(np.full(len(rows), 2, np.int32)),
+
+        # mirror serving's per-row length-window grouping
+        # (_run_fuzzy_group.row_variant): rows group by their window variant
+        # [qlen-d, qlen+d] of the length-sorted matrix; each group pays one
+        # pass-1 dispatch at the sticky capacity, overflowing rows re-pay
+        # alone at their own bucket — exactly the serving dispatch ladder
+        by_var: dict = {}
+        for row, t in enumerate(fuzzy_terms[:fq]):
+            v = dev.length_window_variant(len(t) - 2, len(t) + 2)
+            by_var.setdefault(id(v), (v, []))[1].append(row)
+        group_plan = []  # (variant, rows, retry {(cap, mt): rows})
+        for v, rows in by_var.values():
+            retry: dict = {}
+            for row in rows:
+                t = fuzzy_terms[row]
+                m, _d, _p = memo[("title", t.lower(), 2, False)]
+                tot = int((ho_f[m + 1] - ho_f[m]).sum()) if len(m) else 0
+                if len(m) > mt0:
+                    retry.setdefault(
+                        (min(worst, bucket_size(max(tot, c0))), 256), []
+                    ).append(row)
+                elif tot > c0:
+                    retry.setdefault(
+                        (min(worst, bucket_size(tot)), mt0), []
+                    ).append(row)
+            group_plan.append((v, rows, retry))
+        log(
+            "fuzzy serving plan: "
+            + " | ".join(
+                f"{v._chars_host.shape[0]}rows: pass1 {len(rows)}@({c0},mt{mt0})"
+                + "".join(
+                    f" +{len(r)}@({c},mt{m})" for (c, m), r in sorted(rt.items())
+                )
+                for v, rows, rt in group_plan
             )
-            for (_cap, _mt), rows in sorted(retry.items())
         )
+        anc_d = sc_d = None  # packed-only postings
+
+        # static dispatch schedule + per-group device operands
+        group_static = []  # [(n_retries, [(cap, mt), ...])]
+        group_ops = []
+        for v, rows, rt in group_plan:
+            retry_static = sorted(rt)
+            group_static.append(retry_static)
+            retries_o = tuple(
+                (
+                    jnp.asarray(fqueries[r]),
+                    jnp.asarray(fqlens[r]),
+                    jnp.asarray(np.full(len(r), 2, np.int32)),
+                )
+                for (_c, _m), r in sorted(rt.items())
+            )
+            group_ops.append(
+                (
+                    v.chars_t if use_banded else v.chars,
+                    v.lengths,
+                    v.sweep_ids,
+                    v.offsets,
+                    v.packed,
+                    jnp.asarray(fqueries[rows]),
+                    jnp.asarray(fqlens[rows]),
+                    jnp.asarray(np.full(len(rows), 2, np.int32)),
+                    retries_o,
+                )
+            )
+        group_ops = tuple(group_ops)
 
         def fuzzy_body(carry, ops):
-            chars_o, lens_o, fqj_o, flj_o, fdists_o, offs_o, packed_o, sweep_o, retries_o = ops
             off = (carry * jnp.float32(1e-20)).astype(jnp.uint16)
-            _ids, scores, _nh, _tm, _tp = step_fn(
-                chars_o + off[None, None], lens_o, fqj_o, flj_o, fdists_o,
-                offs_o, anc_d, sc_d,
-                max_terms=64, capacity=c0, num_docs=num_docs, k=TOP_K,
-                packed=packed_o, sweep_ids=sweep_o,
-                **({"band": 2} if use_banded else {}),
-            )
-            acc = scores[0, 0]
-            for (cap, mt), (rq, rl, rd) in zip(retry_static, retries_o):
+            acc = jnp.float32(0)
+            for retry_static, g_ops in zip(group_static, ops):
+                chars_o, lens_o, sweep_o, offs_o, packed_o, fqj_o, flj_o, fdists_o, retries_o = g_ops
                 _ids, scores, _nh, _tm, _tp = step_fn(
-                    chars_o + off[None, None], lens_o, rq, rl, rd,
+                    chars_o + off[None, None], lens_o, fqj_o, flj_o, fdists_o,
                     offs_o, anc_d, sc_d,
-                    max_terms=mt, capacity=cap, num_docs=num_docs, k=TOP_K,
+                    max_terms=64, capacity=c0, num_docs=num_docs, k=TOP_K,
                     packed=packed_o, sweep_ids=sweep_o,
                     **({"band": 2} if use_banded else {}),
                 )
                 acc = acc + scores[0, 0]
+                for (cap, mt), (rq, rl, rd) in zip(retry_static, retries_o):
+                    _ids, scores, _nh, _tm, _tp = step_fn(
+                        chars_o + off[None, None], lens_o, rq, rl, rd,
+                        offs_o, anc_d, sc_d,
+                        max_terms=mt, capacity=cap, num_docs=num_docs, k=TOP_K,
+                        packed=packed_o, sweep_ids=sweep_o,
+                        **({"band": 2} if use_banded else {}),
+                    )
+                    acc = acc + scores[0, 0]
             return acc * jnp.float32(1e-12)
 
         fn1, fn2 = (2, 6) if backend == "cpu" else (2, 10)
         per_f, _, _ = measure_scan(
-            fuzzy_body, fn1, fn2, retries=1,
-            operands=(
-                chars_arg, lens_d, fqj, flj, fdists, offs_d, packed_d,
-                dev.sweep_ids, retry_arrays,
-            ),
+            fuzzy_body, fn1, fn2, retries=1, operands=group_ops
         )
         fuzzy_ms_per_batch = per_f * 1e3
         qps_fuzzy_batched = fq / per_f

@@ -406,3 +406,95 @@ def test_fuzzy_generic_row_level_redispatch(monkeypatch):
         assert [h.id for h in res.data] == [h.id for h in want.data]
         for a, b in zip(res.data, want.data):
             assert a.score == pytest.approx(b.score, rel=1e-5)
+
+
+def test_length_window_variant_parity(monkeypatch):
+    """Fuzzy sweeps over the length-window slice [qlen-d, qlen+d] of the
+    length-sorted matrix (lev(a,b) >= |len(a)-len(b)|) must match the
+    full-matrix host executor exactly — single-request, batched plain and
+    batched generic (filtered) paths. LW_BLOCK is forced tiny so windows
+    engage on this corpus (production granularity is 4096 rows). Reference
+    parity target: the FST+automaton walk visits only reachable prefixes
+    (search_field.rs:85-96); the length window is the dense-sweep analog."""
+    import json
+
+    import veloci_tpu.persistence as pers_mod
+
+    monkeypatch.setattr(pers_mod, "LW_BLOCK", 16)
+    monkeypatch.setattr(batch_mod, "SMALL_DOCS", 1)
+    monkeypatch.setattr(ex_mod, "SMALL_DOCS", 1)
+
+    # terms spanning lengths 2..24 so the length-sorted matrix has real
+    # spread; several near-collision groups for each probe length
+    docs = []
+    words = []
+    for i in range(400):
+        base = "ab" + "x" * (i % 12)  # lengths 2..13
+        words.append(base + str(i % 7))
+    for i in range(40):
+        words.append("w" * (14 + i % 10))  # long tail 14..23
+    for i, w in enumerate(words):
+        docs.append(json.dumps({"title": w, "tag": f"t{i % 2}"}))
+    cfg = '["*GLOBAL*"]\nfeatures = ["All"]\n'
+    p = Persistence.create_from_str("\n".join(docs), cfg)
+
+    probes = [("abxx1", 1), ("abxxx", 2), ("abxxxxxxx3", 1), ("wwwwwwwwwwwwwww", 2), ("ab", 1)]
+    reqs = [
+        Request.from_dict(
+            {
+                "search_req": {
+                    "search": {
+                        "terms": [t],
+                        "path": "title",
+                        "levenshtein_distance": d,
+                    }
+                },
+                "top": 20,
+            }
+        )
+        for t, d in probes
+    ]
+    # host-oracle results BEFORE forcing device paths (full-matrix host walk)
+    monkeypatch.setattr(batch_mod, "SMALL_DOCS", 1 << 60)
+    monkeypatch.setattr(ex_mod, "SMALL_DOCS", 1 << 60)
+    oracle = [search(Request.from_dict(r.to_dict() if hasattr(r, "to_dict") else {
+        "search_req": {"search": {"terms": [t], "path": "title", "levenshtein_distance": d}},
+        "top": 20}), p) for r, (t, d) in zip(reqs, probes)]
+    monkeypatch.setattr(batch_mod, "SMALL_DOCS", 1)
+    monkeypatch.setattr(ex_mod, "SMALL_DOCS", 1)
+
+    got = search_batch(reqs, p)
+    dev = p.device_field("title")
+    assert getattr(dev, "_len_variants", None), "window path never engaged"
+    for (t, d), o, g in zip(probes, oracle, got):
+        assert g.num_hits == o.num_hits, (t, d)
+        assert [h.id for h in g.data] == [h.id for h in o.data], (t, d)
+        for a, b in zip(g.data, o.data):
+            assert float(a.score) == pytest.approx(float(b.score), rel=1e-5)
+
+    # filtered (fuzzy-generic runner) parity
+    freqs = [
+        Request.from_dict(
+            {
+                "search_req": {
+                    "search": {
+                        "terms": [t],
+                        "path": "title",
+                        "levenshtein_distance": d,
+                    }
+                },
+                "filter": {"search": {"terms": ["t0"], "path": "tag"}},
+                "top": 20,
+            }
+        )
+        for t, d in probes
+    ]
+    monkeypatch.setattr(batch_mod, "SMALL_DOCS", 1 << 60)
+    monkeypatch.setattr(ex_mod, "SMALL_DOCS", 1 << 60)
+    oracle_f = [search(r, p) for r in freqs]
+    monkeypatch.setattr(batch_mod, "SMALL_DOCS", 1)
+    monkeypatch.setattr(ex_mod, "SMALL_DOCS", 1)
+    got_f = search_batch(freqs, p)
+    for (t, d), o, g in zip(probes, oracle_f, got_f):
+        assert g.num_hits == o.num_hits, (t, d)
+        assert [h.id for h in g.data] == [h.id for h in o.data], (t, d)

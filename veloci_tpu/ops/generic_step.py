@@ -31,13 +31,16 @@ from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from .search_step import _gather_postings
 from .topk import topk_dense_exact
 
 __all__ = ["batched_generic_topk"]
 
-_HIT_EPS = jnp.float32(1e-30)
+# numpy, NOT jnp: imported lazily from inside kernel bodies — a jnp scalar
+# created during an active trace caches a tracer (see tree_step._EPS note)
+_HIT_EPS = np.float32(1e-30)
 
 
 def _precompute_boost(bv, pres, spec):

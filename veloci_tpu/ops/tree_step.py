@@ -53,6 +53,7 @@ from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from .search_step import _gather_postings
 from .topk import topk_positions
@@ -78,8 +79,12 @@ DEEP_GROUP_SHIFT = 8
 DEEP_SUB_SHIFT = 14
 DEEP_TERM_SHIFT = 19
 _PHRASE_SLOT = 1 << 24  # sorts before every real slot (slot desc order)
-_EPS = jnp.float32(1e-5)
-_HIT_EPS = jnp.float32(1e-30)
+# plain numpy scalars, NOT jnp: this module is imported lazily from inside
+# kernel bodies, so a module-level jnp scalar created during an active jit
+# trace would cache a tracer (leaks into every later trace as a phantom
+# const buffer -> "Execution supplied N buffers but compiled expected N+1")
+_EPS = np.float32(1e-5)
+_HIT_EPS = np.float32(1e-30)
 
 
 def _seg_scan(values, resets):

@@ -260,6 +260,89 @@ class DeviceField:
             self._short_variant = cached
         return cached
 
+    def _length_sorted(self):
+        """Length-sorted copy of the sweep matrix + per-length row
+        boundaries (built once per field, host-side)."""
+        cached = getattr(self, "_length_sorted_cache", None)
+        if cached is None:
+            order = np.argsort(self._lengths_host, kind="stable")
+            # drop pad rows (len 0) — they sort first
+            first = int(np.searchsorted(self._lengths_host[order], 1))
+            order = order[first:]
+            chars_ls = np.ascontiguousarray(self._chars_host[order])
+            lens_ls = np.ascontiguousarray(self._lengths_host[order])
+            ids_ls = np.ascontiguousarray(self._sweep_ids_host[order])
+            max_l = chars_ls.shape[1]
+            # cum[l] = #rows with len < l  (rows are length-ascending)
+            cum = np.searchsorted(lens_ls, np.arange(max_l + 2)).astype(
+                np.int64
+            )
+            cached = self._length_sorted_cache = (chars_ls, lens_ls, ids_ls, cum)
+        return cached
+
+    def length_window_variant(
+        self, min_len: int, max_len: int, starts_with: bool = False
+    ):
+        """Sweep variant covering ONLY terms with len in [min_len, max_len]
+        — the fuzzy length bound (lev(a,b) >= |len(a)-len(b)|), applied as
+        a contiguous slice of the length-sorted matrix. The window rounds
+        to block granularity and a pow2 width bucket, so a handful of
+        shapes cover all queries (each banded-kernel shape is a compile).
+
+        Returns ``self`` when the window wouldn't pay (>= 75% of rows), for
+        ``starts_with`` (prefix matches have unbounded length), or for
+        ad-hoc constructions without a remap. Variants share the posting
+        uploads; the sliced char matrices cache per (start, width)."""
+        if starts_with or self._sweep_ids_host is None or self._kp != "":
+            return self.sweep_variant(max_len, starts_with)
+        from .ops.postings import bucket_size
+
+        chars_ls, lens_ls, ids_ls, cum = self._length_sorted()
+        m = len(lens_ls)
+        if m == 0:
+            return self
+        max_l = chars_ls.shape[1]
+        lo = int(cum[max(min(min_len, max_l + 1), 0)])
+        hi = int(cum[max(min(max_len + 1, max_l + 1), 0)])
+        blk = LW_BLOCK
+        lo_r = (lo // blk) * blk
+        width = bucket_size(max(hi - lo_r, 1), blk)
+        # compare against the best ALREADY-AVAILABLE matrix (the short
+        # variant when qlen+d qualifies, else the full one): a window that
+        # barely undercuts it isn't worth a new compile shape + upload
+        base = self.sweep_variant(max_len, starts_with)
+        if width >= 0.75 * base._chars_host.shape[0]:
+            return base
+        cache = getattr(self, "_len_variants", None)
+        if cache is None:
+            cache = self._len_variants = {}
+        key = (lo_r, width)
+        cached = cache.get(key)
+        if cached is None:
+            chars = np.zeros((width, chars_ls.shape[1]), dtype=np.uint16)
+            lens = np.zeros(width, dtype=np.int32)
+            ids = np.full(width, -1, dtype=np.int32)
+            take = min(width, m - lo_r)
+            if take > 0:
+                chars[:take] = chars_ls[lo_r : lo_r + take]
+                lens[:take] = lens_ls[lo_r : lo_r + take]
+                ids[:take] = ids_ls[lo_r : lo_r + take]
+            cached = DeviceField(
+                chars,
+                lens,
+                self.num_terms,
+                self._offsets_host,
+                self._anchors_host,
+                self._scores01_host,
+                self.host_offsets,
+                self.num_score_keys,
+                sweep_ids_host=ids,
+            )
+            cached._dev = self._dev  # share the posting uploads
+            cached._kp = f"lw{lo_r}_{width}:"
+            cache[key] = cached
+        return cached
+
     @property
     def packed(self):
         """Postings interleaved ``[nnz, 2] int32`` rows: (anchor,
@@ -314,6 +397,9 @@ def _dec(name: str) -> str:
 # (DeviceField.sweep_variant); queries with qlen + distance above it use
 # the full compact matrix
 SHORT_SWEEP_MAX = int(os.environ.get("VELOCI_SHORT_SWEEP_MAX", "12"))
+# Length-window granularity: windows round to this many rows and pow2
+# widths, bounding the number of distinct sweep shapes (each is a compile).
+LW_BLOCK = int(os.environ.get("VELOCI_LW_BLOCK", "4096"))
 
 
 def _round_up(n: int, m: int) -> int:

@@ -1227,18 +1227,9 @@ def _run_fuzzy_generic_group(
         # free-variable reference to loop-scoped state would resolve to the
         # LAST chunk's bindings and re-dispatch/emit the wrong queries
         #
-        # short matrix when EVERY row in the chunk qualifies (terms longer
-        # than qlen + d can't match within distance d)
-        dv = dev.sweep_variant(
-            max(
-                len(spec["fuzzy"][1]) + spec["fuzzy"][2]
-                for _qi, _req, spec in chunk
-            )
-        )
-        chars_arg = dv.chars_t if use_banded else dv.chars
         c0 = min(worst, fuzzy_start_capacity(persistence, field))
 
-        def dispatch(rows, capacity, first):
+        def dispatch(rows, capacity, first, dv):
             """One fused dispatch for ``rows``; overflowing rows re-dispatch
             ALONE at their own capacity bucket (row-level, parity with the
             plain fuzzy runner — round 3 re-ran the whole chunk, so one hot
@@ -1271,7 +1262,7 @@ def _run_fuzzy_generic_group(
                 max_k = max(max_k, top + (req.skip or 0))
             k_eff = min(num_docs, max_k)
             out = batched_fuzzy_generic_topk(
-                chars_arg,
+                dv.chars_t if use_banded else dv.chars,
                 dv.lengths,
                 jnp.asarray(queries),
                 jnp.asarray(qlens),
@@ -1295,7 +1286,7 @@ def _run_fuzzy_generic_group(
                 band=(2 if int(dists.max()) <= 2 else 4) if use_banded else 4,
             )
 
-            def cb(fetched, rows=rows, capacity=capacity, first=first):
+            def cb(fetched, rows=rows, capacity=capacity, first=first, dv=dv):
                 ids_b, scores_b, hits_b, totals_b, post_b, fc_b = fetched
                 if first and len(rows):
                     # sticky capacity hint tracks the workload's p75 (bounded
@@ -1341,11 +1332,21 @@ def _run_fuzzy_generic_group(
                             min(worst, _cap_bucket(need)), []
                         ).append((qi, req, spec))
                 for cap2, rows2 in sorted(nxt.items()):
-                    dispatch(rows2, cap2, False)
+                    dispatch(rows2, cap2, False, dv)
 
             pool.add(out, cb)
 
-        dispatch(chunk, c0, True)
+        # lev(a,b) >= |len(a)-len(b)|: rows group by their length-window
+        # sweep variant (see _run_fuzzy_group) and dispatch per group
+        by_var: dict = {}
+        for row in chunk:
+            _f, term, distance = row[2]["fuzzy"]
+            v = dev.length_window_variant(
+                len(term) - distance, len(term) + distance
+            )
+            by_var.setdefault(id(v), (v, []))[1].append(row)
+        for v, rows in by_var.values():
+            dispatch(rows, c0, True, v)
 
     for base in range(0, len(entries), chunk_q):
         process_chunk(entries[base : base + chunk_q])
@@ -1392,14 +1393,16 @@ def _run_fuzzy_group(persistence, field, entries, results, start, pool=None) -> 
     step = (
         batched_fuzzy_search_topk_banded if use_banded else batched_fuzzy_search_topk
     )
-    # short queries (qlen + d <= SHORT_SWEEP_MAX) sweep the short matrix —
-    # terms longer than qlen + d can't be within distance d, and dropping
-    # the long-term rows ~halves sweep + select on mixed corpora
-    short_dev = dev.sweep_variant(1)
-
+    # lev(a,b) >= |len(a)-len(b)|: each row sweeps only the length-window
+    # slice [qlen-d, qlen+d] of the length-sorted matrix. Windows round to
+    # LW_BLOCK rows / pow2 widths so a handful of cached variants (sharing
+    # the posting uploads) cover all queries; when a window wouldn't pay
+    # it degrades to the short (qlen+d <= SHORT_SWEEP_MAX) or full matrix.
     def row_variant(row) -> "object":
         _qi, _req, term, distance = row
-        return dev.sweep_variant(len(term) + distance)
+        return dev.length_window_variant(
+            len(term) - distance, len(term) + distance
+        )
 
     def dispatch(chunk_rows, capacity, mt, dv=dev):
         """One fused dispatch for a list of (qi, req, term, distance)."""
@@ -1475,16 +1478,11 @@ def _run_fuzzy_group(persistence, field, entries, results, start, pool=None) -> 
         if mt_hints is None:
             mt_hints = persistence._fuzzy_mt_hint = {}
         mt0 = mt_hints.get(field, 64)
-        if short_dev is not dev:
-            by_var: dict = {}
-            for row in chunk:
-                by_var.setdefault(id(row_variant(row)), []).append(row)
-            work = [
-                (rows, c0, mt0, short_dev if vid == id(short_dev) else dev)
-                for vid, rows in by_var.items()
-            ]
-        else:
-            work = [(chunk, c0, mt0, dev)]
+        by_var: dict = {}
+        for row in chunk:
+            v = row_variant(row)
+            by_var.setdefault(id(v), (v, []))[1].append(row)
+        work = [(rows, c0, mt0, v) for v, rows in by_var.values()]
         needs: list = []
         matches: list = []
 
@@ -1508,12 +1506,14 @@ def _run_fuzzy_group(persistence, field, entries, results, start, pool=None) -> 
 
         def start_round(work):
             nxt: dict = {}
+            vmap: dict = {}
             remaining = {"n": len(work)}
             for rows, cap, mt, dv in work:
                 out = dispatch(rows, cap, mt, dv)
 
                 def cb(fetched, rows=rows, cap=cap, mt=mt, dv=dv):
                     ids_b, scores_b, hits_b, totals_b, post_b = fetched
+                    vmap[id(dv)] = dv
                     for row, (qi, req, term, distance) in enumerate(rows):
                         tm = int(totals_b[row])
                         need = int(post_b[row])
@@ -1534,7 +1534,7 @@ def _run_fuzzy_group(persistence, field, entries, results, start, pool=None) -> 
                                 (
                                     min(worst, _cap_bucket(max(need, cap))),
                                     256,
-                                    dv is short_dev and short_dev is not dev,
+                                    id(dv),
                                 ),
                                 [],
                             ).append((qi, req, term, distance))
@@ -1556,15 +1556,15 @@ def _run_fuzzy_group(persistence, field, entries, results, start, pool=None) -> 
                                 (
                                     min(worst, _cap_bucket(need)),
                                     mt,
-                                    dv is short_dev and short_dev is not dev,
+                                    id(dv),
                                 ),
                                 [],
                             ).append((qi, req, term, distance))
                     remaining["n"] -= 1
                     if remaining["n"] == 0:
                         work2 = [
-                            (rows2, cap2, mt2, short_dev if sv else dev)
-                            for (cap2, mt2, sv), rows2 in sorted(nxt.items())
+                            (rows2, cap2, mt2, vmap[vid])
+                            for (cap2, mt2, vid), rows2 in sorted(nxt.items())
                         ]
                         if work2:
                             start_round(work2)

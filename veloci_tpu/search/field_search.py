@@ -279,8 +279,12 @@ def _match_fuzzy_device(persistence, field, lower_term, distance, starts_with):
     if n == 0:
         e = np.empty(0, np.int64)
         return e, np.empty(0, np.int64), np.empty(0, bool)
-    # short queries can only match short terms — sweep the short variant
-    dev = dev.sweep_variant(len(lower_term) + distance, starts_with)
+    # lev(a,b) >= |len(a)-len(b)|: sweep only the length-window slice
+    # [qlen-d, qlen+d] of the length-sorted matrix (falls back to the
+    # short/full variant when the window wouldn't pay or for starts_with)
+    dev = dev.length_window_variant(
+        len(lower_term) - distance, len(lower_term) + distance, starts_with
+    )
     q, qlen = encode_query(lower_term)
     import jax
     import jax.numpy as jnp
