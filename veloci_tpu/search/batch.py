@@ -483,10 +483,12 @@ def _generic_eligible(
     ``require_extras=False``."""
     if comb is None or persistence.num_docs < SMALL_DOCS:
         return None
+    # why_found is NOT a disqualifier: the kernel answers the search and
+    # the emitter attaches why_found metadata from the host-known matches
+    # (_attach_why_found) — a why_found-heavy workload still batches
     if any(
         (
             request.boost_term,
-            request.why_found,
             request.text_locality,
             request.explain,
             request.suggest,
@@ -660,6 +662,7 @@ def _plain_eligible(request: Request, persistence, comb):
     OR-of-ANDs / depth-3 trees -> ("deep", gtids4); else None."""
     if persistence.num_docs < SMALL_DOCS:
         return None
+    # why_found rides the plain kernels too (see _attach_why_found)
     if any(
         (
             request.filter,
@@ -667,7 +670,6 @@ def _plain_eligible(request: Request, persistence, comb):
             request.boost_term,
             request.phrase_boosts,
             request.facets,
-            request.why_found,
             request.text_locality,
             request.explain,
             request.suggest,
@@ -698,7 +700,49 @@ def _cap_bucket(n: int, minimum: int = 256) -> int:
     return c
 
 
-def _make_emit(results, start):
+def _why_found_meta(persistence, request):
+    """(term_id_hits_in_field, term_text_in_field) for a request, built the
+    way the host executor collects them during field search (executor.py's
+    search walk): exact leaves bisect the dictionary, fuzzy leaves read the
+    memoized device matches (bulk-primed by `_prefetch_request_fuzzy`), so
+    a why_found request batching through the fused kernels pays only this
+    cheap host walk — not a per-request executor run. Reference:
+    search_field.rs stores term_id hits during get_term_ids_in_field;
+    why_found.rs:11-49 consumes them."""
+    from .field_search import get_term_ids_in_field
+
+    term_id_hits: dict = {}
+    term_texts: dict = {}
+    for part in request.search_req.walk_parts():
+        fsr = get_term_ids_in_field(
+            persistence,
+            part,
+            get_scores=True,
+            store_term_id_hits=True,
+            store_term_texts=True,
+        )
+        for path, m in fsr.term_id_hits_in_field.items():
+            term_id_hits.setdefault(path, {}).update(m)
+        for path, texts in fsr.term_text_in_field.items():
+            term_texts.setdefault(path, []).extend(texts)
+    return term_id_hits, term_texts
+
+
+def _attach_why_found(persistence, req, res) -> None:
+    """Post-process a batched SearchResult for a why_found request (the
+    executor's finalization, executor.py:878,909-911, on the kernel's
+    top-k)."""
+    from .why_found import get_why_found
+
+    term_id_hits, term_texts = _why_found_meta(persistence, req)
+    res.why_found_terms = term_texts
+    if req.select is not None:
+        res.why_found_info = get_why_found(
+            persistence, [h.id for h in res.data], term_id_hits
+        )
+
+
+def _make_emit(results, start, persistence=None):
     """Shared result emitter: kernels return exact (score desc, id desc)
     order — window + wrap into a SearchResult."""
     import time
@@ -714,6 +758,8 @@ def _make_emit(results, start):
         res.data = [Hit(int(i), float(s)) for i, s in window]
         if facets is not None:
             res.facets = facets
+        if req.why_found and persistence is not None:
+            _attach_why_found(persistence, req, res)
         res.execution_time_ns = time.time_ns() - start
         results[qi] = res
 
@@ -766,7 +812,7 @@ def search_single_fused(request: Request, persistence) -> Optional[SearchResult]
         return None
     _prefetch_request_fuzzy(persistence, [request])
     results: List[Optional[SearchResult]] = [None]
-    emit = _make_emit(results, start)
+    emit = _make_emit(results, start, persistence)
     tree = _plain_eligible(request, persistence, comb)
     if tree is not None:
         if tree[0] == "deep":
@@ -893,7 +939,7 @@ def search_batch(requests: List[Request], persistence) -> List[SearchResult]:
 
     num_docs = persistence.num_docs
     ho = comb.host_offsets if comb is not None else None
-    _emit = _make_emit(results, start)
+    _emit = _make_emit(results, start, persistence)
     pool = _SyncPool()
 
     if singles:
@@ -1704,6 +1750,8 @@ def _search_batch_mesh(requests, persistence, mc, start) -> List[SearchResult]:
                     res.facets = _facets_of(
                         persistence, req, facet_fields, fc_b, row
                     )
+                if req.why_found:
+                    _attach_why_found(persistence, req, res)
                 res.execution_time_ns = time.time_ns() - start
                 results[qi] = res
 
