@@ -13,7 +13,6 @@ from typing import Dict, Iterable, List, Optional, Set
 import numpy as np
 
 from ..create import TEXT_ID_TO_TOKEN_IDS, TEXTINDEX
-from ..json_flatten import IDProvider, for_each_element
 from ..query.request import DEFAULT_SNIPPET_INFO, SnippetInfo
 
 __all__ = [
@@ -98,12 +97,22 @@ def highlight_text(
     grouped = group_hit_positions_for_snippet(hit_positions, opt)
 
     contains_any = bool(hit_positions)
-    snippet = build_snippet(
-        _windows(grouped, len(tokens), around),
-        lambda i: tokens[i] in token_set,
-        lambda i: tokens[i],
-        opt,
-    )
+    # inlined build_snippet: list-slice + positional hit set instead of the
+    # per-index callback pair (the callbacks dominated the host highlight
+    # profile — ~40% of highlight_on_original_document)
+    hit_at = set(hit_positions)
+    tag0, tag1 = opt.snippet_start_tag, opt.snippet_end_tag
+    parts = []
+    for wi, (start, end) in enumerate(_windows(grouped, len(tokens), around)):
+        if wi >= opt.max_snippets:
+            break
+        parts.append(
+            "".join(
+                tag0 + t + tag1 if (start + j) in hit_at else t
+                for j, t in enumerate(tokens[start:end])
+            )
+        )
+    snippet = opt.snippet_connector.join(parts)
     snippet = ellipsis_snippet(snippet, hit_positions, len(tokens), opt)
     return snippet if contains_any else None
 
@@ -160,7 +169,6 @@ def highlight_on_original_document(
     Reference highlight_field.rs:147-185.
     """
     highlighted: Dict[str, List[str]] = {}
-    idp = IDProvider()
     # per-field tokenizer memo: FulltextIndexOptions.from_dict per text
     # value was ~15% of the why-found path
     tok_cache = getattr(persistence, "_hl_tokenizer_cache", None)
@@ -182,19 +190,52 @@ def highlight_on_original_document(
         tok_cache[field_name] = tokenizer
         return tokenizer
 
-    def cb_text(_anchor: int, value: str, field_name: str, _parent: int) -> None:
-        path_text = field_name + TEXTINDEX
-        terms = why_found_terms.get(path_text)
-        if not terms:
-            return
+    targets = {
+        p[: -len(TEXTINDEX)]
+        for p, terms in why_found_terms.items()
+        if terms and p.endswith(TEXTINDEX)
+    }
+    for field_name, value in _leaf_texts(doc, targets):
         res = highlight_text(
-            value, terms, DEFAULT_SNIPPET_INFO, _field_tokenizer(field_name)
+            value,
+            why_found_terms[field_name + TEXTINDEX],
+            DEFAULT_SNIPPET_INFO,
+            _field_tokenizer(field_name),
         )
         if res is not None:
             highlighted.setdefault(field_name, []).append(res)
-
-    def cb_ids(*_args) -> None:
-        pass
-
-    for_each_element([doc], idp, cb_text, cb_ids)
     return highlighted
+
+
+def _leaf_texts(doc, targets):
+    """(field_name, text) leaf pairs under ``targets`` field paths only — a
+    pruned, id-free rewalk of json_flatten._walk (same path grammar:
+    ``a.b[].c``). Skips whole subtrees no why_found field lives under, and
+    does none of the flattener's value-id accounting — the highlight path
+    only ever needs the leaf strings."""
+    from ..json_flatten import convert_to_string
+
+    out: list = []
+
+    def walk(data, path, el):
+        if isinstance(data, list):
+            p = path + el + "[]"
+            if not any(t.startswith(p) for t in targets):
+                return
+            for x in data:
+                walk(x, p, "")
+        elif isinstance(data, dict):
+            p = path + el
+            if p:
+                p += "."
+            for k, v in data.items():
+                cand = p + k
+                if any(t.startswith(cand) for t in targets):
+                    walk(v, p, k)
+        elif data is not None:
+            fp = path + el
+            if fp in targets:
+                out.append((fp, convert_to_string(data)))
+
+    walk(doc, "", "")
+    return out
