@@ -148,19 +148,19 @@ def prefetch_fuzzy_matches(persistence, specs) -> None:
         if starts_with or len(lower_term) > MAX_QUERY_CHARS - 1:
             singles.append(key)  # prefix criterion / long query: solo path
             continue
-        # short queries sweep the short matrix variant (terms longer than
-        # qlen + d can't be within distance d) — group per variant
-        from ..persistence import SHORT_SWEEP_MAX
-
-        short = len(lower_term) + distance <= SHORT_SWEEP_MAX
-        by_field.setdefault((field, short), []).append((lower_term, distance))
+        # lev(a,b) >= |len(a)-len(b)|: group per length-window sweep
+        # variant (rounded windows -> a handful of cached variants; falls
+        # back to the short/full matrix when a window wouldn't pay)
+        v = persistence.device_field(field).length_window_variant(
+            len(lower_term) - distance, len(lower_term) + distance
+        )
+        by_field.setdefault((field, id(v)), (v, []))[1].append(
+            (lower_term, distance)
+        )
 
     max_matches = 256
     pending = []  # (field, dev variant, items, device outputs)
-    for (field, short), items in by_field.items():
-        dev = persistence.device_field(field)
-        if short:
-            dev = dev.sweep_variant(1)
+    for (field, _vid), (dev, items) in by_field.items():
         n = dev.num_terms
         if n == 0 or dev.chars.shape[0] == 0:
             for lower_term, distance in items:
