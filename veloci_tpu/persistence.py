@@ -920,6 +920,15 @@ class Persistence:
             # traffic (short terms) — upload it now too or the first short
             # fuzzy query pays its build + H2D + compile
             dv.sweep_variant(1).prefetch()
+            # ... and the length-window variants for the common auto-lev
+            # query lengths (d=2 windows; pow2-rounded so these few calls
+            # cover most traffic) — uploads amortise into warmup's H2D
+            seen = set()
+            for ql in (4, 6, 8, 10, 12):
+                v = dv.length_window_variant(ql - 2, ql + 2)
+                if v is not dv and id(v) not in seen:
+                    seen.add(id(v))
+                    v.prefetch()
         # await the uploads: transfers are per-buffer async, so sync a tiny
         # slice of EVERY cached array or h2d_s under-reports and compile_s
         # absorbs the remainder
