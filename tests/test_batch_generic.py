@@ -559,3 +559,103 @@ def test_why_found_requests_batch_with_parity(pers, monkeypatch):
         want_docs = search_to_result_with_doc(pers, want, req.select)
         for a, b in zip(got_docs.data, want_docs.data):
             assert a.why_found == b.why_found, d
+
+
+def test_length_window_edge_cases(monkeypatch):
+    """Window boundary conditions: single-char queries (min_len <= 0),
+    queries longer than every dictionary term (empty window -> 0 matches),
+    exact-block-boundary windows, d clamped to len-1, and case-sensitive
+    verification on the windowed candidate set — all must match the host
+    executor exactly."""
+    import json
+
+    import veloci_tpu.persistence as pers_mod
+
+    monkeypatch.setattr(pers_mod, "LW_BLOCK", 16)
+    monkeypatch.setattr(batch_mod, "SMALL_DOCS", 1)
+    monkeypatch.setattr(ex_mod, "SMALL_DOCS", 1)
+
+    words = ["a", "ab", "abc", "abcd", "abcde"] + [
+        "x" * k + str(i) for k in range(1, 11) for i in range(30)
+    ]
+    docs = [json.dumps({"title": w}) for w in words]
+    p = Persistence.create_from_str("\n".join(docs), "{}")
+
+    probes = [
+        ("a", 2),      # d clamps to len-1 = 0
+        ("ab", 1),     # min_len = 1
+        ("b", 1),      # single char, d=1 -> window [0, 2] hits blk floor
+        ("x" * 30, 2), # longer than every term + d -> empty window
+        ("xxxx7", 1),
+    ]
+
+    def run_all(dev_paths: bool):
+        v = 1 if dev_paths else (1 << 60)
+        monkeypatch.setattr(batch_mod, "SMALL_DOCS", v)
+        monkeypatch.setattr(ex_mod, "SMALL_DOCS", v)
+        out = []
+        for t, d in probes:
+            req = Request.from_dict(
+                {
+                    "search_req": {
+                        "search": {
+                            "terms": [t],
+                            "path": "title",
+                            "levenshtein_distance": d,
+                        }
+                    },
+                    "top": 50,
+                }
+            )
+            out.append(search(req, p))
+        return out
+
+    want = run_all(dev_paths=False)
+    monkeypatch.setattr(batch_mod, "SMALL_DOCS", 1)
+    monkeypatch.setattr(ex_mod, "SMALL_DOCS", 1)
+    got = batch_mod.search_batch(
+        [
+            Request.from_dict(
+                {
+                    "search_req": {
+                        "search": {
+                            "terms": [t],
+                            "path": "title",
+                            "levenshtein_distance": d,
+                        }
+                    },
+                    "top": 50,
+                }
+            )
+            for t, d in probes
+        ],
+        p,
+    )
+    for (t, d), o, g in zip(probes, want, got):
+        assert g.num_hits == o.num_hits, (t, d, g.num_hits, o.num_hits)
+        assert [h.id for h in g.data] == [h.id for h in o.data], (t, d)
+
+    # case-sensitive verification through the windowed candidates
+    docs2 = [json.dumps({"title": w}) for w in ("Fuchs", "fuchs", "fuchT")]
+    p2 = Persistence.create_from_str("\n".join(docs2), "{}")
+    req_cs = Request.from_dict(
+        {
+            "search_req": {
+                "search": {
+                    "terms": ["fuchs"],
+                    "path": "title",
+                    "levenshtein_distance": 1,
+                    "ignore_case": False,
+                }
+            },
+            "top": 10,
+        }
+    )
+    monkeypatch.setattr(batch_mod, "SMALL_DOCS", 1 << 60)
+    monkeypatch.setattr(ex_mod, "SMALL_DOCS", 1 << 60)
+    want_cs = search(req_cs, p2)
+    monkeypatch.setattr(batch_mod, "SMALL_DOCS", 1)
+    monkeypatch.setattr(ex_mod, "SMALL_DOCS", 1)
+    got_cs = search(req_cs, p2)
+    assert got_cs.num_hits == want_cs.num_hits
+    assert [h.id for h in got_cs.data] == [h.id for h in want_cs.data]
