@@ -456,3 +456,68 @@ def test_search_batch_fuzzy_group(pers2f, monkeypatch):
         assert [(h.id, round(h.score, 4)) for h in res.data] == [
             (h.id, round(h.score, 4)) for h in single.data
         ]
+
+
+def test_sharded_fuzzy_match_length_window(monkeypatch):
+    """The windowed sharded sweep ([qlen-d, qlen+d] slice of each shard's
+    locally length-sorted layout) must find exactly the host's match set.
+    LW_SHARD_BLOCK is forced tiny so the window branch engages on a small
+    synthetic dictionary; widths pad per-shard and remap carries global
+    ids, so parity covers the slice/remap/all_gather plumbing."""
+    import jax
+
+    import veloci_tpu.parallel.sharding as sh_mod
+    from veloci_tpu.ops.levenshtein import (
+        encode_query,
+        levenshtein_distance_host,
+    )
+    from veloci_tpu.parallel.sharding import (
+        ShardedDictionary,
+        build_mesh,
+        sharded_fuzzy_match,
+    )
+
+    if len(jax.devices()) < 8:
+        pytest.skip("not enough devices")
+    monkeypatch.setattr(sh_mod, "LW_SHARD_BLOCK", 16)
+    mesh = build_mesh(8, 1)
+
+    # varied lengths so windows genuinely slice; diverse prefixes
+    terms = sorted(
+        {f"{'abcdwxyz'[i % 8]}{'m' * (i % 9)}{i % 53:02d}" for i in range(3000)}
+    )
+    max_l = 32
+    chars = np.zeros((len(terms), max_l), dtype=np.uint16)
+    lengths = np.zeros(len(terms), dtype=np.int32)
+    for i, t in enumerate(terms):
+        enc = [ord(c) for c in t]
+        chars[i, : len(enc)] = enc
+        lengths[i] = len(enc)
+    sd = ShardedDictionary(chars, lengths, mesh)
+
+    # the first probe's window must be real (not the full-matrix fallback)
+    _c, _l, _r, cum = sd.length_sorted()
+    lo = (cum[:, 4] // 16) * 16
+    need = int(max(cum[:, 7] - lo))
+    w = 16
+    while w < need:
+        w *= 2
+    assert w < 0.75 * sd.terms_per_shard, "window branch not engaged"
+
+    for query, d in (("amm07", 1), ("bmmmm21", 2), ("c04", 1), ("zmmmmmmmm52", 2)):
+        q, qlen = encode_query(query)
+        ids, dists, _p, total = sharded_fuzzy_match(
+            sd, q, qlen, distance=d,
+            min_len=len(query) - d, max_len=len(query) + d,
+        )
+        got = {int(i) for i in ids if 0 <= i < len(terms)}
+        expected = {
+            i
+            for i, t in enumerate(terms)
+            if levenshtein_distance_host(query, t) <= d
+        }
+        assert got == expected, (query, d)
+        # distances align with ids
+        by_id = {int(i): int(dd) for i, dd in zip(ids, dists) if i >= 0}
+        for i in got:
+            assert by_id[i] == levenshtein_distance_host(query, terms[i])

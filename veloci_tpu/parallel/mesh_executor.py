@@ -182,6 +182,10 @@ class MeshContext:
             ids, dists, prefixes, total = sharded_fuzzy_match(
                 sd, q, qlen, distance,
                 max_matches_per_shard=mm, starts_with=starts_with,
+                # lev(a,b) >= |len(a)-len(b)|: each shard sweeps only its
+                # [qlen-d, qlen+d] slice of the locally length-sorted layout
+                min_len=len(lower_term) - distance,
+                max_len=len(lower_term) + distance,
             )
             # conservative: a global total <= mm guarantees no single shard
             # clipped its per-shard window

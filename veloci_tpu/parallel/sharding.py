@@ -35,6 +35,12 @@ __all__ = [
     "build_mesh",
 ]
 
+# per-shard length-window granularity (rows); pow2 widths bound the compile
+# shapes exactly like persistence.LW_BLOCK does single-chip
+import os as _os
+
+LW_SHARD_BLOCK = int(_os.environ.get("VELOCI_LW_SHARD_BLOCK", "512"))
+
 
 def build_mesh(n_docs_shards: int, n_query_shards: int = 1, devices=None) -> Mesh:
     devices = devices if devices is not None else jax.devices()
@@ -130,6 +136,42 @@ class ShardedDictionary:
         self.lengths = jax.device_put(
             lens_p.reshape(d, per), NamedSharding(mesh, P(axis, None))
         )
+        self._chars_host = chars_p
+        self._lens_host = lens_p
+        self._ls = None  # lazy locally-length-sorted layout
+
+    def length_sorted(self):
+        """Locally length-sorted layout for window pruning: each shard's
+        slice sorted by term length (pads first), with a local-row -> GLOBAL
+        term-id remap and per-shard length boundaries. Local sorting keeps
+        the shards balanced — a GLOBAL length sort would concentrate each
+        query's window rows on one device (lev(a,b) >= |len(a)-len(b)| makes
+        windows length-contiguous)."""
+        if self._ls is None:
+            d = self.mesh.shape[self.axis]
+            per = self.terms_per_shard
+            max_l = self._chars_host.shape[1]
+            chars3 = self._chars_host.reshape(d, per, max_l)
+            lens2 = self._lens_host.reshape(d, per)
+            chars_ls = np.empty_like(chars3)
+            lens_ls = np.empty_like(lens2)
+            remap = np.full((d, per), -1, dtype=np.int32)
+            cum = np.empty((d, max_l + 2), dtype=np.int64)
+            for s in range(d):
+                order = np.argsort(lens2[s], kind="stable")
+                chars_ls[s] = chars3[s][order]
+                lens_ls[s] = lens2[s][order]
+                gids = order + s * per
+                remap[s] = np.where(gids < self.num_terms, gids, -1)
+                cum[s] = np.searchsorted(lens_ls[s], np.arange(max_l + 2))
+            sharding = NamedSharding(self.mesh, P(self.axis, None))
+            self._ls = (
+                jax.device_put(chars_ls, sharding),
+                jax.device_put(lens_ls, sharding),
+                jax.device_put(remap, sharding),
+                cum,
+            )
+        return self._ls
 
 
 def sharded_fuzzy_match(
@@ -139,17 +181,89 @@ def sharded_fuzzy_match(
     distance: int,
     max_matches_per_shard: int = 256,
     starts_with: bool = False,
+    min_len: Optional[int] = None,
+    max_len: Optional[int] = None,
 ):
     """Distributed fuzzy term match: per-shard Levenshtein sweep + top-M
     select, all_gather of the per-shard matches. Returns
     (term_ids [D*M] global ids or -1, distances [D*M], is_prefix [D*M],
     total_matches). The mesh serving path feeds these into the same field
-    search the single-chip path uses (field_search._match_fuzzy_device)."""
+    search the single-chip path uses (field_search._match_fuzzy_device).
+
+    With ``min_len``/``max_len`` set (and not ``starts_with``), each shard
+    sweeps only its length-window slice [min_len, max_len] of the locally
+    length-sorted layout (lev(a,b) >= |len(a)-len(b)|): a per-shard
+    dynamic_slice at the shard's own boundary, one shared pow2 width so the
+    program stays single-shape and the shards stay balanced."""
     from ..ops.levenshtein import sweep_select
 
     mesh = dictionary.mesh
     per = dictionary.terms_per_shard
     max_matches_per_shard = min(max_matches_per_shard, per)
+
+    if min_len is not None and max_len is not None and not starts_with:
+        from ..ops.postings import bucket_size
+
+        chars_ls, lens_ls, remap_ls, cum = dictionary.length_sorted()
+        max_l = cum.shape[1] - 2
+        lo = cum[:, max(min(min_len, max_l + 1), 0)]
+        hi = cum[:, max(min(max_len + 1, max_l + 1), 0)]
+        blk = LW_SHARD_BLOCK
+        lo_r = (lo // blk) * blk
+        width = bucket_size(int(max(hi - lo_r)) if len(lo_r) else 1, blk)
+        if width < 0.75 * per:
+            width = min(width, per)
+            mm = min(max_matches_per_shard, width)
+            lo_dev = jax.device_put(
+                lo_r.astype(np.int32), NamedSharding(mesh, P(dictionary.axis))
+            )
+
+            def step_w(chars, lens, remap, lo_s, q, qlen, dist):
+                chars, lens = chars[0], lens[0]
+                remap, lo_s = remap[0], lo_s[0]
+                cw = jax.lax.dynamic_slice(
+                    chars, (lo_s, 0), (width, chars.shape[1])
+                )
+                lw = jax.lax.dynamic_slice(lens, (lo_s,), (width,))
+                rw = jax.lax.dynamic_slice(remap, (lo_s,), (width,))
+                sel_ids, sel_dist, sel_prefix, total = sweep_select(
+                    cw, lw, q, qlen, dist, jnp.bool_(False),
+                    max_matches=mm, remap=rw,
+                )
+                all_ids = jax.lax.all_gather(sel_ids, "d").reshape(-1)
+                all_dist = jax.lax.all_gather(sel_dist, "d").reshape(-1)
+                all_prefix = jax.lax.all_gather(sel_prefix, "d").reshape(-1)
+                all_total = jax.lax.psum(total, "d")
+                return (
+                    all_ids[None], all_dist[None], all_prefix[None],
+                    all_total[None],
+                )
+
+            ax = dictionary.axis
+            fn = jax.jit(
+                jax.shard_map(
+                    step_w,
+                    mesh=mesh,
+                    in_specs=(
+                        P(ax, None, None), P(ax, None), P(ax, None), P(ax),
+                        P(), P(), P(),
+                    ),
+                    out_specs=(
+                        P(None, None), P(None, None), P(None, None), P(None),
+                    ),
+                    check_vma=False,
+                )
+            )
+            ids, dists, prefixes, total = fn(
+                chars_ls, lens_ls, remap_ls, lo_dev,
+                jnp.asarray(query), jnp.int32(query_len), jnp.int32(distance),
+            )
+            return (
+                np.asarray(ids[0]),
+                np.asarray(dists[0]),
+                np.asarray(prefixes[0]),
+                int(total[0]),
+            )
 
     def step(chars, lens, q, qlen, dist):
         chars, lens = chars[0], lens[0]
