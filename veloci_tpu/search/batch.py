@@ -24,6 +24,15 @@ import numpy as np
 from ..create import TEXTINDEX
 from ..query.request import Request, SearchRequest
 from .executor import SMALL_DOCS, _fuzzy_fast_eligible, search
+
+# sticky fuzzy-capacity hints track this percentile of each batch's posting
+# needs (bounded one bucket move per batch). Higher = fewer retry rounds
+# (each retry round costs one link round-trip, ~30 ms on the tunnel) at the
+# price of a wider sorted-run resolve for everyone; 75 is the measured
+# sweet spot single-chip, tune on-link with VELOCI_FUZZY_CAP_PCTL.
+import os as _os
+
+_CAP_PCTL = float(_os.environ.get("VELOCI_FUZZY_CAP_PCTL", "75"))
 from .result import Hit, SearchResult
 
 __all__ = ["search_batch", "search_single_fused"]
@@ -1339,7 +1348,7 @@ def _run_fuzzy_generic_group(
                     # one bucket move per batch) — a high-water mark pinned
                     # every later batch to the worst query ever seen
                     p75 = bucket_size(
-                        max(int(np.percentile(post_b[: len(rows)], 75)), 64)
+                        max(int(np.percentile(post_b[: len(rows)], _CAP_PCTL)), 64)
                     )
                     if p75 > capacity:
                         persistence._fuzzy_cap_hint[field] = min(
@@ -1539,7 +1548,7 @@ def _run_fuzzy_group(persistence, field, entries, results, start, pool=None) -> 
             # queries match >64 terms should start wide instead of paying a
             # retry round
             if needs:
-                p75 = bucket_size(max(int(np.percentile(needs, 75)), 64))
+                p75 = bucket_size(max(int(np.percentile(needs, _CAP_PCTL)), 64))
                 if p75 > c0:
                     persistence._fuzzy_cap_hint[field] = min(worst, c0 * 2)
                 elif p75 < c0:
