@@ -319,6 +319,14 @@ class DeviceField:
         key = (lo_r, width)
         cached = cache.get(key)
         if cached is None:
+            if len(cache) >= LW_MAX_VARIANTS:
+                # bound host AND device memory: each variant namespaces its
+                # char/length/id uploads into the SHARED _dev dict — evict
+                # the oldest variant's buffers along with its cache entry
+                _k, old = next(iter(cache.items()))
+                cache.pop(_k)
+                for dk in [d for d in self._dev if d.startswith(old._kp)]:
+                    self._dev.pop(dk, None)
             chars = np.zeros((width, chars_ls.shape[1]), dtype=np.uint16)
             lens = np.zeros(width, dtype=np.int32)
             ids = np.full(width, -1, dtype=np.int32)
@@ -400,6 +408,9 @@ SHORT_SWEEP_MAX = int(os.environ.get("VELOCI_SHORT_SWEEP_MAX", "12"))
 # Length-window granularity: windows round to this many rows and pow2
 # widths, bounding the number of distinct sweep shapes (each is a compile).
 LW_BLOCK = int(os.environ.get("VELOCI_LW_BLOCK", "4096"))
+# cap on cached window variants per field (each holds a host slice copy +
+# namespaced device uploads; realistic traffic needs < ~16)
+LW_MAX_VARIANTS = int(os.environ.get("VELOCI_LW_MAX_VARIANTS", "24"))
 
 
 def _round_up(n: int, m: int) -> int:
