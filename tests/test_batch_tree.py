@@ -413,6 +413,7 @@ def test_plain_fuzzy_multichunk_retry_parity(big_fuzzy_pers, monkeypatch):
     pers = big_fuzzy_pers
     monkeypatch.setattr(batch_mod, "SMALL_DOCS", 1)
     monkeypatch.setattr(ex_mod, "SMALL_DOCS", 1)
+    monkeypatch.setenv("VELOCI_FUZZY_VIA_TREE", "0")  # the fused ladder
     monkeypatch.setenv("VELOCI_FUZZY_CHUNK_Q", "1")
     pers._fuzzy_cap_hint = {"title": 64}
     dicts = [
@@ -435,6 +436,46 @@ def test_plain_fuzzy_multichunk_retry_parity(big_fuzzy_pers, monkeypatch):
         ref = ex_mod.search(Request.from_dict(d), pers)
         assert br.num_hits == ref.num_hits, d
         assert [h.id for h in br.data] == [h.id for h in ref.data], d
+
+
+def test_plain_fuzzy_via_tree_route_parity(big_fuzzy_pers, monkeypatch):
+    """The DEFAULT route for plain single-leaf fuzzy: one windowed prefetch
+    sweep, then the sorted tree kernel at each query's KNOWN posting-total
+    bucket (no blind capacity ladder). Full parity with the host executor,
+    and the fused ladder (`_run_fuzzy_group`) must not be touched."""
+    pers = big_fuzzy_pers
+    monkeypatch.setattr(batch_mod, "SMALL_DOCS", 1)
+    monkeypatch.setattr(ex_mod, "SMALL_DOCS", 1)
+    monkeypatch.setenv("VELOCI_FUZZY_VIA_TREE", "1")
+    fused_calls: list = []
+    orig = batch_mod._run_fuzzy_group
+    monkeypatch.setattr(
+        batch_mod,
+        "_run_fuzzy_group",
+        lambda *a, **k: (fused_calls.append(1), orig(*a, **k))[1],
+    )
+    dicts = [
+        {
+            "search_req": {
+                "search": {
+                    "terms": [t],
+                    "path": "title",
+                    "levenshtein_distance": 1,
+                }
+            },
+            "top": 10,
+        }
+        for t in ("buc", "bucj", "buch", "lesen", "w3")
+    ]
+    got = batch_mod.search_batch([Request.from_dict(d) for d in dicts], pers)
+    assert not fused_calls, "plain fuzzy should ride the tree path"
+    assert all(r is not None for r in got)
+    for d, br in zip(dicts, got):
+        ref = _host_search(monkeypatch, pers, Request.from_dict(d))
+        assert br.num_hits == ref.num_hits, d
+        assert [h.id for h in br.data] == [h.id for h in ref.data], d
+        for g, w in zip(br.data, ref.data):
+            assert float(g.score) == pytest.approx(float(w.score), rel=1e-4)
 
 
 def test_sort_capacity_cap_routes_to_dense_executor(big_fuzzy_pers, monkeypatch):
@@ -501,6 +542,10 @@ def test_all_runner_types_share_one_batch(pers, monkeypatch):
     per-request fallback — all draining through the shared sync pool, with
     full parity against the host executor."""
     from test_batch_generic import GENERIC_REQUESTS
+
+    # pin the legacy route so the FUSED fuzzy runner is one of the types
+    # sharing the pool (the default routes plain fuzzy via the tree kernel)
+    monkeypatch.setenv("VELOCI_FUZZY_VIA_TREE", "0")
 
     dicts = [
         # single exact term (batched_single_term_topk)

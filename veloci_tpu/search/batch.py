@@ -893,8 +893,19 @@ def search_batch(requests: List[Request], persistence) -> List[SearchResult]:
     fuzzy_groups: dict = {}  # field -> [(qi, req, term, distance)]
     generic_groups: dict = {}  # sig -> [(qi, req, spec)]
     rest: list = []
+    # Plain single-leaf fuzzy: by default ride the PREFETCH + tree-kernel
+    # route (the generator-shape machinery) — matches come from ONE batched
+    # windowed sweep per field, then the resolve dispatches at each query's
+    # KNOWN posting capacity (same buckets as exact singles/trees), so there
+    # is no blind capacity ladder, no overflow retries and no adaptive-hint
+    # drift recompiling shapes between batches. VELOCI_FUZZY_VIA_TREE=0
+    # reverts to the fully-fused sweep+resolve kernel (`_run_fuzzy_group`),
+    # which also remains the route when no combined CSR exists.
+    via_tree = comb is not None and _os.environ.get(
+        "VELOCI_FUZZY_VIA_TREE", "1"
+    ) != "0"
     for qi, req in enumerate(requests):
-        fz = _fuzzy_fast_eligible(req, persistence)
+        fz = None if via_tree else _fuzzy_fast_eligible(req, persistence)
         if fz is not None:
             field, term, distance = fz
             fuzzy_groups.setdefault(field, []).append((qi, req, term, distance))
@@ -1542,17 +1553,19 @@ def _run_fuzzy_group(persistence, field, entries, results, start, pool=None) -> 
         matches: list = []
 
         def finalize():
-            # sticky hints track the workload's p75 (bounded one bucket move
-            # per batch, so an oscillating workload can't thrash): capacity
-            # AND the selection window — a d=2-heavy workload where most
-            # queries match >64 terms should start wide instead of paying a
-            # retry round
+            # sticky hints jump STRAIGHT to the workload's p75 bucket (the
+            # one-bucket-per-batch walk converged over several batches, and
+            # every intermediate hint value compiled its own kernel shape —
+            # the round-4 on-chip capture showed the third serving pass still
+            # paying fresh compiles; a direct set reaches the fixed point in
+            # one batch and an oscillating workload only alternates between
+            # two ALREADY-COMPILED shapes): capacity AND the selection
+            # window — a d=2-heavy workload where most queries match >64
+            # terms should start wide instead of paying a retry round
             if needs:
                 p75 = bucket_size(max(int(np.percentile(needs, _CAP_PCTL)), 64))
-                if p75 > c0:
-                    persistence._fuzzy_cap_hint[field] = min(worst, c0 * 2)
-                elif p75 < c0:
-                    persistence._fuzzy_cap_hint[field] = max(64, c0 // 2)
+                if p75 != c0:
+                    persistence._fuzzy_cap_hint[field] = min(worst, max(64, p75))
             if matches:
                 p75m = int(np.percentile(matches, 75))
                 mt_hints[field] = (
