@@ -71,7 +71,9 @@ HARD_S = float(os.environ.get("BENCH_HARD_S", "1980"))
 
 
 def log(*args):
-    print(*args, file=sys.stderr, flush=True)
+    # elapsed-since-origin prefix: the round-3/4 captures starved before the
+    # scale rows with no way to tell which section ate the wall clock
+    print(f"[+{time.time() - _ORIGIN:.0f}s]", *args, file=sys.stderr, flush=True)
 
 
 def budget_left() -> float:
@@ -96,12 +98,18 @@ _EMIT_LOCK = threading.Lock()
 _EMITTED = False
 
 
+_LAST_MARK = [time.time()]
+
+
 def update_result(section=None, value=None, vs_baseline=None, **detail):
     """Fold a completed section into the provisional result snapshot."""
     d = _RESULT["detail"]
     d.update(detail)
     if section and section not in d["completed_sections"]:
         d["completed_sections"].append(section)
+        now = time.time()
+        d.setdefault("section_times", {})[section] = round(now - _LAST_MARK[0], 1)
+        _LAST_MARK[0] = now
     if value is not None:
         _RESULT["value"] = round(float(value), 1)
     if vs_baseline is not None:
@@ -311,6 +319,319 @@ def engine_exact(pers, tid_host, backend):
     return per_iter, w1, w2
 
 
+def _fuzzy_tree_engine(pers, terms, backend, num_docs):
+    """Engine-only cost of the DEFAULT plain-fuzzy serving route
+    (VELOCI_FUZZY_VIA_TREE=1): one windowed prefetch sweep per batch plus
+    the sorted tree kernel at each query's KNOWN posting-total bucket. The
+    two device phases are scan-differenced separately and summed (the host
+    match assembly between them is serving overhead, not engine cost).
+    Returns (per_batch_s, plan_str)."""
+    import jax
+    import jax.numpy as jnp
+
+    from veloci_tpu import Request
+    from veloci_tpu.ops.levenshtein import encode_query, select_matches
+    from veloci_tpu.ops.postings import MAX_SORT_CAPACITY, bucket_size
+    from veloci_tpu.ops.tree_step import batched_tree_topk
+    from veloci_tpu.search import batch as batch_mod
+    from veloci_tpu.search.field_search import prefetch_fuzzy_matches
+
+    dev = pers.device_field("title")
+    comb = pers.device_combined()
+    use_banded = backend == "tpu"
+
+    # ---- sweep phase: prefetch_fuzzy_matches' dispatch plan -------------
+    by_var: dict = {}
+    for t in terms:
+        lt = t.lower()
+        d = min(2, max(len(lt) - 1, 0))
+        v = dev.length_window_variant(len(lt) - d, len(lt) + d)
+        by_var.setdefault(id(v), (v, []))[1].append((lt, d))
+    sweep_static = []  # [(rows_n, mm)]
+    sweep_ops = []
+    for v, items in by_var.values():
+        mm = min(256, v._chars_host.shape[0])
+        chunk_q = 64 if use_banded else max(len(items), 1)
+        for cbase in range(0, len(items), chunk_q):
+            citems = items[cbase : cbase + chunk_q]
+            rows_n = 8
+            while rows_n < len(citems):
+                rows_n *= 2
+            queries = np.zeros((rows_n, 32), np.uint16)
+            qlens = np.zeros(rows_n, np.int32)
+            dists = np.full(rows_n, -1, np.int32)
+            for row, (lt, d) in enumerate(citems):
+                q, ql = encode_query(lt)
+                queries[row] = q
+                qlens[row] = ql
+                dists[row] = d
+            sweep_static.append((rows_n, mm))
+            sweep_ops.append(
+                (
+                    v.chars_t if use_banded else v.chars,
+                    v.lengths,
+                    v.sweep_ids,
+                    jnp.asarray(queries),
+                    jnp.asarray(qlens),
+                    jnp.asarray(dists),
+                )
+            )
+    sweep_ops = tuple(sweep_ops)
+
+    def sweep_body(carry, ops):
+        off = (carry * jnp.float32(1e-20)).astype(jnp.uint16)
+        acc = jnp.float32(0)
+        for (_rows_n, mm), (chars, lens, sweep_ids, q, ql, dd) in zip(
+            sweep_static, ops
+        ):
+            if use_banded:
+                from veloci_tpu.ops.pallas_levenshtein import (
+                    levenshtein_sweep_pallas_banded_batch,
+                )
+
+                dist_b, _pd, pref_b = levenshtein_sweep_pallas_banded_batch(
+                    chars + off[None, None], lens, q, ql, band=2
+                )
+            else:
+                from veloci_tpu.ops.levenshtein import levenshtein_sweep
+
+                dist_b, _pd, pref_b = jax.vmap(
+                    lambda qq, qql: levenshtein_sweep(
+                        chars + off[None, None], lens, qq, qql
+                    )
+                )(q, ql)
+            _ids, _d, _p, tot_b = jax.vmap(
+                lambda dv, pv, ddv: select_matches(
+                    dv, pv, dv, ddv, max_matches=mm, remap=sweep_ids
+                )
+            )(dist_b, pref_b, dd)
+            acc = acc + tot_b[0].astype(jnp.float32)
+        return acc * jnp.float32(1e-12)
+
+    # ---- resolve phase: the serving bucketing over the primed memo ------
+    freqs = [
+        Request.from_dict(
+            {
+                "search_req": {
+                    "search": {
+                        "terms": [t],
+                        "path": "title",
+                        "levenshtein_distance": 2,
+                    }
+                },
+                "top": TOP_K,
+            }
+        )
+        for t in terms
+    ]
+    prefetch_fuzzy_matches(
+        pers, {("title", t.lower(), min(2, max(len(t) - 1, 0)), False) for t in terms}
+    )
+    ho = comb.host_offsets
+    sub: dict = {}
+    fallbacks = 0
+    for req in freqs:
+        tree = batch_mod._plain_eligible(req, pers, comb)
+        if tree is None or tree[0] == "deep":
+            fallbacks += 1
+            continue
+        gtids, _ng = tree
+        tot = sum(int(ho[g + 1] - ho[g]) for g, *_r in gtids)
+        if tot > MAX_SORT_CAPACITY:
+            fallbacks += 1
+            continue
+        cap = min(batch_mod._cap_bucket(max(tot, 1)), MAX_SORT_CAPACITY)
+        sub.setdefault(cap, []).append(gtids)
+    resolve_caps = []
+    resolve_ops = []
+    for cap, rows in sorted(sub.items()):
+        t_pad = bucket_size(max(len(g) for g in rows), 8)
+        q_pad = bucket_size(len(rows), 8)
+        tid = np.full((q_pad, t_pad), -1, np.int32)
+        ts = np.zeros((q_pad, t_pad), np.float32)
+        sl = np.zeros((q_pad, t_pad), np.int32)
+        for r, g in enumerate(rows):
+            for j, e in enumerate(g[:t_pad]):
+                tid[r, j], ts[r, j], sl[r, j] = e[0], e[1], e[2]
+        resolve_caps.append(cap)
+        resolve_ops.append(
+            (
+                jnp.asarray(tid),
+                jnp.asarray(ts),
+                jnp.asarray(sl),
+                jnp.asarray(np.ones(q_pad, np.int32)),
+            )
+        )
+    plan = ", ".join(
+        f"{c}x{o[0].shape[0]}" for c, o in zip(resolve_caps, resolve_ops)
+    ) + (f" (+{fallbacks} fallback)" if fallbacks else "")
+
+    def resolve_body(carry, ops):
+        offs_d, packed_d, groups = ops
+        off = (carry * jnp.float32(1e-20)).astype(jnp.int32)
+        acc = jnp.float32(0)
+        for cap, (tid, ts, sl, ng) in zip(resolve_caps, groups):
+            _ids, scores, _nh, _fc = batched_tree_topk(
+                offs_d, None, None, tid + off, ts, sl, ng,
+                None, None, None, (), (),
+                capacity=cap, num_docs=num_docs, k=TOP_K,
+                boost_specs=(), has_phrase=False, packed=packed_d,
+            )
+            acc = acc + scores[0, 0]
+        return acc * jnp.float32(1e-12)
+
+    n1, n2 = (2, 6) if backend == "cpu" else (2, 10)
+    per_sweep, _, _ = measure_scan(
+        sweep_body, n1, n2, retries=1, operands=sweep_ops
+    )
+    per_res = 0.0
+    if resolve_ops:
+        per_res, _, _ = measure_scan(
+            resolve_body, n1, n2, retries=1,
+            operands=(comb.offsets, comb.packed, tuple(resolve_ops)),
+        )
+    log(
+        f"fuzzy tree plan: sweep {per_sweep * 1e3:.2f} ms "
+        f"({len(sweep_ops)} dispatches) + resolve {per_res * 1e3:.2f} ms "
+        f"({plan})"
+    )
+    return per_sweep + per_res
+
+
+def _fuzzy_fused_engine(pers, dev, fuzzy_terms, fq, fqueries, fqlens, backend, num_docs):
+    """Engine-only cost of the LEGACY fused plain-fuzzy route
+    (VELOCI_FUZZY_VIA_TREE=0): mirrors `_run_fuzzy_group`'s dispatch
+    ladder (pass-1 at the sticky hint + per-row capacity retries).
+    Returns per_batch_s."""
+    import jax.numpy as jnp
+
+    from veloci_tpu.ops.fuzzy_step import (
+        batched_fuzzy_search_topk,
+        batched_fuzzy_search_topk_banded,
+    )
+    from veloci_tpu.search.executor import fuzzy_start_capacity
+
+    # mirror the SERVING dispatch plan exactly (_run_fuzzy_group):
+    # pass 1 = whole batch at the sticky capacity hint with the small
+    # selection window; pass 2 = only the rows the kernel would report
+    # as overflowing, at their own bucket / wide window. The host knows
+    # the classification from the prefetched matches.
+    from veloci_tpu.ops.postings import bucket_size
+    from veloci_tpu.search.field_search import (
+        _fuzzy_match_cache,
+        prefetch_fuzzy_matches,
+    )
+
+    worst = dev.fuzzy_capacity(256)
+    c0 = min(worst, fuzzy_start_capacity(pers, "title"))
+    mt0 = getattr(pers, "_fuzzy_mt_hint", {}).get("title", 64)
+    prefetch_fuzzy_matches(
+        pers, {("title", t.lower(), 2, False) for t in fuzzy_terms[:fq]}
+    )
+    memo = _fuzzy_match_cache(pers)
+    ho_f = dev.host_offsets
+    use_banded = backend == "tpu"
+    step_fn = (
+        batched_fuzzy_search_topk_banded if use_banded else batched_fuzzy_search_topk
+    )
+
+    # mirror serving's per-row length-window grouping
+    # (_run_fuzzy_group.row_variant): rows group by their window variant
+    # [qlen-d, qlen+d] of the length-sorted matrix; each group pays one
+    # pass-1 dispatch at the sticky capacity, overflowing rows re-pay
+    # alone at their own bucket — exactly the serving dispatch ladder
+    by_var: dict = {}
+    for row, t in enumerate(fuzzy_terms[:fq]):
+        v = dev.length_window_variant(len(t) - 2, len(t) + 2)
+        by_var.setdefault(id(v), (v, []))[1].append(row)
+    group_plan = []  # (variant, rows, retry {(cap, mt): rows})
+    for v, rows in by_var.values():
+        retry: dict = {}
+        for row in rows:
+            t = fuzzy_terms[row]
+            m, _d, _p = memo[("title", t.lower(), 2, False)]
+            tot = int((ho_f[m + 1] - ho_f[m]).sum()) if len(m) else 0
+            if len(m) > mt0:
+                retry.setdefault(
+                    (min(worst, bucket_size(max(tot, c0))), 256), []
+                ).append(row)
+            elif tot > c0:
+                retry.setdefault(
+                    (min(worst, bucket_size(tot)), mt0), []
+                ).append(row)
+        group_plan.append((v, rows, retry))
+    log(
+        "fuzzy serving plan: "
+        + " | ".join(
+            f"{v._chars_host.shape[0]}rows: pass1 {len(rows)}@({c0},mt{mt0})"
+            + "".join(
+                f" +{len(r)}@({c},mt{m})" for (c, m), r in sorted(rt.items())
+            )
+            for v, rows, rt in group_plan
+        )
+    )
+    anc_d = sc_d = None  # packed-only postings
+
+    # static dispatch schedule + per-group device operands
+    group_static = []  # [(n_retries, [(cap, mt), ...])]
+    group_ops = []
+    for v, rows, rt in group_plan:
+        retry_static = sorted(rt)
+        group_static.append(retry_static)
+        retries_o = tuple(
+            (
+                jnp.asarray(fqueries[r]),
+                jnp.asarray(fqlens[r]),
+                jnp.asarray(np.full(len(r), 2, np.int32)),
+            )
+            for (_c, _m), r in sorted(rt.items())
+        )
+        group_ops.append(
+            (
+                v.chars_t if use_banded else v.chars,
+                v.lengths,
+                v.sweep_ids,
+                v.offsets,
+                v.packed,
+                jnp.asarray(fqueries[rows]),
+                jnp.asarray(fqlens[rows]),
+                jnp.asarray(np.full(len(rows), 2, np.int32)),
+                retries_o,
+            )
+        )
+    group_ops = tuple(group_ops)
+
+    def fuzzy_body(carry, ops):
+        off = (carry * jnp.float32(1e-20)).astype(jnp.uint16)
+        acc = jnp.float32(0)
+        for retry_static, g_ops in zip(group_static, ops):
+            chars_o, lens_o, sweep_o, offs_o, packed_o, fqj_o, flj_o, fdists_o, retries_o = g_ops
+            _ids, scores, _nh, _tm, _tp = step_fn(
+                chars_o + off[None, None], lens_o, fqj_o, flj_o, fdists_o,
+                offs_o, anc_d, sc_d,
+                max_terms=64, capacity=c0, num_docs=num_docs, k=TOP_K,
+                packed=packed_o, sweep_ids=sweep_o,
+                **({"band": 2} if use_banded else {}),
+            )
+            acc = acc + scores[0, 0]
+            for (cap, mt), (rq, rl, rd) in zip(retry_static, retries_o):
+                _ids, scores, _nh, _tm, _tp = step_fn(
+                    chars_o + off[None, None], lens_o, rq, rl, rd,
+                    offs_o, anc_d, sc_d,
+                    max_terms=mt, capacity=cap, num_docs=num_docs, k=TOP_K,
+                    packed=packed_o, sweep_ids=sweep_o,
+                    **({"band": 2} if use_banded else {}),
+                )
+                acc = acc + scores[0, 0]
+        return acc * jnp.float32(1e-12)
+
+    fn1, fn2 = (2, 6) if backend == "cpu" else (2, 10)
+    per_f, _, _ = measure_scan(
+        fuzzy_body, fn1, fn2, retries=1, operands=group_ops
+    )
+    return per_f
+
+
 def fuzzy_query_arrays(vocab, nq, seed=99):
     from veloci_tpu.ops.levenshtein import encode_query
 
@@ -393,9 +714,12 @@ def native_cpu_baseline(pers, tid_host, reps=20):
     return out
 
 
-def scale_summary(n_docs, backend) -> dict:
+def scale_summary(n_docs, backend, on_core=None) -> dict:
     """Compact scale section (1M / 6M docs): build + upload + warmup + the
-    key engine/serving numbers, without the full 100k battery."""
+    key engine/serving numbers, without the full 100k battery. ``on_core``
+    is invoked with the row BEFORE the optional cold-start subprocess so a
+    cold-start stall cannot lose the core numbers (round-3: device_init_s
+    hit 652s through a degraded tunnel)."""
     import jax.numpy as jnp
 
     from veloci_tpu import Persistence, Request
@@ -469,9 +793,14 @@ def scale_summary(n_docs, backend) -> dict:
         lat.append(time.perf_counter() - q0)
     out["warm_seq_p50_ms"] = round(percentile(lat, 50) * 1e3, 1)
 
+    if on_core is not None:
+        on_core(dict(out))
+
     # cold start: save, then a fresh process loads + warms + answers one
-    # query — the reference's mmap-load warm path analog. Needs budget.
-    if os.environ.get("BENCH_COLDSTART", "1") != "0" and budget_left() > 600:
+    # query — the reference's mmap-load warm path analog. Diagnostic only
+    # (not a headline), so it needs GENEROUS spare budget: the subprocess's
+    # own axon device acquisition alone has cost 134-652s
+    if os.environ.get("BENCH_COLDSTART", "1") != "0" and budget_left() > 900:
         import subprocess
         import tempfile
 
@@ -517,7 +846,7 @@ def scale_summary(n_docs, backend) -> dict:
                 [sys.executable, "-c", code],
                 capture_output=True,
                 text=True,
-                timeout=max(300, budget_left() * 0.8),
+                timeout=min(max(300, budget_left() * 0.6), 600),
                 cwd=os.path.dirname(os.path.abspath(__file__)) or ".",
             )
             cold = json.loads(proc.stdout.strip().splitlines()[-1])
@@ -821,131 +1150,36 @@ def main() -> None:
         ]
         fres = search_batch(freqs, pers)
         assert any(r.data for r in fres), "fuzzy serving returned no hits"
-        search_batch(freqs, pers)  # second warm: the capacity/window hints
-        # adapted after run 1, so run 2 compiles the post-convergence shapes
+        # warm to the hint/compile fixed point: adaptive capacity hints and
+        # window variants settle over the first passes (each drift compiles
+        # fresh shapes — the round-3 capture measured a pass full of
+        # compiles); stop when a pass is within 20% of the previous one
+        prev = None
+        for _wp in range(4):
+            if budget_left() < 180:
+                break
+            t0 = time.perf_counter()
+            search_batch(freqs, pers)
+            dt = time.perf_counter() - t0
+            if prev is not None and dt < prev * 1.2:
+                break
+            prev = dt
         t0 = time.perf_counter()
         search_batch(freqs, pers)
         fuzzy_serving_qps = fq / (time.perf_counter() - t0)
         log(f"[{backend}] fuzzy serving e2e: {fuzzy_serving_qps:.0f} QPS")
 
-        # mirror the SERVING dispatch plan exactly (_run_fuzzy_group):
-        # pass 1 = whole batch at the sticky capacity hint with the small
-        # selection window; pass 2 = only the rows the kernel would report
-        # as overflowing, at their own bucket / wide window. The host knows
-        # the classification from the prefetched matches.
-        from veloci_tpu.ops.postings import bucket_size
-        from veloci_tpu.search.field_search import (
-            _fuzzy_match_cache,
-            prefetch_fuzzy_matches,
-        )
-
-        worst = dev.fuzzy_capacity(256)
-        c0 = min(worst, fuzzy_start_capacity(pers, "title"))
-        mt0 = getattr(pers, "_fuzzy_mt_hint", {}).get("title", 64)
-        prefetch_fuzzy_matches(
-            pers, {("title", t.lower(), 2, False) for t in fuzzy_terms[:fq]}
-        )
-        memo = _fuzzy_match_cache(pers)
-        ho_f = dev.host_offsets
-        use_banded = backend == "tpu"
-        step_fn = (
-            batched_fuzzy_search_topk_banded if use_banded else batched_fuzzy_search_topk
-        )
-
-        # mirror serving's per-row length-window grouping
-        # (_run_fuzzy_group.row_variant): rows group by their window variant
-        # [qlen-d, qlen+d] of the length-sorted matrix; each group pays one
-        # pass-1 dispatch at the sticky capacity, overflowing rows re-pay
-        # alone at their own bucket — exactly the serving dispatch ladder
-        by_var: dict = {}
-        for row, t in enumerate(fuzzy_terms[:fq]):
-            v = dev.length_window_variant(len(t) - 2, len(t) + 2)
-            by_var.setdefault(id(v), (v, []))[1].append(row)
-        group_plan = []  # (variant, rows, retry {(cap, mt): rows})
-        for v, rows in by_var.values():
-            retry: dict = {}
-            for row in rows:
-                t = fuzzy_terms[row]
-                m, _d, _p = memo[("title", t.lower(), 2, False)]
-                tot = int((ho_f[m + 1] - ho_f[m]).sum()) if len(m) else 0
-                if len(m) > mt0:
-                    retry.setdefault(
-                        (min(worst, bucket_size(max(tot, c0))), 256), []
-                    ).append(row)
-                elif tot > c0:
-                    retry.setdefault(
-                        (min(worst, bucket_size(tot)), mt0), []
-                    ).append(row)
-            group_plan.append((v, rows, retry))
-        log(
-            "fuzzy serving plan: "
-            + " | ".join(
-                f"{v._chars_host.shape[0]}rows: pass1 {len(rows)}@({c0},mt{mt0})"
-                + "".join(
-                    f" +{len(r)}@({c},mt{m})" for (c, m), r in sorted(rt.items())
-                )
-                for v, rows, rt in group_plan
+        if os.environ.get("VELOCI_FUZZY_VIA_TREE", "1") != "0":
+            # engine mirror of the DEFAULT serving route: windowed
+            # prefetch sweep + tree-kernel resolve at known buckets
+            per_f = _fuzzy_tree_engine(
+                pers, [t for t in fuzzy_terms[:fq]], backend, num_docs
             )
-        )
-        anc_d = sc_d = None  # packed-only postings
-
-        # static dispatch schedule + per-group device operands
-        group_static = []  # [(n_retries, [(cap, mt), ...])]
-        group_ops = []
-        for v, rows, rt in group_plan:
-            retry_static = sorted(rt)
-            group_static.append(retry_static)
-            retries_o = tuple(
-                (
-                    jnp.asarray(fqueries[r]),
-                    jnp.asarray(fqlens[r]),
-                    jnp.asarray(np.full(len(r), 2, np.int32)),
-                )
-                for (_c, _m), r in sorted(rt.items())
+        else:
+            per_f = _fuzzy_fused_engine(
+                pers, dev, fuzzy_terms, fq, fqueries, fqlens, backend,
+                num_docs,
             )
-            group_ops.append(
-                (
-                    v.chars_t if use_banded else v.chars,
-                    v.lengths,
-                    v.sweep_ids,
-                    v.offsets,
-                    v.packed,
-                    jnp.asarray(fqueries[rows]),
-                    jnp.asarray(fqlens[rows]),
-                    jnp.asarray(np.full(len(rows), 2, np.int32)),
-                    retries_o,
-                )
-            )
-        group_ops = tuple(group_ops)
-
-        def fuzzy_body(carry, ops):
-            off = (carry * jnp.float32(1e-20)).astype(jnp.uint16)
-            acc = jnp.float32(0)
-            for retry_static, g_ops in zip(group_static, ops):
-                chars_o, lens_o, sweep_o, offs_o, packed_o, fqj_o, flj_o, fdists_o, retries_o = g_ops
-                _ids, scores, _nh, _tm, _tp = step_fn(
-                    chars_o + off[None, None], lens_o, fqj_o, flj_o, fdists_o,
-                    offs_o, anc_d, sc_d,
-                    max_terms=64, capacity=c0, num_docs=num_docs, k=TOP_K,
-                    packed=packed_o, sweep_ids=sweep_o,
-                    **({"band": 2} if use_banded else {}),
-                )
-                acc = acc + scores[0, 0]
-                for (cap, mt), (rq, rl, rd) in zip(retry_static, retries_o):
-                    _ids, scores, _nh, _tm, _tp = step_fn(
-                        chars_o + off[None, None], lens_o, rq, rl, rd,
-                        offs_o, anc_d, sc_d,
-                        max_terms=mt, capacity=cap, num_docs=num_docs, k=TOP_K,
-                        packed=packed_o, sweep_ids=sweep_o,
-                        **({"band": 2} if use_banded else {}),
-                    )
-                    acc = acc + scores[0, 0]
-            return acc * jnp.float32(1e-12)
-
-        fn1, fn2 = (2, 6) if backend == "cpu" else (2, 10)
-        per_f, _, _ = measure_scan(
-            fuzzy_body, fn1, fn2, retries=1, operands=group_ops
-        )
         fuzzy_ms_per_batch = per_f * 1e3
         qps_fuzzy_batched = fq / per_f
         log(
@@ -1251,6 +1485,73 @@ def main() -> None:
     except Exception as exc:
         log(f"generator serving failed: {type(exc).__name__}: {exc}")
 
+    # ---- native single-core C++ baseline (reference hot path) ------------
+    # runs even in lean mode (seconds, and it gives the liveness line an
+    # honest vs_baseline); the XLA-CPU proxy child (BENCH_LITE) skips it
+    native = {}
+    try:
+        if lite and not lean:
+            raise RuntimeError("lite mode")
+        native = native_cpu_baseline(pers, tid_host)
+        log(f"native single-core baseline: {native}")
+        update_result(section="native_baseline", baselines=dict(native))
+    except Exception as e:
+        log(f"native baseline failed: {e!r}")
+
+    # provisional headline ratio from the 100k native baselines; the 1M row
+    # (strict venue) and the XLA-CPU proxy refine it below
+    vs_baseline = 1.0
+    native_strict = max(
+        (native[k] for k in ("native_cpu_raw_qps", "native_cpu_vint_qps")
+         if native.get(k)),
+        default=None,
+    )
+    if native_strict:
+        vs_baseline = qps_batched / native_strict
+        update_result(
+            vs_baseline=vs_baseline, vs_baseline_100k=round(vs_baseline, 2)
+        )
+
+    # ---- scale sections ---------------------------------------------------
+    # RUN BEFORE the auxiliary sections: the headline vs_baseline lives in
+    # the 1M row (at 100k the whole index is CPU-cache-resident and a single
+    # core is near-unbeatable) and the round-3/4 captures starved before
+    # reaching it. 1M jmdict-like ~= the real jmdict corpus scale; 6M runs
+    # the reference's OWN large-corpus harness (test_large_search.rs).
+    scales = {}
+    default_scales = "" if backend == "cpu" else "1000000,6000000"
+    for s in os.environ.get("BENCH_SCALES", default_scales).split(","):
+        s = s.strip()
+        if not s:
+            continue
+        n = int(s)
+        # entry thresholds sized so a started section can finish (observed:
+        # 1M ~ build 60s + warmup 50s + measures; 6M test_large ~ build
+        # 100-200s + one big-bucket compile + H2D)
+        if budget_left() < (600 if n <= 1_000_000 else 400):
+            log(f"skipping scale {n}: budget exhausted")
+            continue
+        try:
+            if n >= 6_000_000:
+                scales[str(n)] = test_large_summary(n)
+            else:
+
+                def _flush_core(row, _n=n):
+                    update_result(scales=dict(scales, **{str(_n): row}))
+                    if _n == 1_000_000 and row.get("vs_native_cpu"):
+                        # the headline ratio: engine vs strictest single-core
+                        # native baseline AT SCALE — flush it NOW, before the
+                        # cold-start subprocess gets a chance to stall
+                        update_result(vs_baseline=row["vs_native_cpu"])
+
+                scales[str(n)] = scale_summary(n, backend, on_core=_flush_core)
+            update_result(section=f"scale_{n}", scales=dict(scales))
+            row_vs = scales[str(n)].get("vs_native_cpu")
+            if n == 1_000_000 and row_vs:
+                update_result(vs_baseline=row_vs)
+        except Exception as e:
+            log(f"scale {n} failed: {e!r}")
+
     # ---- suggest (reference suggest_multi, search_field.rs:194-219) ------
     suggest_qps = 0.0
     try:
@@ -1322,21 +1623,10 @@ def main() -> None:
     except Exception as e:
         log(f"highlight bench failed: {e!r}")
 
-    # ---- native single-core C++ baseline (reference hot path) ------------
-    # runs even in lean mode (seconds, and it gives the liveness line an
-    # honest vs_baseline); the XLA-CPU proxy child (BENCH_LITE) skips it
-    native = {}
-    try:
-        if lite and not lean:
-            raise RuntimeError("lite mode")
-        native = native_cpu_baseline(pers, tid_host)
-        log(f"native single-core baseline: {native}")
-        update_result(section="native_baseline", baselines=dict(native))
-    except Exception as e:
-        log(f"native baseline failed: {e!r}")
-
     # ---- CPU proxy baseline (same kernels + methodology on host CPU) -----
-    vs_baseline = 1.0
+    # LAST: it is a subprocess worth up to 900s that never sets the headline
+    # (native raw/vint are stricter at 100k) — it must not starve the rows
+    # above (round-3/4 lesson)
     cpu_qps = None
     if (
         not os.environ.get("BENCH_SKIP_CPU_PROXY")
@@ -1369,7 +1659,8 @@ def main() -> None:
         except Exception as e:
             log(f"cpu proxy failed: {e!r}")
 
-    # vs_baseline against the STRICTEST available baseline
+    # vs_baseline_100k against the STRICTEST available 100k baseline; the
+    # headline vs_baseline prefers the 1M row (strict venue) when it ran
     candidates = {}
     if cpu_qps:
         candidates["xla_cpu_proxy"] = cpu_qps
@@ -1377,49 +1668,16 @@ def main() -> None:
         if native.get(k):
             candidates[k] = native[k]
     strictest = max(candidates.values()) if candidates else None
-    if strictest:
-        vs_baseline = qps_batched / strictest
+    vs_baseline_100k = qps_batched / strictest if strictest else 1.0
+    row_1m = scales.get("1000000", {})
+    vs_baseline = row_1m.get("vs_native_cpu") or vs_baseline_100k
     update_result(
         section="baselines",
         vs_baseline=vs_baseline,
         cpu_proxy_batched_qps=cpu_qps,
         baselines={**native, "xla_cpu_proxy_qps": cpu_qps},
-        vs_baseline_100k=round(vs_baseline, 2),
+        vs_baseline_100k=round(vs_baseline_100k, 2),
     )
-
-    # ---- scale sections --------------------------------------------------
-    # 1M jmdict-like docs ~= the real jmdict corpus scale (~600k entries):
-    # the honest venue for the BASELINE ">=10x single-core" clause, since at
-    # 100k docs the whole index is CPU-cache-resident. 6M runs the
-    # reference's OWN large-corpus harness (test_large_search.rs repeat doc).
-    scales = {}
-    default_scales = "" if backend == "cpu" else "1000000,6000000"
-    for s in os.environ.get("BENCH_SCALES", default_scales).split(","):
-        s = s.strip()
-        if not s:
-            continue
-        n = int(s)
-        # entry thresholds sized so a started section can finish (observed:
-        # 1M ~ build 60s + warmup 50s + measures + bounded cold-start; 6M
-        # test_large ~ build 100-200s + one big-bucket compile + H2D)
-        if budget_left() < (600 if n <= 1_000_000 else 400):
-            log(f"skipping scale {n}: budget exhausted")
-            continue
-        try:
-            if n >= 6_000_000:
-                scales[str(n)] = test_large_summary(n)
-            else:
-                scales[str(n)] = scale_summary(n, backend)
-            update_result(section=f"scale_{n}", scales=dict(scales))
-        except Exception as e:
-            log(f"scale {n} failed: {e!r}")
-
-    # the headline ratio: jmdict-scale engine vs the strictest single-core
-    # native baseline AT THAT SCALE when the 1M row ran; 100k otherwise
-    vs_baseline_100k = vs_baseline
-    row_1m = scales.get("1000000", {})
-    if row_1m.get("vs_native_cpu"):
-        vs_baseline = row_1m["vs_native_cpu"]
 
     result = {
         "metric": "jmdict_like_exact_top10_batched_engine_qps",
@@ -1457,6 +1715,7 @@ def main() -> None:
             "cpu_proxy_batched_qps": cpu_qps,
             "baselines": {**native, "xla_cpu_proxy_qps": cpu_qps},
             "vs_baseline_100k": round(vs_baseline_100k, 2),
+            "section_times": _RESULT["detail"].get("section_times"),
             "vs_baseline_native_cpu": (
                 round(qps_batched / max(
                     native.get("native_cpu_raw_qps", 0),
