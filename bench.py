@@ -436,15 +436,22 @@ def _fuzzy_tree_engine(pers, terms, backend, num_docs):
             fallbacks += 1
             continue
         gtids, _ng = tree
-        tot = sum(int(ho[g + 1] - ho[g]) for g, *_r in gtids)
-        if tot > MAX_SORT_CAPACITY:
+        # mirror the serving slice plan (_run_generic_group): terms reorder
+        # by run length desc onto the geometric width ladder, single_slot
+        runs = sorted(
+            ((int(ho[e[0] + 1] - ho[e[0]]), e) for e in gtids),
+            key=lambda t: -t[0],
+        )
+        tot = sum(r for r, _e in runs)
+        if not runs or tot > MAX_SORT_CAPACITY:
             fallbacks += 1
             continue
-        cap = min(batch_mod._cap_bucket(max(tot, 1)), MAX_SORT_CAPACITY)
-        sub.setdefault(cap, []).append(gtids)
+        cap_big, cap_rest = batch_mod._slice_bucket([r for r, _e in runs])
+        sub.setdefault((cap_big, cap_rest), []).append([e for _r, e in runs])
     resolve_caps = []
     resolve_ops = []
-    for cap, rows in sorted(sub.items()):
+    resolve_widths = []
+    for (cap_big, cap_rest), rows in sorted(sub.items()):
         t_pad = bucket_size(max(len(g) for g in rows), 8)
         q_pad = bucket_size(len(rows), 8)
         tid = np.full((q_pad, t_pad), -1, np.int32)
@@ -453,7 +460,8 @@ def _fuzzy_tree_engine(pers, terms, backend, num_docs):
         for r, g in enumerate(rows):
             for j, e in enumerate(g[:t_pad]):
                 tid[r, j], ts[r, j], sl[r, j] = e[0], e[1], e[2]
-        resolve_caps.append(cap)
+        resolve_caps.append((cap_big, cap_rest))
+        resolve_widths.append(batch_mod._slice_widths(cap_big, cap_rest, t_pad))
         resolve_ops.append(
             (
                 jnp.asarray(tid),
@@ -463,19 +471,21 @@ def _fuzzy_tree_engine(pers, terms, backend, num_docs):
             )
         )
     plan = ", ".join(
-        f"{c}x{o[0].shape[0]}" for c, o in zip(resolve_caps, resolve_ops)
+        f"{cb}+{cr}x{o[0].shape[0]}"
+        for (cb, cr), o in zip(resolve_caps, resolve_ops)
     ) + (f" (+{fallbacks} fallback)" if fallbacks else "")
 
     def resolve_body(carry, ops):
         offs_d, packed_d, groups = ops
         off = (carry * jnp.float32(1e-20)).astype(jnp.int32)
         acc = jnp.float32(0)
-        for cap, (tid, ts, sl, ng) in zip(resolve_caps, groups):
+        for widths, (tid, ts, sl, ng) in zip(resolve_widths, groups):
             _ids, scores, _nh, _fc = batched_tree_topk(
                 offs_d, None, None, tid + off, ts, sl, ng,
                 None, None, None, (), (),
-                capacity=cap, num_docs=num_docs, k=TOP_K,
+                capacity=0, num_docs=num_docs, k=TOP_K,
                 boost_specs=(), has_phrase=False, packed=packed_d,
+                slice_widths=widths, single_slot=True,
             )
             acc = acc + scores[0, 0]
         return acc * jnp.float32(1e-12)
@@ -729,6 +739,7 @@ def scale_summary(n_docs, backend, on_core=None) -> dict:
     t0 = time.time()
     corpus, vocab = build_corpus(n_docs)
     out["corpus_gen_s"] = round(time.time() - t0, 1)
+    log(f"[scale {n_docs}] corpus {out['corpus_gen_s']:.0f}s")
     t0 = time.time()
     pers = Persistence.create_from_str(corpus, BENCH_CONFIG)
     build_s = time.time() - t0
@@ -736,10 +747,14 @@ def scale_summary(n_docs, backend, on_core=None) -> dict:
     out["index_build_mb_per_s"] = round(pers.bytes_indexed / build_s / 1e6, 2)
     out["index_bytes"] = pers.heap_size_bytes()
     del corpus
+    log(f"[scale {n_docs}] built {build_s:.0f}s; warming up...")
     t0 = time.time()
     pers.warmup()
     out["warmup_s"] = round(time.time() - t0, 1)
     log(f"[scale {n_docs}] built {build_s:.0f}s, warmup {out['warmup_s']:.0f}s")
+    if budget_left() < 120:
+        log(f"[scale {n_docs}] budget exhausted after warmup — partial row")
+        return out
 
     terms, tid_host = exact_query_ids(pers, vocab, N_EXACT_QUERIES)
     per_iter, _w1, _w2 = engine_exact(pers, tid_host, backend)
@@ -763,6 +778,11 @@ def scale_summary(n_docs, backend, on_core=None) -> dict:
     except Exception as e:
         log(f"[scale {n_docs}] native baseline failed: {e!r}")
 
+    if budget_left() < 90:
+        log(f"[scale {n_docs}] budget exhausted after engine row — partial")
+        if on_core is not None:
+            on_core(dict(out))
+        return out
     # generator-shape serving e2e
     _qt, reqs = generator_requests(pers, vocab, min(100, N_EXACT_QUERIES))
     search_batch(reqs, pers)  # warm
@@ -1317,11 +1337,13 @@ def main() -> None:
                     fmask_o, fi_j, None,
                     ((bv_o, pres_o, None),),
                     (fmat_o,),
-                    capacity=cap,
+                    capacity=0,
                     num_docs=num_docs,
                     k=TOP_K,
                     boost_specs=(("Log10", 1.0, ()),),
                     packed=packed_c,
+                    slice_widths=(cap,),
+                    single_slot=True,
                 )
                 acc = acc + scores[0, 0]
             return acc * jnp.float32(1e-12)
@@ -1421,11 +1443,18 @@ def main() -> None:
                 specs.append(t)
         ho_c = comb.host_offsets
         sub = {}
+        spec_runs = {}
         for i, (gtids, _ng) in enumerate(specs):
-            tot = sum(int(ho_c[g + 1] - ho_c[g]) for g, _s, _sl in gtids)
-            sub.setdefault(batch_mod._cap_bucket(max(tot, 1)), []).append(i)
+            runs = sorted(
+                ((int(ho_c[e[0] + 1] - ho_c[e[0]]), e) for e in gtids),
+                key=lambda t: -t[0],
+            )
+            spec_runs[i] = [e for _r, e in runs]
+            sub.setdefault(
+                batch_mod._slice_bucket([r for r, _e in runs]), []
+            ).append(i)
         plan = []
-        for cap, idxs in sorted(sub.items()):
+        for (cap_big, cap_rest), idxs in sorted(sub.items()):
             from veloci_tpu.ops.postings import bucket_size as _bs
 
             t_pad = _bs(max(len(specs[i][0]) for i in idxs), 8)
@@ -1435,34 +1464,40 @@ def main() -> None:
             tsl = np.zeros((q_pad, t_pad), np.int32)
             ngs = np.ones(q_pad, np.int32)
             for row, i in enumerate(idxs):
-                gtids, ng = specs[i]
-                for j, (g, sc, sl) in enumerate(gtids[:t_pad]):
+                _gt, ng = specs[i]
+                for j, (g, sc, sl) in enumerate(spec_runs[i][:t_pad]):
                     tid[row, j] = g
                     tsc[row, j] = sc
                     tsl[row, j] = sl
                 ngs[row] = ng
             plan.append(
-                (cap, jnp.asarray(tid), jnp.asarray(tsc), jnp.asarray(tsl),
-                 jnp.asarray(ngs))
+                (
+                    batch_mod._slice_widths(cap_big, cap_rest, t_pad),
+                    jnp.asarray(tid), jnp.asarray(tsc), jnp.asarray(tsl),
+                    jnp.asarray(ngs),
+                )
             )
         log(
             "generator engine plan: "
-            + ", ".join(f"{cap}x{len(idxs)}" for cap, idxs in sorted(sub.items()))
+            + ", ".join(
+                f"{cb}+{cr}x{len(idxs)}"
+                for (cb, cr), idxs in sorted(sub.items())
+            )
         )
-        plan_caps = [cap for cap, *_r in plan]
+        plan_widths = [w for w, *_r in plan]
         plan_arrays = tuple(tuple(p[1:]) for p in plan)
 
         def gen_body(carry, ops):
             offs_c2, packed_c2, plan_o = ops
             off = (carry * jnp.float32(1e-20)).astype(jnp.int32)
             acc = jnp.float32(0.0)
-            for cap, (tid_j, tsc_j, tsl_j, ng_j) in zip(plan_caps, plan_o):
+            for widths, (tid_j, tsc_j, tsl_j, ng_j) in zip(plan_widths, plan_o):
                 _i, scores, _n, _f = batched_tree_topk(
                     offs_c2, None, None,
                     tid_j + off, tsc_j, tsl_j, ng_j,
                     None, None, None, (), (),
-                    capacity=cap, num_docs=num_docs, k=TOP_K,
-                    packed=packed_c2,
+                    capacity=0, num_docs=num_docs, k=TOP_K,
+                    packed=packed_c2, slice_widths=widths,
                 )
                 acc = acc + scores[0, 0]
             return acc * jnp.float32(1e-12)

@@ -791,3 +791,120 @@ def test_deep_trees_randomized_battery(pers, monkeypatch):
     snap = stats_mod.snapshot()
     assert snap["paths"].get("per_request_fallback", 0) == 0, snap
     _assert_parity(monkeypatch, pers, reqs)
+
+
+def test_sliced_gather_matches_compact_kernel():
+    """batched_tree_topk(slice_widths=..., single_slot=...) must be
+    bit-identical to the compact-gather general kernel on random CSRs —
+    the slice ladder only changes HOW postings reach the sort (contiguous
+    dynamic_slice windows with masked tails vs per-element gather), never
+    the candidate set, scores, tie order, or num_hits."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from veloci_tpu.ops.postings import bucket_size
+    from veloci_tpu.ops.tree_step import batched_tree_topk
+
+    rng = np.random.default_rng(7)
+    num_docs = 5000
+    nk = 40
+    counts = rng.integers(1, 400, size=nk)
+    counts[0] = 3000  # zipf head run
+    offsets = np.zeros(nk + 2, np.int64)
+    offsets[1 : nk + 1] = np.cumsum(counts)
+    offsets[nk + 1] = offsets[nk]
+    nnz = int(offsets[nk])
+    slice_pad = bucket_size(int(counts.max()))
+    anchors = np.full(nnz + slice_pad, num_docs, np.int32)
+    scores = np.zeros(nnz + slice_pad, np.float32)
+    for t in range(nk):
+        a = np.sort(
+            rng.choice(num_docs, size=counts[t], replace=False)
+        ).astype(np.int32)
+        anchors[offsets[t] : offsets[t + 1]] = a
+        scores[offsets[t] : offsets[t + 1]] = (
+            rng.integers(400, 2000, size=counts[t]).astype(np.float32) / 100
+        )
+    packed = np.zeros((nnz + slice_pad, 2), np.int32)
+    packed[:, 0] = anchors
+    packed[:, 1] = scores.view(np.int32) if False else np.frombuffer(
+        scores.tobytes(), dtype=np.int32
+    )
+    offs_d = jnp.asarray(offsets.astype(np.int32))
+    packed_d = jnp.asarray(packed)
+
+    for trial, (sslot, qn, tmax) in enumerate(
+        [(True, 6, 4), (True, 3, 8), (False, 5, 6)]
+    ):
+        t_pad = bucket_size(tmax, 8)
+        tid = np.full((qn, t_pad), -1, np.int32)
+        ts = np.zeros((qn, t_pad), np.float32)
+        sl = np.zeros((qn, t_pad), np.int32)
+        ng = np.ones(qn, np.int32)
+        runs_max = 0
+        cap_rest = 64
+        tot_max = 1
+        for q in range(qn):
+            ids = rng.choice(nk, size=rng.integers(1, tmax + 1), replace=False)
+            runs = sorted(
+                ((int(counts[i]), int(i)) for i in ids), key=lambda t: -t[0]
+            )
+            tot_max = max(tot_max, sum(r for r, _ in runs))
+            runs_max = max(runs_max, runs[0][0])
+            for j, (r, gid) in enumerate(runs):
+                tid[q, j] = gid
+                ts[q, j] = float(rng.integers(1, 5))
+                if not sslot:
+                    # two groups, arbitrary slot_ins
+                    sl[q, j] = ((j % 2) << 8) | (j // 2)
+                if j:
+                    cap_rest = max(cap_rest, bucket_size(max(r, 1), 64) << (j - 1))
+            if not sslot:
+                ng[q] = 2 if len(runs) > 1 else 1
+        cap_big = bucket_size(max(runs_max, 1), 64)
+        widths = (cap_big,) + tuple(
+            min(max(cap_rest >> j, 64), cap_big) for j in range(t_pad - 1)
+        )
+        args = (
+            offs_d, None, None, jnp.asarray(tid), jnp.asarray(ts),
+            jnp.asarray(sl), jnp.asarray(ng), None, None, None, (), (),
+        )
+        kw = dict(
+            num_docs=num_docs, k=10, boost_specs=(), has_phrase=False,
+            packed=packed_d,
+        )
+        ref = batched_tree_topk(
+            *args, capacity=bucket_size(tot_max), **kw
+        )
+        got = batched_tree_topk(
+            *args, capacity=0, slice_widths=widths, single_slot=sslot, **kw
+        )
+        for name, r, g in zip(("ids", "scores", "hits"), ref[:3], got[:3]):
+            np.testing.assert_array_equal(
+                np.asarray(r), np.asarray(g),
+                err_msg=f"trial {trial} {name} diverged",
+            )
+
+
+def test_slice_plan_ladder_fits_every_run():
+    """The (cap_big, cap_rest) ladder must cover every run profile it is
+    chosen for: widths[j] >= run_j after the descending reorder."""
+    import numpy as np
+
+    from veloci_tpu.ops.postings import bucket_size
+
+    rng = np.random.default_rng(3)
+    for _ in range(500):
+        runs = sorted(
+            rng.integers(1, 100000, size=rng.integers(1, 12)), reverse=True
+        )
+        cap_big = bucket_size(max(int(runs[0]), 1), 64)
+        cap_rest = 64
+        for j, r in enumerate(runs[1:]):
+            cap_rest = max(cap_rest, bucket_size(max(int(r), 1), 64) << j)
+        t_pad = bucket_size(len(runs), 8)
+        widths = (cap_big,) + tuple(
+            min(max(cap_rest >> j, 64), cap_big) for j in range(t_pad - 1)
+        )
+        for j, r in enumerate(runs):
+            assert widths[j] >= r, (runs, widths)

@@ -208,6 +208,64 @@ def _gather_postings(offsets, anchors, scores01, term_ids, term_scores,
     return a, s, slot_fill
 
 
+def _gather_postings_sliced(
+    offsets, term_ids, term_scores, widths, num_docs, term_slots, packed,
+    term_ngs=None,
+):
+    """All-slice posting gather: term ``j`` is read with ONE contiguous
+    ``lax.dynamic_slice`` of static ``widths[j]`` rows at a STATIC output
+    offset (plain concatenation — no compaction, no per-element gather, no
+    segment fills).
+
+    Why: a per-element gather over ``[capacity]`` measures ~13 ns/element
+    at runtime AND ~6 ms/element of XLA compile time on v5e (391 s for a
+    [16, 65536] gather — the dominant cost of every big-capacity kernel
+    variant), while the same postings read as 16 vmapped dynamic_slices
+    cost 1.5 ns/element and ~8 s to compile. Each term's ragged tail stays
+    in place as masked padding (anchor=num_docs, score=-inf) — exactly the
+    sentinels the sorted-run evaluators already exclude, so downstream
+    code is unchanged; only the working width grows from ``capacity`` to
+    ``sum(widths)`` (the sort runs at ~0.2 ns/element, so padding is far
+    cheaper than gathering).
+
+    The caller picks ``widths`` (host-side, static per dispatch) such that
+    widths[j] >= term j's posting count for every query in the batch —
+    see search/batch.py ``_slice_plan`` (terms pre-sorted by run length
+    descending onto a geometric width ladder). CONTRACT: ``packed`` must
+    carry >= max(widths) tail padding; `Persistence.device_combined` pads
+    by bucket_size(largest run) and the planner clamps widths to the
+    largest-run bucket, so the slice window never clamps.
+    """
+    t_pad = term_ids.shape[0]
+    slots = (
+        term_slots
+        if term_slots is not None
+        else jnp.arange(t_pad, dtype=jnp.int32)
+    )
+    valid = term_ids >= 0
+    safe = jnp.where(valid, term_ids, 0)
+    starts = jnp.where(valid, offsets[safe], 0)
+    counts = jnp.where(valid, offsets[safe + 1] - starts, 0)
+    parts_a, parts_s, parts_slot, parts_ng = [], [], [], []
+    for j, w in enumerate(widths):
+        rows = jax.lax.dynamic_slice(packed, (starts[j], 0), (w, 2))
+        m = jnp.arange(w, dtype=jnp.int32) < counts[j]
+        parts_a.append(jnp.where(m, rows[:, 0], num_docs))
+        s01 = jax.lax.bitcast_convert_type(rows[:, 1], jnp.float32)
+        parts_s.append(jnp.where(m, s01 * term_scores[j], -jnp.inf))
+        parts_slot.append(jnp.full((w,), slots[j], dtype=jnp.int32))
+        if term_ngs is not None:
+            parts_ng.append(
+                jnp.full((w,), 1.0, dtype=jnp.float32) * term_ngs[j]
+            )
+    a = jnp.concatenate(parts_a)
+    s = jnp.concatenate(parts_s)
+    slot = jnp.concatenate(parts_slot)
+    if term_ngs is not None:
+        return a, s, slot, jnp.concatenate(parts_ng)
+    return a, s, slot
+
+
 @partial(jax.jit, static_argnames=("capacity", "num_docs", "k", "win"))
 def exact_search_topk(
     offsets: jax.Array,  # [num_keys + 2] int32

@@ -101,6 +101,53 @@ def _seg_scan(values, resets):
     return v
 
 
+def _seg_scan2(values_a, values_b, resets):
+    """Two segmented sums sharing ONE reset vector in ONE associative scan.
+
+    The tree evaluator's (sum, count) pairs always share their segment
+    boundaries; fusing them halves the number of scan passes — at 65k
+    elements a single segmented scan measures ~3.5 ms run / ~60 s compile
+    on v5e, so scan count is a first-order cost."""
+
+    def comb(x, y):
+        fx, va, vb = x
+        fy, wa, wb = y
+        keep = jnp.where(fy, jnp.zeros_like(va), va)
+        keepb = jnp.where(fy, jnp.zeros_like(vb), vb)
+        return fx | fy, wa + keep, wb + keepb
+
+    _f, a, b = jax.lax.associative_scan(comb, (resets, values_a, values_b))
+    return a, b
+
+
+def tree_candidates_single(
+    a: jax.Array,  # [cap] int32 anchors (pad -> num_docs)
+    s: jax.Array,  # [cap] f32 scores (pad -> -inf)
+    num_docs: int,
+):
+    """Single-slot fast path: every posting row belongs to the SAME leaf
+    slot (one fuzzy/prefix leaf's matched term variants), so the whole tree
+    evaluation collapses to per-anchor dedup-max — the reference's
+    resolve_token_to_anchor sort+dedup (search_field.rs:451-465) — with NO
+    segmented scans: after the 2-operand (anchor desc, score desc) sort,
+    each anchor's FIRST row is its max. distinct^2 = 1 for a single slot,
+    so this equals `tree_candidates` with num_groups=1 and constant slots
+    (parity-pinned in tests/test_batch_tree.py)."""
+    neg_a, neg_s = jax.lax.sort(
+        ((-1 - a).astype(jnp.int32), -s), num_keys=2
+    )
+    a_s = (-1 - neg_a).astype(jnp.int32)
+    s_s = -neg_s
+    new_anchor = jnp.concatenate(
+        [jnp.ones(1, dtype=bool), a_s[1:] != a_s[:-1]]
+    )
+    cand = (
+        new_anchor & (a_s >= 0) & (a_s < num_docs) & jnp.isfinite(s_s)
+    )
+    final = jnp.where(cand, s_s, jnp.float32(0.0))
+    return a_s, final
+
+
 def tree_candidates(
     a: jax.Array,  # [cap] int32 anchors (pad -> num_docs)
     s: jax.Array,  # [cap] f32 scores (pad -> -inf)
@@ -143,8 +190,7 @@ def tree_candidates(
 
     # stage 2: union within each (anchor, group): sum of slot maxima,
     # distinct count, score = sum * distinct^2 (set_op.rs:87-220)
-    sum2 = _seg_scan(slot_max, new_group)
-    cnt2 = _seg_scan(slot_hit, new_group)
+    sum2, cnt2 = _seg_scan2(slot_max, slot_hit, new_group)
     is_g_end = jnp.concatenate([new_group[1:], true1])
     group_score = jnp.where(cnt2 > 0, sum2 * cnt2 * cnt2, jnp.float32(0.0))
 
@@ -152,8 +198,7 @@ def tree_candidates(
     # the single-group case
     contrib3 = jnp.where(is_g_end, group_score, jnp.float32(0.0))
     ghit3 = jnp.where(is_g_end & (group_score > 0), jnp.float32(1.0), jnp.float32(0.0))
-    sum3 = _seg_scan(contrib3, new_anchor)
-    cnt3 = _seg_scan(ghit3, new_anchor)
+    sum3, cnt3 = _seg_scan2(contrib3, ghit3, new_anchor)
     is_a_end = jnp.concatenate([new_anchor[1:], true1])
     final = jnp.where(
         cnt3 >= num_groups.astype(jnp.float32), sum3, jnp.float32(0.0)
@@ -234,8 +279,7 @@ def tree_candidates_deep(
     slot_hit = (new_slot & (s_s >= _EPS)).astype(jnp.float32)
 
     # stage 2: union within each leaf-OR group
-    sum2 = _seg_scan(slot_max, new_group)
-    cnt2 = _seg_scan(slot_hit, new_group)
+    sum2, cnt2 = _seg_scan2(slot_max, slot_hit, new_group)
     is_g_end = jnp.concatenate([new_group[1:], true1])
     group_score = jnp.where(cnt2 > 0, sum2 * cnt2 * cnt2, jnp.float32(0.0))
 
@@ -244,8 +288,7 @@ def tree_candidates_deep(
     ghit3 = jnp.where(
         is_g_end & (group_score > 0), jnp.float32(1.0), jnp.float32(0.0)
     )
-    sum3 = _seg_scan(contrib3, new_sub)
-    cnt3 = _seg_scan(ghit3, new_sub)
+    sum3, cnt3 = _seg_scan2(contrib3, ghit3, new_sub)
     is_s_end = jnp.concatenate([new_sub[1:], true1])
     sub_score = jnp.where(cnt3 >= ng_s, sum3, jnp.float32(0.0))
 
@@ -259,8 +302,7 @@ def tree_candidates_deep(
     thit5 = jnp.where(
         is_t_end & (term_max >= _EPS), jnp.float32(1.0), jnp.float32(0.0)
     )
-    sum5 = _seg_scan(contrib5, new_anchor)
-    cnt5 = _seg_scan(thit5, new_anchor)
+    sum5, cnt5 = _seg_scan2(contrib5, thit5, new_anchor)
     is_a_end = jnp.concatenate([new_anchor[1:], true1])
     final = sum5 * cnt5 * cnt5
     if pcnt_in is not None:
@@ -322,6 +364,7 @@ def _apply_boost_gathered(final, a_s, pre):
     jax.jit,
     static_argnames=(
         "capacity", "num_docs", "k", "boost_specs", "has_phrase", "deep",
+        "slice_widths", "single_slot",
     ),
 )
 def batched_tree_topk(
@@ -345,6 +388,8 @@ def batched_tree_topk(
     packed: Optional[jax.Array] = None,  # [nnz_pad, 2] i32 interleaved rows
     deep: bool = False,
     term_ngs: Optional[jax.Array] = None,  # [Q, T_pad] i32 subtree AND gates
+    slice_widths: Tuple[int, ...] = (),  # static per-term slice ladder
+    single_slot: bool = False,  # all rows share one slot: scan-free dedup-max
 ):
     """A batch of tree queries -> (ids [Q,k], scores [Q,k], num_hits [Q],
     facet_counts tuple of [Q, G_i] i32) — ONE program, cost O(capacity),
@@ -358,8 +403,16 @@ def batched_tree_topk(
     (`tree_candidates_deep`): term_slots carry the deep packing, each term's
     ``term_ngs`` is its subtree's AND-gate group count, and ``num_groups``
     is ignored. A separate compile — the hot two-level shapes pay nothing.
+
+    ``slice_widths`` (static, from the host `_slice_plan`) replaces the
+    per-element posting gather with one contiguous dynamic_slice per term —
+    the element gather costs ~13 ns/el at runtime and MINUTES of XLA
+    compile at 64k capacity; slices cost 1.5 ns/el and seconds.
+    ``single_slot=True`` (every query is one leaf's term variants) skips
+    the segmented scans entirely: dedup-max IS the sorted run's first row.
     """
     from .generic_step import _precompute_boost
+    from .search_step import _gather_postings_sliced
 
     pre_boosts = tuple(
         _precompute_boost(bv, pres, spec + (expr_add,))
@@ -367,7 +420,17 @@ def batched_tree_topk(
     )
 
     def one(tids, tscs, tslots, ng, tngs, fidx, panch):
-        if deep:
+        if slice_widths:
+            out = _gather_postings_sliced(
+                offsets, tids, tscs, slice_widths, num_docs,
+                term_slots=tslots, packed=packed, term_ngs=tngs,
+            )
+            if deep:
+                a, s, slot, ng_row = out
+            else:
+                a, s, slot = out
+                ng_row = None
+        elif deep:
             a, s, slot, ng_row = _gather_postings(
                 offsets, anchors, scores01, tids, tscs, capacity, num_docs,
                 term_slots=tslots, packed=packed, term_ngs=tngs,
@@ -402,6 +465,8 @@ def batched_tree_topk(
             a_s, final = tree_candidates_deep(
                 a, s, slot, ng_row, num_docs, pcnt
             )
+        elif single_slot and pcnt is None:
+            a_s, final = tree_candidates_single(a, s, num_docs)
         else:
             a_s, final = tree_candidates(a, s, slot, num_docs, ng, pcnt)
         if fidx is not None:

@@ -694,6 +694,27 @@ def _plain_eligible(request: Request, persistence, comb):
     return None
 
 
+def _slice_bucket(runs):
+    """(cap_big, cap_rest) pow2 pair for a DESC-sorted run-length profile:
+    term j reads one contiguous dynamic_slice of ``_slice_widths(...)[j]``
+    rows. cap_rest covers the ladder fit ``run_{j+1} <= cap_rest >> j``."""
+    from ..ops.postings import bucket_size
+
+    cap_big = bucket_size(max(runs[0], 1), 64)
+    cap_rest = 64
+    for j, r in enumerate(runs[1:]):
+        cap_rest = max(cap_rest, bucket_size(max(int(r), 1), 64) << j)
+    return cap_big, cap_rest
+
+
+def _slice_widths(cap_big: int, cap_rest: int, t_pad: int):
+    """Static per-term slice ladder (clamped to cap_big, which is <= the
+    posting arrays' guaranteed tail padding)."""
+    return (cap_big,) + tuple(
+        min(max(cap_rest >> j, 64), cap_big) for j in range(t_pad - 1)
+    )
+
+
 def _cap_bucket(n: int, minimum: int = 256) -> int:
     """Capacity bucket: pow2 steps up to 4096, then x4 steps — each distinct
     capacity compiles its own kernel variant and the big-sort variants cost
@@ -1097,11 +1118,25 @@ def _run_generic_group(
 
     from ..ops.postings import MAX_SORT_CAPACITY
 
-    # capacity sub-buckets (floor 256 bounds the bucket count)
+    # slice-plan sub-buckets: terms reorder by run length desc onto a
+    # geometric width ladder (cap_big, cap_rest, cap_rest/2, ...) so EVERY
+    # posting run is read with one contiguous dynamic_slice — the
+    # per-element gather costs ~13 ns/el at runtime and minutes of XLA
+    # compile per 64k-capacity variant (measured v5e); slices cost
+    # 1.5 ns/el and seconds. Key = (cap_big, cap_rest, single_slot): a
+    # bounded pow2 grid. Queries whose run profile defeats the ladder
+    # (many equal large runs) fall back to the compact-gather bucketing.
     sub: dict = {}
     for qi, req, spec in entries:
         gtids = spec["gtids"]
-        tot = sum(int(ho[g + 1] - ho[g]) for g, *_rest in gtids)
+        runs = sorted(
+            ((int(ho[e[0] + 1] - ho[e[0]]), e) for e in gtids),
+            key=lambda t: -t[0],
+        )
+        tot = sum(r for r, _e in runs)
+        if not runs:
+            sub.setdefault(("c", 256), []).append((qi, req, spec))
+            continue
         if tot > MAX_SORT_CAPACITY:
             # posting total too large for the variadic-sort kernel (the
             # sort state explodes the XLA compile; the dense-plane executor
@@ -1109,15 +1144,23 @@ def _run_generic_group(
             if fallback is not None:
                 fallback(qi, req)
             continue
-        # clamp the coarse x4 ladder to the cap (totals in its last step
-        # still fit a MAX_SORT_CAPACITY-wide sort)
-        cap_b = min(_cap_bucket(max(tot, 1)), MAX_SORT_CAPACITY)
-        sub.setdefault(cap_b, []).append((qi, req, spec))
+        cap_big, cap_rest = _slice_bucket([r for r, _e in runs])
+        if cap_big + 2 * cap_rest <= 2 * MAX_SORT_CAPACITY:
+            gt = [e for _r, e in runs]
+            sslot = (
+                not deep
+                and not has_phrase
+                and spec["num_groups"] == 1
+                and len({e[2] for e in gt}) == 1
+            )
+            spec = dict(spec, gtids=gt)
+            key = ("s", cap_big, cap_rest, sslot)
+        else:
+            key = ("c", min(_cap_bucket(max(tot, 1)), MAX_SORT_CAPACITY))
+        sub.setdefault(key, []).append((qi, req, spec))
 
     pending = []  # (chunk, device outputs)
-    for capacity, sub_entries in sorted(sub.items()):
-        # sort state is [Qc, capacity] x a handful of i32/f32 vectors
-        chunk_q = max(1, int(_SORT_BUDGET_BYTES // max(capacity * 64, 1)))
+    for key, sub_entries in sorted(sub.items()):
         max_terms, max_p, max_k = 1, 1, 1
         for qi, req, spec in sub_entries:
             max_terms = max(max_terms, len(spec["gtids"]))
@@ -1128,6 +1171,17 @@ def _run_generic_group(
         t_pad = bucket_size(max_terms, 8)
         p_pad = bucket_size(max_p, 64) if has_phrase else 0
         k_eff = min(num_docs, max_k)
+        if key[0] == "s":
+            _tag_s, cap_big, cap_rest, single_slot = key
+            slice_widths = _slice_widths(cap_big, cap_rest, t_pad)
+            capacity = 0
+            total_w = sum(slice_widths)
+        else:
+            slice_widths, single_slot = (), False
+            capacity = key[1]
+            total_w = capacity
+        # sort state is [Qc, total_w] x a handful of i32/f32 vectors
+        chunk_q = max(1, int(_SORT_BUDGET_BYTES // max(total_w * 64, 1)))
 
         for base in range(0, len(sub_entries), chunk_q):
             chunk = sub_entries[base : base + chunk_q]
@@ -1178,6 +1232,8 @@ def _run_generic_group(
                 packed=comb.packed,
                 deep=deep,
                 term_ngs=jnp.asarray(tng_arr) if deep else None,
+                slice_widths=slice_widths,
+                single_slot=single_slot,
             )
             pending.append((chunk, out))
 
