@@ -237,6 +237,12 @@ def _gather_postings_sliced(
     largest-run bucket, so the slice window never clamps.
     """
     t_pad = term_ids.shape[0]
+    # a widths/term mismatch would silently DROP trailing term columns
+    # (enumerate stops at the shorter sequence) — fail loudly instead
+    # (ADVICE r4 #4)
+    assert len(widths) == t_pad, (
+        f"slice widths ({len(widths)}) != term columns ({t_pad})"
+    )
     slots = (
         term_slots
         if term_slots is not None

@@ -141,8 +141,10 @@ def tree_candidates_single(
     new_anchor = jnp.concatenate(
         [jnp.ones(1, dtype=bool), a_s[1:] != a_s[:-1]]
     )
+    # s_s >= _EPS mirrors tree_candidates' slot_hit gate (ADVICE r4 #1:
+    # isfinite alone admitted scores in (0, _EPS) the general kernel drops)
     cand = (
-        new_anchor & (a_s >= 0) & (a_s < num_docs) & jnp.isfinite(s_s)
+        new_anchor & (a_s >= 0) & (a_s < num_docs) & (s_s >= _EPS)
     )
     final = jnp.where(cand, s_s, jnp.float32(0.0))
     return a_s, final

@@ -1145,7 +1145,12 @@ def _run_generic_group(
                 fallback(qi, req)
             continue
         cap_big, cap_rest = _slice_bucket([r for r, _e in runs])
-        if cap_big + 2 * cap_rest <= 2 * MAX_SORT_CAPACITY:
+        # admission from the ACTUAL ladder width at this query's own t_pad
+        # (ADVICE r4 #3: cap_big + 2*cap_rest under-counted the 64-floor
+        # rungs). Group assembly below may pad t_pad up to the sub-group
+        # max, adding at most 64 * t_pad more — negligible vs the 2M bound.
+        t_pad_q = bucket_size(len(runs), 8)
+        if sum(_slice_widths(cap_big, cap_rest, t_pad_q)) <= MAX_SORT_CAPACITY:
             gt = [e for _r, e in runs]
             sslot = (
                 not deep
