@@ -205,6 +205,37 @@ def _arm_guards() -> None:
     threading.Thread(target=_heartbeat, daemon=True).start()
 
 
+class PhaseTimeout(Exception):
+    pass
+
+
+import contextlib
+
+
+@contextlib.contextmanager
+def phase_deadline(seconds: float, what: str):
+    """Bound a best-effort phase with SIGALRM (main thread only). The r5
+    rehearsal showed scale1M:generator_serving stalling 636s+ in a compile/
+    run storm on giant capacity buckets; an alarm delivered between C calls
+    aborts the phase at the Python boundary instead of eating the 6M row's
+    budget. Not airtight (one long C call can overrun), but every observed
+    stall was a sequence of per-group compiles with Python between them."""
+    if threading.current_thread() is not threading.main_thread() or seconds <= 0:
+        yield
+        return
+
+    def _on_alarm(signum, frame):
+        raise PhaseTimeout(what)
+
+    old = signal.signal(signal.SIGALRM, _on_alarm)
+    signal.setitimer(signal.ITIMER_REAL, seconds)
+    try:
+        yield
+    finally:
+        signal.setitimer(signal.ITIMER_REAL, 0)
+        signal.signal(signal.SIGALRM, old)
+
+
 BENCH_CONFIG = """
 ["*GLOBAL*"]
 features = ["All"]
@@ -822,12 +853,16 @@ def native_cpu_baseline(pers, tid_host, reps=5, field="title"):
     return out
 
 
-def scale_summary(n_docs, backend, on_core=None) -> dict:
+def scale_summary(n_docs, backend, on_core=None, reserve=0.0) -> dict:
     """Compact scale section (1M / 6M docs): build + upload + warmup + the
     key engine/serving numbers, without the full 100k battery. ``on_core``
     is invoked with the row BEFORE the optional cold-start subprocess so a
     cold-start stall cannot lose the core numbers (round-3: device_init_s
-    hit 652s through a degraded tunnel)."""
+    hit 652s through a degraded tunnel). ``reserve`` is budget that must be
+    left intact for LATER sections (the pending 6M row): every best-effort
+    extra here gates on budget_left() - reserve, and the r5-rehearsal
+    staller (generator_serving: compile/run storm on ~500k-posting zipf
+    heads inside fuzzy trees) additionally runs under a hard alarm."""
     import jax.numpy as jnp
 
     from veloci_tpu import Persistence, Request
@@ -856,7 +891,7 @@ def scale_summary(n_docs, backend, on_core=None) -> dict:
     log(f"[scale {n_docs}] built {build_s:.0f}s, warmup {out['warmup_s']:.0f}s")
     if on_core is not None:
         on_core(dict(out))  # flush the build row NOW — measure stalls can't lose it
-    if budget_left() < 120:
+    if budget_left() - reserve < 120:
         log(f"[scale {n_docs}] budget exhausted after warmup — partial row")
         return out
 
@@ -890,40 +925,58 @@ def scale_summary(n_docs, backend, on_core=None) -> dict:
 
     if on_core is not None:
         on_core(dict(out))  # flush engine + vs_native_cpu immediately
-    if budget_left() < 90:
-        log(f"[scale {n_docs}] budget exhausted after engine row — partial")
+    if budget_left() - reserve < 240:
+        log(f"[scale {n_docs}] core row done; skipping extras (reserve)")
         return out
-    # generator-shape serving e2e
+    # generator-shape serving e2e — BEST-EFFORT: in the r5 rehearsal this
+    # phase ate 636s+ at 1M (fuzzy trees over zipf heads with ~500k postings
+    # -> giant-capacity resolve compiles) and starved the 6M row, so it runs
+    # under an alarm sized to what the reserve allows
     set_phase(f"scale{n_docs}:generator_serving")
-    _qt, reqs = generator_requests(pers, vocab, min(100, N_EXACT_QUERIES))
-    search_batch(reqs, pers)  # warm
-    t0 = time.perf_counter()
-    search_batch(reqs, pers)
-    out["generator_serving_e2e_qps"] = round(
-        len(reqs) / (time.perf_counter() - t0), 1
-    )
-    log(
-        f"[scale {n_docs}] generator serving: "
-        f"{out['generator_serving_e2e_qps']:.0f} QPS"
-    )
+    try:
+        with phase_deadline(
+            min(240.0, budget_left() - reserve - 120), "generator_serving"
+        ):
+            _qt, reqs = generator_requests(pers, vocab, min(100, N_EXACT_QUERIES))
+            search_batch(reqs, pers)  # warm
+            t0 = time.perf_counter()
+            search_batch(reqs, pers)
+            out["generator_serving_e2e_qps"] = round(
+                len(reqs) / (time.perf_counter() - t0), 1
+            )
+            log(
+                f"[scale {n_docs}] generator serving: "
+                f"{out['generator_serving_e2e_qps']:.0f} QPS"
+            )
+    except PhaseTimeout:
+        import traceback
+
+        log(
+            f"[scale {n_docs}] generator serving timed out (alarm) — skipped; "
+            f"last frames:\n{traceback.format_exc(limit=6)}"
+        )
 
     # warm sequential p50 (link-dominated on this tunnel; diagnostic)
     set_phase(f"scale{n_docs}:warm_seq")
-    from veloci_tpu import search as search_one
+    try:
+        with phase_deadline(90.0, "warm_seq"):
+            from veloci_tpu import search as search_one
 
-    req = Request.from_dict(
-        {"search_req": {"search": {"terms": [terms[0]], "path": "title"}}, "top": TOP_K}
-    )
-    search_one(req, pers)
-    lat = []
-    for t in terms[:10]:
-        r = Request.from_dict(
-            {"search_req": {"search": {"terms": [t], "path": "title"}}, "top": TOP_K}
-        )
-        q0 = time.perf_counter()
-        search_one(r, pers)
-        lat.append(time.perf_counter() - q0)
-    out["warm_seq_p50_ms"] = round(percentile(lat, 50) * 1e3, 1)
+            req = Request.from_dict(
+                {"search_req": {"search": {"terms": [terms[0]], "path": "title"}}, "top": TOP_K}
+            )
+            search_one(req, pers)
+            lat = []
+            for t in terms[:10]:
+                r = Request.from_dict(
+                    {"search_req": {"search": {"terms": [t], "path": "title"}}, "top": TOP_K}
+                )
+                q0 = time.perf_counter()
+                search_one(r, pers)
+                lat.append(time.perf_counter() - q0)
+            out["warm_seq_p50_ms"] = round(percentile(lat, 50) * 1e3, 1)
+    except PhaseTimeout:
+        log(f"[scale {n_docs}] warm_seq timed out (alarm) — skipped")
 
     if on_core is not None:
         on_core(dict(out))
@@ -934,7 +987,10 @@ def scale_summary(n_docs, backend, on_core=None) -> dict:
     # own axon device acquisition alone has cost 134-652s, and the deep-100k
     # battery (fuzzy/generic/generator) still has to run after the scales
     set_phase(f"scale{n_docs}:cold_start")
-    if os.environ.get("BENCH_COLDSTART", "1") != "0" and budget_left() > 1300:
+    if (
+        os.environ.get("BENCH_COLDSTART", "1") != "0"
+        and budget_left() - reserve > 1300
+    ):
         import subprocess
         import tempfile
 
@@ -1370,13 +1426,20 @@ def main() -> None:
         pers.invalidate_device_cache()
         del pers, dev, reqs, corpus
         gc.collect()
-    for n in scale_list:
+    # per-scale budget estimate; each scale's best-effort extras must leave
+    # this much intact for the scales still pending (r5 rehearsal: 1M's
+    # generator_serving stall starved 6M entirely)
+    scale_est = {1_000_000: 450, 6_000_000: 500}
+    for i, n in enumerate(scale_list):
         # entry thresholds sized so a started section can finish (observed
         # on this host: 1M corpus 6s + build 16s + warmup ~50s + measures;
         # 6M test_large ~ build 100-200s + one big-bucket compile + H2D)
         if budget_left() < (450 if n <= 1_000_000 else 350):
             log(f"skipping scale {n}: budget exhausted")
             continue
+        pending_reserve = sum(
+            scale_est.get(m, 400) for m in scale_list[i + 1 :]
+        )
         try:
 
             def _flush_core(row, _n=n):
@@ -1392,7 +1455,9 @@ def main() -> None:
                     n, backend, on_core=_flush_core
                 )
             else:
-                scales[str(n)] = scale_summary(n, backend, on_core=_flush_core)
+                scales[str(n)] = scale_summary(
+                    n, backend, on_core=_flush_core, reserve=pending_reserve
+                )
             update_result(section=f"scale_{n}", scales=dict(scales))
             row_vs = scales[str(n)].get("vs_native_cpu")
             if n == 1_000_000 and row_vs:
