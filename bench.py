@@ -1561,18 +1561,31 @@ def main() -> None:
 
 
 def _run_section(name, est_s, fn, *args) -> None:
-    """Budget-gated section runner (VERDICT r4 #8): each section declares
-    its cost estimate up front; a section that would overrun the remaining
-    budget is skipped LOUDLY instead of silently starving everything after
-    it. Failures are contained per-section."""
+    """Budget-gated, ALARM-BOUNDED section runner (VERDICT r4 #8). Each
+    section declares its cost estimate up front; a section that would
+    overrun the remaining budget is skipped LOUDLY instead of silently
+    starving everything after it, and a running section is hard-capped at
+    2.5x its estimate via SIGALRM (the r5 rehearsal's fuzzy section sat
+    1366s in its first search_batch — compile storm or degraded link — and
+    starved generic/generator/final assembly; with the alarm the run always
+    reaches emit_result(final=True)). Failures are contained per-section."""
     left = budget_left()
     if left < est_s:
         log(f"skip {name}: needs ~{est_s}s, only {left:.0f}s left")
         return
     set_phase(name)
+    cap = min(max(2.5 * est_s, est_s + 240.0), max(left - 90.0, 60.0))
     t0 = time.time()
     try:
-        fn(*args)
+        with phase_deadline(cap, name):
+            fn(*args)
+    except PhaseTimeout:
+        import traceback
+
+        log(
+            f"section {name} timed out (alarm at {cap:.0f}s) — partial; "
+            f"last frames:\n{traceback.format_exc(limit=6)}"
+        )
     except Exception as exc:
         log(f"{name} failed: {type(exc).__name__}: {exc}")
     log(f"section {name}: {time.time() - t0:.1f}s (declared ~{est_s}s)")
@@ -1679,12 +1692,15 @@ def section_fuzzy(pers, vocab, backend, num_docs) -> None:
         )
         for t in fuzzy_terms
     ]
+    set_phase("fuzzy:first_serve")  # r5 rehearsal stalled 1366s right here
     fres = search_batch(freqs, pers)
     assert any(r.data for r in fres), "fuzzy serving returned no hits"
+    log(f"[{backend}] fuzzy first serve done")
     # warm to the hint/compile fixed point: adaptive capacity hints and
     # window variants settle over the first passes (each drift compiles
     # fresh shapes — the round-3 capture measured a pass full of
     # compiles); stop when a pass is within 20% of the previous one
+    set_phase("fuzzy:warm_passes")
     prev = None
     for _wp in range(4):
         if budget_left() < 180:
@@ -1695,11 +1711,14 @@ def section_fuzzy(pers, vocab, backend, num_docs) -> None:
         if prev is not None and dt < prev * 1.2:
             break
         prev = dt
+    set_phase("fuzzy:serving_measure")
     t0 = time.perf_counter()
     search_batch(freqs, pers)
     fuzzy_serving_qps = fq / (time.perf_counter() - t0)
     log(f"[{backend}] fuzzy serving e2e: {fuzzy_serving_qps:.0f} QPS")
+    update_result(fuzzy_serving_e2e_qps=round(fuzzy_serving_qps, 1))
 
+    set_phase("fuzzy:engine")
     if os.environ.get("VELOCI_FUZZY_VIA_TREE", "1") != "0":
         # engine mirror of the DEFAULT serving route: windowed prefetch
         # sweep + tree-kernel resolve at known buckets
@@ -1729,6 +1748,7 @@ def section_fuzzy(pers, vocab, backend, num_docs) -> None:
     # Levenshtein-automaton x FST walk as a sorted-dictionary walk with
     # dead-prefix skipping + the same resolve/top_n_sort tail
     # (native/baseline.cpp vbl_fuzzy_topk; search_field.rs:85-96,400-504)
+    set_phase("fuzzy:native_baseline")
     try:
         from veloci_tpu.native import baseline_fuzzy_index, baseline_fuzzy_topk
 
