@@ -51,6 +51,50 @@ PLAIN_REQUESTS = [
 ]
 
 
+def test_mesh_deep_tree_parity(pers, monkeypatch):
+    """Deep (OR-of-ANDs / depth-3) trees ride the batched mesh route
+    (VERDICT r4 #6): the meshdeep signature dispatches tree_dense_deep via
+    MeshContext.generic_batch — no per-request fallback — and matches the
+    host executor exactly, including with filter/boost/facet extras."""
+    from test_batch_tree import DEEP_TREE_REQUESTS
+
+    monkeypatch.setattr(batch_mod, "SMALL_DOCS", 1)
+    monkeypatch.setattr(ex_mod, "SMALL_DOCS", 1)
+    dicts = [dict(d) for d in DEEP_TREE_REQUESTS] + [
+        {
+            "search_req": DEEP_TREE_REQUESTS[0]["search_req"],
+            "filter": {"search": {"terms": ["common"], "path": "tags[]"}},
+            "boost": [
+                {"path": "commonness", "boost_fun": "Log10", "param": 1}
+            ],
+            "facets": [{"field": "commonness"}],
+            "top": 10,
+        }
+    ]
+    refs = [search(Request.from_dict(d), pers) for d in dicts]
+
+    fallbacks = []
+    real_search = batch_mod.search
+    monkeypatch.setattr(
+        batch_mod, "search", lambda *a, **k: fallbacks.append(1) or real_search(*a, **k)
+    )
+    pers.attach_mesh(build_doc_mesh(8))
+    try:
+        batch_res = batch_mod.search_batch(
+            [Request.from_dict(d) for d in dicts], pers
+        )
+    finally:
+        pers.detach_mesh()
+    assert not fallbacks, f"{len(fallbacks)} deep trees fell back per-request"
+    for d, br, ref in zip(dicts, batch_res, refs):
+        got, want = _result_tuple(br), _result_tuple(ref)
+        assert got[0] == want[0], (d, got, want)
+        assert got[1] == want[1], (d, got, want)
+        for gs, ws in zip(got[2], want[2]):
+            assert gs == pytest.approx(ws, rel=1e-4), (d, got, want)
+        assert got[3] == want[3], (d, got, want)
+
+
 def test_mesh_search_batch_parity(pers, monkeypatch):
     monkeypatch.setattr(batch_mod, "SMALL_DOCS", 1)
     monkeypatch.setattr(ex_mod, "SMALL_DOCS", 1)

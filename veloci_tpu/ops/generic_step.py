@@ -135,6 +135,55 @@ def tree_dense(
     return jnp.sum(per_slot, axis=0) * distinct * distinct
 
 
+def tree_dense_deep(
+    offsets, anchors, scores01, tids, tscs, tplanes, s2g, g2s, s2t, ng_sub,
+    capacity, nd, num_planes, num_groups, num_subs, num_terms,
+):
+    """One DEEP (3-alternation, OR-of-ANDs) query -> dense [nd] score
+    vector: the dense-plane twin of ops/tree_step.tree_candidates_deep's
+    five segmented stages (reference execution_plan.rs:272-387 treats
+    arbitrary trees uniformly; the host composition is executor._eval_scores).
+
+    Structure is DATA, not program: ``tplanes`` maps each term row to a
+    compact leaf-slot plane index, ``s2g``/``g2s``/``s2t`` are per-query
+    host-built maps plane->group, group->subtree, subtree->repr-term, and
+    ``ng_sub`` is each subtree's AND-gate group count (pads point at
+    discard segments / carry +inf gates).
+
+      stage 1  per (plane, doc): dedup-max                       (resolve)
+      stage 2  per group: sum of plane maxima x distinct^2        (union)
+      stage 3  per subtree: sum over groups, ALL ``ng`` must hit  (intersect)
+      stage 4  per repr term: MAX over same-term subtrees
+      stage 5  per doc: sum of term maxima x distinct^2           (union)
+    """
+    a, s, plane_row = _gather_postings(
+        offsets, anchors, scores01, tids, tscs, capacity, nd,
+        term_slots=tplanes,
+    )
+    flat = plane_row * (nd + 1) + a
+    per_plane = jax.ops.segment_max(
+        s, flat, num_segments=num_planes * (nd + 1)
+    ).reshape(num_planes, nd + 1)[:, :nd]
+    per_plane = jnp.where(jnp.isfinite(per_plane), per_plane, 0.0)
+    hit = (per_plane >= 1e-5).astype(jnp.float32)
+    # stage 2: union within each leaf-OR group
+    g_sum = jax.ops.segment_sum(per_plane, s2g, num_segments=num_groups)
+    g_cnt = jax.ops.segment_sum(hit, s2g, num_segments=num_groups)
+    g_score = jnp.where(g_cnt > 0, g_sum * g_cnt * g_cnt, 0.0)
+    # stage 3: AND over a subtree's groups, gated on ALL ng hitting
+    s_sum = jax.ops.segment_sum(g_score, g2s, num_segments=num_subs)
+    s_cnt = jax.ops.segment_sum(
+        (g_score > 0).astype(jnp.float32), g2s, num_segments=num_subs
+    )
+    sub_score = jnp.where(s_cnt >= ng_sub[:, None], s_sum, 0.0)
+    # stage 4: max over same-repr-term subtrees
+    t_max = jax.ops.segment_max(sub_score, s2t, num_segments=num_terms)
+    t_max = jnp.where(jnp.isfinite(t_max), t_max, 0.0)
+    # stage 5: union over distinct terms
+    t_hit = jnp.sum((t_max >= 1e-5).astype(jnp.float32), axis=0)
+    return jnp.sum(t_max, axis=0) * t_hit * t_hit
+
+
 def phrase_factor(panch, nd):
     """Phrase-anchor x5 multiplicative factor over [nd] (an anchor present
     g times gets 5^g — BoostAnchorFromPhraseResults, plan_steps.rs:262-283);

@@ -397,6 +397,8 @@ class MeshContext:
         is_and: bool,
         k: int,
         capacity: int,
+        deep_maps=None,  # (s2g [Q,S], g2s [Q,G], s2t [Q,NS], ng [Q,NS]) | None
+        deep_terms: int = 0,  # static NT for the deep stage-4/5 planes
     ):
         """A batch of filtered/boosted/faceted/phrase-boosted tree queries
         over the mesh in ONE shard_map program: per-shard local dense
@@ -406,7 +408,12 @@ class MeshContext:
         per-shard top-k merged over ICI `all_gather`. When the mesh has a
         ``q`` axis the query batch additionally splits across it (each q
         row evaluates its slice; results all_gather over ``q``) — the
-        multichip twin of ops/generic_step.batched_generic_topk."""
+        multichip twin of ops/generic_step.batched_generic_topk.
+
+        With ``deep_maps`` the tree is a DEEP (3-alternation, OR-of-ANDs)
+        spec: ``sl_arr`` carries compact leaf-plane indices and the maps
+        carry the per-query plane->group->subtree->term structure
+        (VERDICT r4 #6 — tree_dense_deep; execution_plan.rs:272-387)."""
         import jax
         import jax.numpy as jnp
         from jax.sharding import PartitionSpec as P
@@ -417,6 +424,7 @@ class MeshContext:
             _precompute_boost,
             phrase_factor,
             tree_dense,
+            tree_dense_deep,
         )
         from ..search.boost import ScoreExpression, _expr_vec
 
@@ -453,6 +461,15 @@ class MeshContext:
                         ),
                     ]
                 )
+            if deep_maps is not None:
+                # pad queries have no postings -> zero planes; zero maps are
+                # harmless (all contributions are already zero)
+                deep_maps = tuple(
+                    np.concatenate(
+                        [m, np.zeros((pad, m.shape[1]), m.dtype)]
+                    )
+                    for m in deep_maps
+                )
 
         boost_cols = []
         for bp, fun, param, skip, expr in boost_key:
@@ -484,12 +501,14 @@ class MeshContext:
             is_and,
             k,
             capacity,
+            tuple(m.shape for m in deep_maps) if deep_maps else None,
+            deep_terms,
         )
         fn = self._generic_jit.get(jkey)
         if fn is None:
 
-            def step(offs, anc, sc, tids, tscs, slots, fmasks, fidx, pa,
-                     bcols, fmats):
+            def step(offs, anc, sc, tids, tscs, slots, dmaps, fmasks, fidx,
+                     pa, bcols, fmats):
                 shard = jax.lax.axis_index("d").astype(jnp.int32)
                 local_base = shard * dps
                 pre_boosts = tuple(
@@ -499,11 +518,20 @@ class MeshContext:
                     for (bv, pres, ea), spec in zip(bcols, boost_specs)
                 )
 
-                def one(tid, tsc, slot, fi, panch):
-                    dense = tree_dense(
-                        offs[0], anc[0], sc[0], tid, tsc, slot, capacity,
-                        dps, num_slots, is_and,
-                    )
+                def one(tid, tsc, slot, dms, fi, panch):
+                    if dms:
+                        s2g, g2s, s2t, ngs = dms
+                        dense = tree_dense_deep(
+                            offs[0], anc[0], sc[0], tid, tsc, slot,
+                            s2g, g2s, s2t, ngs, capacity, dps,
+                            num_slots, g2s.shape[0], s2t.shape[0],
+                            deep_terms,
+                        )
+                    else:
+                        dense = tree_dense(
+                            offs[0], anc[0], sc[0], tid, tsc, slot, capacity,
+                            dps, num_slots, is_and,
+                        )
                     if fi is not None:
                         # cached per-shard mask, selected by index
                         dense = jnp.where(fmasks[fi, 0], dense, 0.0)
@@ -517,11 +545,12 @@ class MeshContext:
 
                 in_axes = (
                     0, 0, 0,
+                    (0, 0, 0, 0) if dmaps else (),
                     0 if fidx is not None else None,
                     0 if pa is not None else None,
                 )
                 dense_b = jax.vmap(one, in_axes=in_axes)(
-                    tids, tscs, slots, fidx, pa
+                    tids, tscs, slots, dmaps, fidx, pa
                 )
 
                 def tk(local):
@@ -575,6 +604,9 @@ class MeshContext:
                     in_specs=(
                         P("d", None), P("d", None), P("d", None),  # CSR
                         qspec2, qspec2, qspec2,  # queries
+                        tuple(qspec2 for _ in range(4))
+                        if deep_maps is not None
+                        else (),
                         P(None, "d", None) if fmask_stack is not None else None,
                         qspec1 if fi_arr is not None else None,
                         qspec2 if pa_arr is not None else None,
@@ -605,6 +637,9 @@ class MeshContext:
         return fn(
             sf.offsets, sf.anchors, sf.scores01,
             jnp.asarray(tid_arr), jnp.asarray(tsc_arr), jnp.asarray(sl_arr),
+            tuple(jnp.asarray(m) for m in deep_maps)
+            if deep_maps is not None
+            else (),
             fmask_stack,
             jnp.asarray(fi_arr) if fi_arr is not None else None,
             jnp.asarray(pa_arr) if pa_arr is not None else None,

@@ -516,10 +516,20 @@ def _generic_eligible(
         if tree is not None:
             gtids, num_slots, is_and = tree
         else:
-            fuzzy = _fuzzy_fast_eligible(request, persistence, allow_extras=True)
-            if fuzzy is None:
-                return None
-            gtids, num_slots, is_and = [], 1, False
+            # deep (3-alternation) trees ride the mesh too (VERDICT r4 #6):
+            # same gtids spec as the single-chip sorted deep kernel; the
+            # shard step evaluates it densely via tree_dense_deep
+            dtree = _tree_spec_deep(persistence, comb, request.search_req)
+            if dtree is not None:
+                gtids, deep = dtree, True
+                num_slots, is_and = 1, False
+            else:
+                fuzzy = _fuzzy_fast_eligible(
+                    request, persistence, allow_extras=True
+                )
+                if fuzzy is None:
+                    return None
+                gtids, num_slots, is_and = [], 1, False
     else:
         num_slots, is_and = 0, False  # unused by the sorted tree kernel
         # tree first: fuzzy leaves resolve through the prefetched matches,
@@ -587,6 +597,14 @@ def _generic_eligible(
         sig = (
             "fz",
             fuzzy[0],
+            tuple(boost_key),
+            tuple(facet_fields),
+            fanchors is not None,
+            panchors is not None,
+        )
+    elif flat and deep:
+        sig = (
+            "meshdeep",
             tuple(boost_key),
             tuple(facet_fields),
             fanchors is not None,
@@ -1743,7 +1761,14 @@ def _search_batch_mesh(requests, persistence, mc, start) -> List[SearchResult]:
     num_docs = persistence.num_docs
     pending = []  # (entries_chunk, facet_fields, device outputs)
     for sig, entries in groups.items():
-        num_slots, is_and, boost_key, facet_fields, has_filter, has_phrase = sig
+        deep = sig[0] == "meshdeep"
+        if deep:
+            # deep (OR-of-ANDs / depth-3) trees: same uniform mesh route,
+            # dense structure maps instead of flat slots (VERDICT r4 #6)
+            _tag, boost_key, facet_fields, has_filter, has_phrase = sig
+            num_slots, is_and = 1, False
+        else:
+            num_slots, is_and, boost_key, facet_fields, has_filter, has_phrase = sig
         ho = comb.host_offsets  # [D, num_keys + 2] per-shard offsets
 
         # distinct filter masks cached device-resident PER SHARD (the
@@ -1760,7 +1785,20 @@ def _search_batch_mesh(requests, persistence, mc, start) -> List[SearchResult]:
             fmask_stack = mc.filter_mask_stack(skey, node_of)
 
         # per-chip plane budget bounds the vmapped query count per dispatch
-        plane_bytes = num_slots * (mc.dps + 1) * 4 + mc.dps * 8
+        if deep:
+            plane_rows = bucket_size(
+                max(
+                    (
+                        len({g[2] for g in spec["gtids"]})
+                        for _qi, _req, spec in entries
+                    ),
+                    default=1,
+                ),
+                8,
+            )
+        else:
+            plane_rows = num_slots
+        plane_bytes = plane_rows * (mc.dps + 1) * 4 + mc.dps * 8
         chunk_q = max(1, int(_PLANE_BUDGET_BYTES // max(plane_bytes, 1)))
 
         for cbase in range(0, len(entries), chunk_q):
@@ -1770,7 +1808,7 @@ def _search_batch_mesh(requests, persistence, mc, start) -> List[SearchResult]:
                 gtids = spec["gtids"]
                 max_terms = max(max_terms, len(gtids))
                 if gtids:
-                    safe = np.array([g for g, _s, _sl in gtids], dtype=np.int64)
+                    safe = np.array([g[0] for g in gtids], dtype=np.int64)
                     per_shard = (ho[:, safe + 1] - ho[:, safe]).sum(axis=1)
                     max_total = max(max_total, int(per_shard.max()))
                 if has_phrase:
@@ -1793,21 +1831,102 @@ def _search_batch_mesh(requests, persistence, mc, start) -> List[SearchResult]:
                 if has_phrase
                 else None
             )
+            deep_maps = None
+            deep_terms = 0
+            if deep:
+                from ..ops.tree_step import (
+                    DEEP_GROUP_SHIFT,
+                    DEEP_SUB_SHIFT,
+                    DEEP_TERM_SHIFT,
+                )
+
+                # compact per-query structure maps (plane -> group ->
+                # subtree -> repr term); pads alias segment 0, which is
+                # harmless — their planes carry no postings, so every
+                # contribution is already zero
+                s_max = g_max = ns_max = nt_max = 1
+                decoded = []
+                for _qi, _req, spec in chunk:
+                    packs = sorted({g[2] for g in spec["gtids"]})
+                    decoded.append(packs)
+                    s_max = max(s_max, len(packs))
+                    g_max = max(
+                        g_max, len({p >> DEEP_GROUP_SHIFT for p in packs})
+                    )
+                    ns_max = max(
+                        ns_max, len({p >> DEEP_SUB_SHIFT for p in packs})
+                    )
+                    nt_max = max(
+                        nt_max, len({p >> DEEP_TERM_SHIFT for p in packs})
+                    )
+                s_pad = bucket_size(s_max, 8)
+                g_pad = bucket_size(g_max, 8)
+                ns_pad = bucket_size(ns_max, 8)
+                deep_terms = bucket_size(nt_max, 8)
+                num_slots = s_pad
+                s2g = np.zeros((q_pad, s_pad), np.int32)
+                g2s = np.zeros((q_pad, g_pad), np.int32)
+                s2t = np.zeros((q_pad, ns_pad), np.int32)
+                ngs = np.zeros((q_pad, ns_pad), np.float32)
+
             for row, (_qi, _req, spec) in enumerate(chunk):
-                for j, (g, sc, sl) in enumerate(spec["gtids"][:t_pad]):
-                    tid_arr[row, j] = g
-                    ts_arr[row, j] = sc
-                    sl_arr[row, j] = sl
+                if deep:
+                    packs = decoded[row]
+                    plane_of = {p: i for i, p in enumerate(packs)}
+                    group_of = {
+                        g: i
+                        for i, g in enumerate(
+                            sorted({p >> DEEP_GROUP_SHIFT for p in packs})
+                        )
+                    }
+                    sub_of = {
+                        s: i
+                        for i, s in enumerate(
+                            sorted({p >> DEEP_SUB_SHIFT for p in packs})
+                        )
+                    }
+                    term_of = {
+                        t: i
+                        for i, t in enumerate(
+                            sorted({p >> DEEP_TERM_SHIFT for p in packs})
+                        )
+                    }
+                    for p, i in plane_of.items():
+                        s2g[row, i] = group_of[p >> DEEP_GROUP_SHIFT]
+                    for g, i in group_of.items():
+                        g2s[row, i] = sub_of[
+                            g >> (DEEP_SUB_SHIFT - DEEP_GROUP_SHIFT)
+                        ]
+                    for sv, i in sub_of.items():
+                        s2t[row, i] = term_of[
+                            sv >> (DEEP_TERM_SHIFT - DEEP_SUB_SHIFT)
+                        ]
+                    for gid, sc, p, ng in spec["gtids"]:
+                        ngs[row, sub_of[p >> DEEP_SUB_SHIFT]] = float(ng)
+                    for j, (gid, sc, p, _ng) in enumerate(
+                        spec["gtids"][:t_pad]
+                    ):
+                        tid_arr[row, j] = gid
+                        ts_arr[row, j] = sc
+                        sl_arr[row, j] = plane_of[p]
+                else:
+                    for j, (g, sc, sl) in enumerate(spec["gtids"][:t_pad]):
+                        tid_arr[row, j] = g
+                        ts_arr[row, j] = sc
+                        sl_arr[row, j] = sl
                 if has_filter:
                     fi_arr[row] = fkey_slot[spec["fkey"]]
                 if has_phrase:
                     pa = spec["panchors"]
                     pa_arr[row, : len(pa)] = pa.astype(np.int32)
 
+            if deep:
+                deep_maps = (s2g, g2s, s2t, ngs)
             out = mc.generic_batch(
                 tid_arr, ts_arr, sl_arr, fmask_stack, fi_arr, pa_arr,
                 boost_key, facet_fields,
                 num_slots=num_slots, is_and=is_and, k=k_eff, capacity=capacity,
+                deep_maps=deep_maps, deep_terms=deep_terms,
             )
             pending.append((chunk, facet_fields, out))
 
