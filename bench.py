@@ -886,7 +886,9 @@ def scale_summary(n_docs, backend, on_core=None, reserve=0.0) -> dict:
     log(f"[scale {n_docs}] built {build_s:.0f}s; warming up...")
     set_phase(f"scale{n_docs}:warmup")
     t0 = time.time()
-    pers.warmup()
+    # exact-only battery: skip the banded fuzzy-sweep force-compiles
+    # (minutes each at this dictionary size, and never used here)
+    pers.warmup(sweep_compiles=False)
     out["warmup_s"] = round(time.time() - t0, 1)
     log(f"[scale {n_docs}] built {build_s:.0f}s, warmup {out['warmup_s']:.0f}s")
     if on_core is not None:
@@ -1013,7 +1015,7 @@ def scale_summary(n_docs, backend, on_core=None, reserve=0.0) -> dict:
             "float(jnp.ones((8, 8)).sum())\n"
             "init_s = time.time() - t0\n"
             "t0 = time.time()\n"
-            "p.warmup()\n"
+            "p.warmup(sweep_compiles=False)\n"
             "warm_s = time.time() - t0\n"
             "t0 = time.time()\n"
             "req = Request.from_dict({'search_req': {'search': "
@@ -1160,6 +1162,16 @@ def main() -> None:
     # detail.backend). execve replaces the whole process, blocked C threads
     # included.
     _arm_guards()
+    # persistent executable cache: the banded sweep kernels compile in
+    # minutes on TPU; reruns on this checkout deserialise them in ~100 ms
+    try:
+        from veloci_tpu.compile_cache import enable_compile_cache
+
+        cc = enable_compile_cache()
+        if cc:
+            log(f"compile cache: {cc}")
+    except Exception as exc:  # never let cache plumbing kill the bench
+        log(f"compile cache unavailable: {exc}")
     device_ready = None
     if not os.environ.get("JAX_PLATFORMS", "").startswith("cpu"):
         device_ready = threading.Event()
@@ -1479,6 +1491,20 @@ def main() -> None:
         pers = Persistence.create_from_str(corpus, BENCH_CONFIG)
         del corpus
         log(f"100k index rebuilt for the deep battery ({pers.num_docs} docs)")
+        # re-warm: H2D the new buffers AND hit the (process/persistent)
+        # compile cache for every sweep width — without this the fuzzy
+        # section's first serve paid the banded compiles one by one
+        set_phase("rebuild_warmup")
+        try:
+            with phase_deadline(600, "rebuild_warmup"):
+                w = pers.warmup()
+            log(
+                f"rebuild warmup {w:.1f}s "
+                f"{getattr(pers, 'last_warmup_breakdown', {})}"
+            )
+        except PhaseTimeout:
+            log("rebuild warmup timed out (600s) — serving sections will "
+                "pay remaining compiles inline")
     if pers is not None:
         _run_section(
             "fuzzy", 240, section_fuzzy, pers, vocab, backend, pers.num_docs

@@ -238,6 +238,9 @@ def main() -> None:
     # tests/conftest.py
     if os.environ.get("JAX_PLATFORMS") == "cpu":
         jax.config.update("jax_platforms", "cpu")
+    from veloci_tpu.compile_cache import enable_compile_cache
+
+    enable_compile_cache()
     backend = jax.default_backend()
     sizes = [int(s) for s in sys.argv[1:]] or [125_000, 250_000, 500_000, 1_000_000]
     print(f"backend={backend} queries={N_QUERIES} d=2 top{TOP_K}", flush=True)

@@ -231,6 +231,14 @@ def main(argv=None) -> None:
     p.set_defaults(fn=run_serve)
 
     args = ap.parse_args(argv)
+    # persistent executable cache: serving replicas and repeated CLI runs
+    # start warm instead of recompiling minutes-long TPU kernels
+    try:
+        from .compile_cache import enable_compile_cache
+
+        enable_compile_cache()
+    except Exception:
+        pass
     args.fn(args)
 
 

@@ -892,7 +892,12 @@ class Persistence:
             lines.append(f"{field + '.terms':70} {dictionary.memory_bytes():>12}")
         return "\n".join(lines)
 
-    def warmup(self, queries: Optional[List[str]] = None, top: int = 10) -> float:
+    def warmup(
+        self,
+        queries: Optional[List[str]] = None,
+        top: int = 10,
+        sweep_compiles: Optional[bool] = None,
+    ) -> float:
         """Make the first real query fast: upload the device bundles and
         compile the serving kernels NOW, at load time.
 
@@ -905,6 +910,13 @@ class Persistence:
         and typical capacity buckets of the fused kernels) plus a fuzzy
         probe per distance (compiling sweep + resolve). Returns seconds
         spent.
+
+        ``sweep_compiles`` force-compiles the banded fuzzy sweep for every
+        prefetched dictionary-width variant (minutes each on a cold TPU
+        cache — but first fuzzy serve otherwise pays them one by one,
+        inline). Default: env VELOCI_WARMUP_SWEEP_COMPILES (on). Callers
+        that never serve fuzzy on this index (e.g. exact-only scale
+        measurements) pass False.
         """
         import time as _time
 
@@ -924,13 +936,16 @@ class Persistence:
         ]
         if comb is not None:
             comb.prefetch()
+        sweep_variants = {}  # width -> variant: one banded compile per shape
         for field in fields:
             dv = self.device_field(field)
             dv.prefetch()  # H2D: bundle + chars
             # the short sweep-matrix variant serves the canonical auto-lev
             # traffic (short terms) — upload it now too or the first short
             # fuzzy query pays its build + H2D + compile
-            dv.sweep_variant(1).prefetch()
+            sv = dv.sweep_variant(1)
+            sv.prefetch()
+            sweep_variants.setdefault(sv.chars.shape[0], sv)
             # ... and the length-window variants for the common auto-lev
             # query lengths (d=2 windows; pow2-rounded so these few calls
             # cover most traffic) — uploads amortise into warmup's H2D
@@ -940,6 +955,28 @@ class Persistence:
                 if v is not dv and id(v) not in seen:
                     seen.add(id(v))
                     v.prefetch()
+                    sweep_variants.setdefault(v.chars.shape[0], v)
+            sweep_variants.setdefault(dv.chars.shape[0], dv)
+        # force-compile the banded sweep at every prefetched width NOW: a
+        # fresh banded Mosaic compile costs minutes on TPU, and first serve
+        # paying one per (new) width is exactly the r5 rehearsal stall.
+        # With the persistent compilation cache (compile_cache.py) these are
+        # ~100 ms deserialisations on every process after the first.
+        from .search.field_search import precompile_fuzzy_sweep
+
+        if sweep_compiles is None:
+            sweep_compiles = (
+                os.environ.get("VELOCI_WARMUP_SWEEP_COMPILES", "1") != "0"
+            )
+        sweep_pending = (
+            [
+                out
+                for v in sweep_variants.values()
+                if (out := precompile_fuzzy_sweep(v)) is not None
+            ]
+            if sweep_compiles
+            else []
+        )
         # await the uploads: transfers are per-buffer async, so sync a tiny
         # slice of EVERY cached array or h2d_s under-reports and compile_s
         # absorbs the remainder
@@ -956,6 +993,14 @@ class Persistence:
             _jax.device_get(sync)  # ONE round-trip for all
         h2d_s = _time.time() - t0
         self.last_warmup_breakdown = {"h2d_s": round(h2d_s, 1)}
+        if sweep_pending:
+            import jax as _jax
+
+            t_sw = _time.time()
+            _jax.device_get([o[3].ravel()[0] for o in sweep_pending])
+            self.last_warmup_breakdown["sweep_compile_s"] = round(
+                _time.time() - t_sw, 1
+            )
         if comb is None or not fields:
             return h2d_s
 

@@ -40,6 +40,11 @@ __all__ = [
 
 _F32 = np.float32
 
+# The banded Pallas sweep's ONLY row-count shape (see prefetch_fuzzy_matches
+# and precompile_fuzzy_sweep): every batch pads its query axis to this, so
+# each dictionary width compiles exactly one Mosaic kernel.
+BANDED_ROWS = 64
+
 
 def get_default_score_for_distance(distance, prefix_matches):
     """Reference search_field.rs:27-33 (f32 arithmetic)."""
@@ -186,12 +191,22 @@ def prefetch_fuzzy_matches(persistence, specs) -> None:
         n_pad = dev.chars.shape[0]
         chunk_q = max(1, int(512e6 // max(n_pad * 4 * 3, 1)))
         if use_banded:
-            chunk_q = min(chunk_q, 64)
+            chunk_q = min(chunk_q, BANDED_ROWS)
         for cbase in range(0, len(items), chunk_q):
             citems = items[cbase : cbase + chunk_q]
-            rows_n = 8
-            while rows_n < len(citems):
-                rows_n *= 2  # pow2 row buckets: <= 4 compile shapes total
+            if use_banded:
+                # ONE row shape per dictionary width, ever: a fresh banded
+                # Mosaic compile costs minutes on TPU, and pow2 row buckets
+                # made every batch size a new shape — the r5 rehearsals
+                # stalled 600-1366 s in first serve compiling
+                # (width, rows) combinations one by one. Pad rows are
+                # distance -1 -> zero matches; sweeping 64 rows over a
+                # <=64k-term window costs ~ms, a compile costs minutes.
+                rows_n = BANDED_ROWS
+            else:
+                rows_n = 8
+                while rows_n < len(citems):
+                    rows_n *= 2  # pow2 row buckets: <= 4 compile shapes
             queries = np.zeros((rows_n, MAX_QUERY_CHARS), dtype=np.uint16)
             qlens = np.zeros(rows_n, dtype=np.int32)
             dists_in = np.full(rows_n, -1, dtype=np.int32)
@@ -245,6 +260,48 @@ def prefetch_fuzzy_matches(persistence, specs) -> None:
 
     if len(memo) > 8192:
         memo.clear()
+
+
+def precompile_fuzzy_sweep(dev_variant, band: int = 2):
+    """Force-compile the banded sweep + selection for ONE dictionary
+    variant's shape, returning the pending device outputs (caller batches
+    the sync). A fresh banded Mosaic compile costs minutes on TPU; warmup
+    calls this per prefetched length-window variant so first serve never
+    pays it (the r5 rehearsals stalled 600-1366 s exactly here). No-op off
+    TPU or with VELOCI_PALLAS_SWEEP=0 (the vmapped XLA sweep compiles in
+    seconds). Matches prefetch_fuzzy_matches' serve-time shapes exactly:
+    [BANDED_ROWS, MAX_QUERY_CHARS] queries over the variant's padded term
+    axis, selection at min(256, width)."""
+    import os
+
+    import jax
+    import jax.numpy as jnp
+
+    from ..ops.levenshtein import select_matches
+
+    if (
+        os.environ.get("VELOCI_PALLAS_SWEEP", "1") == "0"
+        or jax.default_backend() != "tpu"
+        or dev_variant.chars.shape[0] == 0
+    ):
+        return None
+    from ..ops.pallas_levenshtein import levenshtein_sweep_pallas_banded_batch
+
+    queries = np.zeros((BANDED_ROWS, MAX_QUERY_CHARS), dtype=np.uint16)
+    queries[:, :3] = np.uint16(ord("a"))
+    qlens = np.full(BANDED_ROWS, 3, dtype=np.int32)
+    dists = np.full(BANDED_ROWS, -1, dtype=np.int32)  # pad rows: no matches
+    dist_b, _pd, ispref_b = levenshtein_sweep_pallas_banded_batch(
+        dev_variant.chars_t, dev_variant.lengths, jnp.asarray(queries),
+        jnp.asarray(qlens), band=band,
+    )
+    mm = min(256, dev_variant.chars.shape[0])
+    remap_j = dev_variant.sweep_ids
+    return jax.vmap(
+        lambda d, p, dd: select_matches(
+            d, p, d, dd, max_matches=mm, remap=remap_j
+        )
+    )(dist_b, ispref_b, jnp.asarray(dists))
 
 
 def _match_fuzzy_device(persistence, field, lower_term, distance, starts_with):
