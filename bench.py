@@ -523,8 +523,8 @@ def _fuzzy_tree_engine(pers, terms, backend, num_docs):
             fallbacks += 1
             continue
         gtids, ng = tree
-        # mirror the serving slice plan (_run_generic_group): terms reorder
-        # by run length desc onto the geometric width ladder; single_slot
+        # mirror the serving plan EXACTLY via the shared planner
+        # (_resolve_plan_key): terms reorder by run length desc; single_slot
         # only when the query is eligible the way serving checks it
         # (num_groups == 1 and uniform slots — ADVICE r4 #5)
         runs = sorted(
@@ -536,51 +536,52 @@ def _fuzzy_tree_engine(pers, terms, backend, num_docs):
             fallbacks += 1
             continue
         sslot = ng == 1 and len({e[2] for e in gtids}) == 1
-        # mirror serving's ladder-vs-compact choice (_run_generic_group):
-        # many equal runs defeat the geometric ladder -> compact gather at
-        # the query's own capacity bucket
-        cap_big, cap_rest = batch_mod._slice_bucket([r for r, _e in runs])
-        t_pad_q = bucket_size(len(runs), 8)
-        widths_q = batch_mod._slice_widths(cap_big, cap_rest, t_pad_q)
-        if sum(widths_q) <= MAX_SORT_CAPACITY:
-            key = ("s", cap_big, cap_rest, sslot)
-        else:
-            key = (
-                "c",
-                min(batch_mod._cap_bucket(max(tot, 1)), MAX_SORT_CAPACITY),
-                sslot,
-            )
+        key = batch_mod._resolve_plan_key([r for r, _e in runs], tot, sslot)
         sub.setdefault(key, []).append([e for _r, e in runs])
     resolve_static = []  # (widths_or_None, capacity, single_slot)
     resolve_ops = []
     plan_bits = []
-    for key, rows in sorted(sub.items()):
-        t_pad = bucket_size(max(len(g) for g in rows), 8)
-        q_pad = bucket_size(len(rows), 8)
-        tid = np.full((q_pad, t_pad), -1, np.int32)
-        ts = np.zeros((q_pad, t_pad), np.float32)
-        sl = np.zeros((q_pad, t_pad), np.int32)
-        for r, g in enumerate(rows):
-            for j, e in enumerate(g[:t_pad]):
-                tid[r, j], ts[r, j], sl[r, j] = e[0], e[1], e[2]
+    for key, all_rows in sorted(sub.items()):
         if key[0] == "s":
             _t, cap_big, cap_rest, sslot = key
-            widths = batch_mod._slice_widths(cap_big, cap_rest, t_pad)
             capacity = 0
-            plan_bits.append(f"{cap_big}+{cap_rest}x{len(rows)}")
+            plan_bits.append(f"{cap_big}+{cap_rest}x{len(all_rows)}")
+        elif key[0] == "m":
+            _t, capacity, _tp, sslot = key
+            plan_bits.append(f"m{capacity}t{_tp}x{len(all_rows)}")
         else:
             _t, capacity, sslot = key
-            widths = ()
-            plan_bits.append(f"c{capacity}x{len(rows)}")
-        resolve_static.append((widths, capacity, sslot))
-        resolve_ops.append(
-            (
-                jnp.asarray(tid),
-                jnp.asarray(ts),
-                jnp.asarray(sl),
-                jnp.asarray(np.ones(q_pad, np.int32)),
+            plan_bits.append(f"c{capacity}x{len(all_rows)}")
+        chunk_n = batch_mod._COMPACT_Q if key[0] == "m" else len(all_rows)
+        for base in range(0, len(all_rows), chunk_n):
+            rows = all_rows[base : base + chunk_n]
+            if key[0] == "m":
+                t_pad = key[2]
+                q_pad = 8 if len(rows) <= 8 else batch_mod._COMPACT_Q
+                widths = ()
+            else:
+                t_pad = bucket_size(max(len(g) for g in rows), 8)
+                q_pad = bucket_size(len(rows), 8)
+                widths = (
+                    batch_mod._slice_widths(cap_big, cap_rest, t_pad)
+                    if key[0] == "s"
+                    else ()
+                )
+            tid = np.full((q_pad, t_pad), -1, np.int32)
+            ts = np.zeros((q_pad, t_pad), np.float32)
+            sl = np.zeros((q_pad, t_pad), np.int32)
+            for r, g in enumerate(rows):
+                for j, e in enumerate(g[:t_pad]):
+                    tid[r, j], ts[r, j], sl[r, j] = e[0], e[1], e[2]
+            resolve_static.append((widths, capacity, sslot))
+            resolve_ops.append(
+                (
+                    jnp.asarray(tid),
+                    jnp.asarray(ts),
+                    jnp.asarray(sl),
+                    jnp.asarray(np.ones(q_pad, np.int32)),
+                )
             )
-        )
     plan = ", ".join(plan_bits) + (
         f" (+{fallbacks} fallback)" if fallbacks else ""
     )
@@ -1172,6 +1173,9 @@ def main() -> None:
             log(f"compile cache: {cc}")
     except Exception as exc:  # never let cache plumbing kill the bench
         log(f"compile cache unavailable: {exc}")
+    # the bench serves generator-shape trees too: warm the multi-slot
+    # resolve cells as well (serving default is the cheaper "fuzzy" level)
+    os.environ.setdefault("VELOCI_WARMUP_TREE_GRID", "all")
     device_ready = None
     if not os.environ.get("JAX_PLATFORMS", "").startswith("cpu"):
         device_ready = threading.Event()
@@ -2023,59 +2027,86 @@ def section_generator(pers, vocab, nq, backend, num_docs) -> None:
         if t is not None:
             specs.append(t)
     ho_c = comb.host_offsets
+    from veloci_tpu.ops.postings import MAX_SORT_CAPACITY as _MSC
+
     sub = {}
     spec_runs = {}
-    for i, (gtids, _ng) in enumerate(specs):
+    for i, (gtids, ng) in enumerate(specs):
         runs = sorted(
-            ((int(ho_c[e[0] + 1] - ho_c[e[0]]), e) for e in gtids),
+            ((int(ho_c[e[0] + 1] - ho_c[e[0]]) , e) for e in gtids),
             key=lambda t: -t[0],
         )
+        tot = sum(r for r, _e in runs)
+        if not runs or tot > _MSC:
+            continue
         spec_runs[i] = [e for _r, e in runs]
-        sub.setdefault(
-            batch_mod._slice_bucket([r for r, _e in runs]), []
-        ).append(i)
+        sslot = ng == 1 and len({e[2] for e in gtids}) == 1
+        key = batch_mod._resolve_plan_key([r for r, _e in runs], tot, sslot)
+        sub.setdefault(key, []).append(i)
     plan = []
-    for (cap_big, cap_rest), idxs in sorted(sub.items()):
-        t_pad = bucket_size(max(len(specs[i][0]) for i in idxs), 8)
-        q_pad = bucket_size(len(idxs), 8)
-        tid = np.full((q_pad, t_pad), -1, np.int32)
-        tsc = np.zeros((q_pad, t_pad), np.float32)
-        tsl = np.zeros((q_pad, t_pad), np.int32)
-        ngs = np.ones(q_pad, np.int32)
-        for row, i in enumerate(idxs):
-            _gt, ng = specs[i]
-            for j, (g, sc, sl) in enumerate(spec_runs[i][:t_pad]):
-                tid[row, j] = g
-                tsc[row, j] = sc
-                tsl[row, j] = sl
-            ngs[row] = ng
-        plan.append(
-            (
-                batch_mod._slice_widths(cap_big, cap_rest, t_pad),
-                jnp.asarray(tid), jnp.asarray(tsc), jnp.asarray(tsl),
-                jnp.asarray(ngs),
+    plan_bits = []
+    for key, all_idxs in sorted(sub.items()):
+        if key[0] == "s":
+            _t, cap_big, cap_rest, sslot = key
+            plan_bits.append(f"{cap_big}+{cap_rest}x{len(all_idxs)}")
+        elif key[0] == "m":
+            _t, capacity, _tp, sslot = key
+            plan_bits.append(f"m{capacity}t{_tp}x{len(all_idxs)}")
+        else:
+            _t, capacity, sslot = key
+            plan_bits.append(f"c{capacity}x{len(all_idxs)}")
+        chunk_n = batch_mod._COMPACT_Q if key[0] == "m" else len(all_idxs)
+        for base in range(0, len(all_idxs), chunk_n):
+            idxs = all_idxs[base : base + chunk_n]
+            if key[0] == "m":
+                t_pad = key[2]
+                q_pad = 8 if len(idxs) <= 8 else batch_mod._COMPACT_Q
+                widths, cap = (), key[1]
+            else:
+                t_pad = bucket_size(max(len(specs[i][0]) for i in idxs), 8)
+                q_pad = bucket_size(len(idxs), 8)
+                widths = (
+                    batch_mod._slice_widths(cap_big, cap_rest, t_pad)
+                    if key[0] == "s"
+                    else ()
+                )
+                cap = 0 if key[0] == "s" else key[1]
+            tid = np.full((q_pad, t_pad), -1, np.int32)
+            tsc = np.zeros((q_pad, t_pad), np.float32)
+            tsl = np.zeros((q_pad, t_pad), np.int32)
+            ngs = np.ones(q_pad, np.int32)
+            for row, i in enumerate(idxs):
+                _gt, ng = specs[i]
+                for j, (g, sc, sl) in enumerate(spec_runs[i][:t_pad]):
+                    tid[row, j] = g
+                    tsc[row, j] = sc
+                    tsl[row, j] = sl
+                ngs[row] = ng
+            plan.append(
+                (
+                    (widths, cap, key[3]),
+                    jnp.asarray(tid), jnp.asarray(tsc), jnp.asarray(tsl),
+                    jnp.asarray(ngs),
+                )
             )
-        )
-    log(
-        "generator engine plan: "
-        + ", ".join(
-            f"{cb}+{cr}x{len(idxs)}" for (cb, cr), idxs in sorted(sub.items())
-        )
-    )
-    plan_widths = [w for w, *_r in plan]
+    log("generator engine plan: " + ", ".join(plan_bits))
+    plan_static = [p[0] for p in plan]
     plan_arrays = tuple(tuple(p[1:]) for p in plan)
 
     def gen_body(carry, ops):
         offs_c2, packed_c2, plan_o = ops
         off = (carry * jnp.float32(1e-20)).astype(jnp.int32)
         acc = jnp.float32(0.0)
-        for widths, (tid_j, tsc_j, tsl_j, ng_j) in zip(plan_widths, plan_o):
+        for (widths, cap, sslot), (tid_j, tsc_j, tsl_j, ng_j) in zip(
+            plan_static, plan_o
+        ):
             _i, scores, _n, _f = batched_tree_topk(
                 offs_c2, None, None,
                 tid_j + off, tsc_j, tsl_j, ng_j,
                 None, None, None, (), (),
-                capacity=0, num_docs=num_docs, k=TOP_K,
+                capacity=cap, num_docs=num_docs, k=TOP_K,
                 packed=packed_c2, slice_widths=widths,
+                single_slot=sslot,
             )
             acc = acc + scores[0, 0]
         return acc * jnp.float32(1e-12)
@@ -2084,7 +2115,8 @@ def section_generator(pers, vocab, nq, backend, num_docs) -> None:
         gen_body, *((2, 6) if backend == "cpu" else (3, 13)), retries=1,
         operands=(comb.offsets, comb.packed, plan_arrays),
     )
-    generator_engine_qps = len(specs) / per_ge
+    n_planned = sum(len(v) for v in sub.values())
+    generator_engine_qps = max(n_planned, 1) / per_ge
     log(
         f"[{backend}] generator batched engine ({len(specs)} specs): "
         f"{generator_engine_qps:.0f} QPS, {per_ge*1e3:.2f} ms/batch"

@@ -977,6 +977,19 @@ class Persistence:
             if sweep_compiles
             else []
         )
+        # ... and the many-term resolve grid ("m"-route tree kernels): the
+        # other half of the first-serve compile storm. TPU-gated — XLA-CPU
+        # compiles these lazily in seconds.
+        grid_pending = []
+        if sweep_compiles:
+            import jax as _jax
+
+            if _jax.default_backend() == "tpu":
+                from .search.batch import precompile_tree_grid
+
+                level = os.environ.get("VELOCI_WARMUP_TREE_GRID", "fuzzy")
+                if level != "off":
+                    grid_pending = precompile_tree_grid(self, level)
         # await the uploads: transfers are per-buffer async, so sync a tiny
         # slice of EVERY cached array or h2d_s under-reports and compile_s
         # absorbs the remainder
@@ -1000,6 +1013,14 @@ class Persistence:
             _jax.device_get([o[3].ravel()[0] for o in sweep_pending])
             self.last_warmup_breakdown["sweep_compile_s"] = round(
                 _time.time() - t_sw, 1
+            )
+        if grid_pending:
+            import jax as _jax
+
+            t_gr = _time.time()
+            _jax.device_get([o[1].ravel()[0] for o in grid_pending])
+            self.last_warmup_breakdown["tree_grid_s"] = round(
+                _time.time() - t_gr, 1
             )
         if comb is None or not fields:
             return h2d_s

@@ -721,7 +721,12 @@ def _slice_bucket(runs):
     cap_big = bucket_size(max(runs[0], 1), 64)
     cap_rest = 64
     for j, r in enumerate(runs[1:]):
-        cap_rest = max(cap_rest, bucket_size(max(int(r), 1), 64) << j)
+        b = bucket_size(max(int(r), 1), 64)
+        if b > 64:
+            # runs <= 64 fit ANY rung (the ladder floors at 64): requiring
+            # cap_rest >= 64 << j for them exploded the key space and the
+            # width sum for many-term profiles
+            cap_rest = max(cap_rest, b << j)
     return cap_big, cap_rest
 
 
@@ -746,6 +751,57 @@ def _cap_bucket(n: int, minimum: int = 256) -> int:
     while c < n:
         c *= 4
     return c
+
+
+# past this many terms the geometric slice ladder can't fit a zipf run tail
+# (measured fuzzy d=2 at 100k docs: ~100 matched terms/query, 9-18 runs past
+# 64 — the (cap_big, cap_rest) key space exploded to ~19 variants for 32
+# generator queries, each a fresh 15-300 s TPU compile = the r5 rehearsals'
+# 600 s first-serve stalls)
+_MANY_TERMS = 24
+_COMPACT_Q = 64  # fixed row shape for many-term compact dispatches
+
+
+def _cap_bucket_pow2(n: int, minimum: int = 2048) -> int:
+    """Own-posting-total capacity for MANY-TERM compact resolves: pow2 to
+    65536, then x4. Finer than `_cap_bucket`'s tail on purpose — the sort
+    runtime scales with width (measured v5e: c4096 ~1 ms, c16384 ~6 ms per
+    64-query dispatch), while the extra kernel variants are absorbed once
+    by the warmup grid + persistent compile cache."""
+    from ..ops.postings import bucket_size
+
+    b = bucket_size(max(n, 1), minimum)
+    if b <= 65536:
+        return b
+    c = 65536
+    while c < n:
+        c *= 4
+    return c
+
+
+def _resolve_plan_key(runs, tot: int, sslot: bool):
+    """Sub-bucket key for one resolved entry (SHARED by `_run_generic_group`
+    and bench.py's serving-route mirror — keep them identical).
+
+    ``runs``: posting run lengths, DESC. Routes:
+      * > _MANY_TERMS terms  -> ("m", own-tot pow2 capacity, t tier, sslot):
+        per-element compact gather; a small warmup-precompilable grid.
+      * slice ladder fits    -> ("s", cap_big, cap_rest, sslot)
+      * else                 -> ("c", coarse capacity, sslot)
+    """
+    from ..ops.postings import MAX_SORT_CAPACITY, bucket_size
+
+    t_n = len(runs)
+    if t_n > _MANY_TERMS:
+        # t tier floors at 128: the gather/fill cost scales with capacity,
+        # not t_pad, so padding terms is near-free while halving the number
+        # of kernel variants (tiers: 128/256/512/1024)
+        return ("m", _cap_bucket_pow2(tot), bucket_size(t_n, 128), sslot)
+    cap_big, cap_rest = _slice_bucket(runs)
+    t_pad_q = bucket_size(t_n, 8)
+    if sum(_slice_widths(cap_big, cap_rest, t_pad_q)) <= MAX_SORT_CAPACITY:
+        return ("s", cap_big, cap_rest, sslot)
+    return ("c", min(_cap_bucket(max(tot, 1)), MAX_SORT_CAPACITY), sslot)
 
 
 def _why_found_meta(persistence, request):
@@ -1100,6 +1156,60 @@ def search_batch(requests: List[Request], persistence) -> List[SearchResult]:
     return results  # type: ignore[return-value]
 
 
+def precompile_tree_grid(persistence, level: str = "fuzzy"):
+    """Force-compile the many-term ("m"-route) tree-kernel grid NOW so the
+    first fuzzy/generator serve never pays it inline (the r5 rehearsals
+    stalled 600 s+ compiling these one by one at first serve; with the
+    persistent compile cache every later process deserialises in ~100 ms).
+
+    The "m" route's shapes are fully key-determined — (capacity, t tier,
+    q tier, slot mode, k=10) over THIS index's posting arrays — so a small
+    static grid covers real traffic exactly. ``level``: "fuzzy" compiles
+    the single-slot cells (plain fuzzy leaves, measured t tier 128 at 100k
+    docs); "all" adds the multi-slot generator-tree cells (t 256/512).
+    Returns the pending device outputs; the caller batches the sync."""
+    import jax.numpy as jnp
+
+    from ..ops.postings import MAX_SORT_CAPACITY
+    from ..ops.tree_step import batched_tree_topk
+
+    comb = persistence.device_combined()
+    if comb is None:
+        return []
+    num_docs = persistence.num_docs
+    cells = [  # (q_pad, t_pad, capacity, single_slot)
+        *(( _COMPACT_Q, 128, cap, True) for cap in
+          (2048, 4096, 8192, 16384, 32768, 65536)),
+        (8, 128, 2048, True),
+        (8, 128, 4096, True),
+    ]
+    if level == "all":
+        cells += [
+            (_COMPACT_Q, 256, 16384, False),
+            (_COMPACT_Q, 256, 65536, False),
+            (_COMPACT_Q, 512, 65536, False),
+        ]
+    pending = []
+    for q_pad, t_pad, capacity, sslot in cells:
+        if capacity > MAX_SORT_CAPACITY:
+            continue
+        tid = np.full((q_pad, t_pad), -1, dtype=np.int32)
+        tid[:, 0] = 0
+        out = batched_tree_topk(
+            comb.offsets, None, None,
+            jnp.asarray(tid),
+            jnp.asarray(np.ones((q_pad, t_pad), dtype=np.float32)),
+            jnp.asarray(np.zeros((q_pad, t_pad), dtype=np.int32)),
+            jnp.asarray(np.ones(q_pad, dtype=np.int32)),
+            None, None, None, (), (),
+            capacity=capacity, num_docs=num_docs, k=10,
+            boost_specs=(), has_phrase=False, packed=comb.packed,
+            slice_widths=(), single_slot=sslot,
+        )
+        pending.append(out)
+    return pending
+
+
 def _run_generic_group(
     persistence, comb, sig, entries, emit, pool=None, fallback=None
 ) -> None:
@@ -1153,7 +1263,7 @@ def _run_generic_group(
         )
         tot = sum(r for r, _e in runs)
         if not runs:
-            sub.setdefault(("c", 256), []).append((qi, req, spec))
+            sub.setdefault(("c", 256, False), []).append((qi, req, spec))
             continue
         if tot > MAX_SORT_CAPACITY:
             # posting total too large for the variadic-sort kernel (the
@@ -1162,24 +1272,21 @@ def _run_generic_group(
             if fallback is not None:
                 fallback(qi, req)
             continue
-        cap_big, cap_rest = _slice_bucket([r for r, _e in runs])
-        # admission from the ACTUAL ladder width at this query's own t_pad
-        # (ADVICE r4 #3: cap_big + 2*cap_rest under-counted the 64-floor
-        # rungs). Group assembly below may pad t_pad up to the sub-group
-        # max, adding at most 64 * t_pad more — negligible vs the 2M bound.
-        t_pad_q = bucket_size(len(runs), 8)
-        if sum(_slice_widths(cap_big, cap_rest, t_pad_q)) <= MAX_SORT_CAPACITY:
-            gt = [e for _r, e in runs]
-            sslot = (
-                not deep
-                and not has_phrase
-                and spec["num_groups"] == 1
-                and len({e[2] for e in gt}) == 1
-            )
-            spec = dict(spec, gtids=gt)
-            key = ("s", cap_big, cap_rest, sslot)
-        else:
-            key = ("c", min(_cap_bucket(max(tot, 1)), MAX_SORT_CAPACITY))
+        gt = [e for _r, e in runs]
+        sslot = (
+            not deep
+            and not has_phrase
+            and spec["num_groups"] == 1
+            and len({e[2] for e in gt}) == 1
+        )
+        spec = dict(spec, gtids=gt)
+        # route decision (ladder / many-term compact / coarse compact) is
+        # shared with bench.py's serving-route mirror — keep in one place.
+        # ADVICE r4 #3 lives inside: ladder admission uses the ACTUAL
+        # per-query _slice_widths sum (group assembly below may pad t_pad
+        # up to the sub-group max, adding at most 64 * t_pad more —
+        # negligible vs the 2M bound).
+        key = _resolve_plan_key([r for r, _e in runs], tot, sslot)
         sub.setdefault(key, []).append((qi, req, spec))
 
     pending = []  # (chunk, device outputs)
@@ -1199,17 +1306,32 @@ def _run_generic_group(
             slice_widths = _slice_widths(cap_big, cap_rest, t_pad)
             capacity = 0
             total_w = sum(slice_widths)
+        elif key[0] == "m":
+            # many-term compact: the shape is FULLY determined by the key
+            # (capacity, t tier, slot mode) + the fixed q tiers below, so
+            # warmup can precompile the whole grid (precompile_tree_grid)
+            _tag_m, capacity, t_pad, single_slot = key
+            slice_widths = ()
+            total_w = capacity
         else:
-            slice_widths, single_slot = (), False
+            slice_widths, single_slot = (), key[2]
             capacity = key[1]
             total_w = capacity
         # sort state is [Qc, total_w] x a handful of i32/f32 vectors
         chunk_q = max(1, int(_SORT_BUDGET_BYTES // max(total_w * 64, 1)))
+        if key[0] == "m":
+            chunk_q = min(chunk_q, _COMPACT_Q)
 
         for base in range(0, len(sub_entries), chunk_q):
             chunk = sub_entries[base : base + chunk_q]
             qc = len(chunk)
             q_pad = bucket_size(qc, 8)  # bound recompiles across batch sizes
+            if key[0] == "m":
+                # exactly TWO row shapes per grid cell (q8 for the single-
+                # request front door, q64 for batches): padded rows carry
+                # term_id -1 -> zero postings, the sort cost is bounded by
+                # the chunk cap anyway
+                q_pad = 8 if qc <= 8 else _COMPACT_Q
             tid_arr = np.full((q_pad, t_pad), -1, dtype=np.int32)
             ts_arr = np.zeros((q_pad, t_pad), dtype=np.float32)
             sl_arr = np.zeros((q_pad, t_pad), dtype=np.int32)
