@@ -943,6 +943,15 @@ def scale_summary(n_docs, backend, on_core=None, reserve=0.0) -> dict:
         with phase_deadline(
             min(240.0, budget_left() - reserve - 120), "generator_serving"
         ):
+            # grid first: every completed cell persists to the compile cache
+            # immediately, so even if the alarm fires mid-grid this phase
+            # converges to warm across runs instead of re-stalling forever
+            import jax as _jax
+
+            from veloci_tpu.search.batch import precompile_tree_grid
+
+            for pend in precompile_tree_grid(pers, "all"):
+                _jax.device_get(pend[1].ravel()[0])
             _qt, reqs = generator_requests(pers, vocab, min(100, N_EXACT_QUERIES))
             search_batch(reqs, pers)  # warm
             t0 = time.perf_counter()

@@ -1018,10 +1018,14 @@ class Persistence:
             import jax as _jax
 
             t_gr = _time.time()
-            _jax.device_get([o[1].ravel()[0] for o in grid_pending])
-            self.last_warmup_breakdown["tree_grid_s"] = round(
+            _jax.device_get([out[1].ravel()[0] for _c, out in grid_pending])
+            self.last_warmup_breakdown["tree_grid_sync_s"] = round(
                 _time.time() - t_gr, 1
             )
+            # cell tuples carry their dispatch-time (= compile) seconds
+            self.last_warmup_breakdown["tree_grid_cells"] = [
+                c for c, _o in grid_pending
+            ]
         if comb is None or not fields:
             return h2d_s
 

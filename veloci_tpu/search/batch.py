@@ -1184,15 +1184,20 @@ def precompile_tree_grid(persistence, level: str = "fuzzy"):
         (8, 128, 4096, True),
     ]
     if level == "all":
+        # NO t512 cells: a t512 x c65536 multi-slot compile blocks for
+        # many minutes in C (signal alarms can't interrupt it) — the rare
+        # >256-term tree pays its own compile inline instead
         cells += [
             (_COMPACT_Q, 256, 16384, False),
             (_COMPACT_Q, 256, 65536, False),
-            (_COMPACT_Q, 512, 65536, False),
         ]
+    import time as _time
+
     pending = []
     for q_pad, t_pad, capacity, sslot in cells:
         if capacity > MAX_SORT_CAPACITY:
             continue
+        t_c = _time.time()
         tid = np.full((q_pad, t_pad), -1, dtype=np.int32)
         tid[:, 0] = 0
         out = batched_tree_topk(
@@ -1206,7 +1211,14 @@ def precompile_tree_grid(persistence, level: str = "fuzzy"):
             boost_specs=(), has_phrase=False, packed=comb.packed,
             slice_widths=(), single_slot=sslot,
         )
-        pending.append(out)
+        # the jit compile blocks HERE (dispatch), so this timing is the
+        # cell's compile cost (sync later is ~free)
+        pending.append(
+            (
+                (q_pad, t_pad, capacity, sslot, round(_time.time() - t_c, 1)),
+                out,
+            )
+        )
     return pending
 
 
