@@ -538,6 +538,9 @@ def _fuzzy_tree_engine(pers, terms, backend, num_docs):
             continue
         sslot = ng == 1 and len({e[2] for e in gtids}) == 1
         key = batch_mod._resolve_plan_key([r for r, _e in runs], tot, sslot)
+        if key[0] == "x":
+            fallbacks += 1
+            continue
         sub.setdefault(key, []).append([e for _r, e in runs])
     resolve_static = []  # (widths_or_None, capacity, single_slot)
     resolve_ops = []
@@ -2070,6 +2073,8 @@ def section_generator(pers, vocab, nq, backend, num_docs) -> None:
         spec_runs[i] = [e for _r, e in runs]
         sslot = ng == 1 and len({e[2] for e in gtids}) == 1
         key = batch_mod._resolve_plan_key([r for r, _e in runs], tot, sslot)
+        if key[0] == "x":
+            continue
         sub.setdefault(key, []).append(i)
     plan = []
     plan_bits = []

@@ -792,10 +792,15 @@ def _resolve_plan_key(runs, tot: int, sslot: bool):
     from ..ops.postings import MAX_SORT_CAPACITY, bucket_size
 
     t_n = len(runs)
+    if t_n > 256:
+        # t512/t1024 variants compile for 10+ minutes in C (immune to the
+        # phase alarms) — route the rare >256-term tree to the per-request
+        # dense executor instead of ever compiling one inline
+        return ("x",)
     if t_n > _MANY_TERMS:
         # t tier floors at 128: the gather/fill cost scales with capacity,
         # not t_pad, so padding terms is near-free while halving the number
-        # of kernel variants (tiers: 128/256/512/1024)
+        # of kernel variants (tiers: 128/256)
         return ("m", _cap_bucket_pow2(tot), bucket_size(t_n, 128), sslot)
     cap_big, cap_rest = _slice_bucket(runs)
     t_pad_q = bucket_size(t_n, 8)
@@ -1292,13 +1297,17 @@ def _run_generic_group(
             and len({e[2] for e in gt}) == 1
         )
         spec = dict(spec, gtids=gt)
-        # route decision (ladder / many-term compact / coarse compact) is
-        # shared with bench.py's serving-route mirror — keep in one place.
-        # ADVICE r4 #3 lives inside: ladder admission uses the ACTUAL
-        # per-query _slice_widths sum (group assembly below may pad t_pad
-        # up to the sub-group max, adding at most 64 * t_pad more —
-        # negligible vs the 2M bound).
+        # route decision (ladder / many-term compact / coarse compact /
+        # fallback) is shared with bench.py's serving-route mirror — keep
+        # in one place. ADVICE r4 #3 lives inside: ladder admission uses
+        # the ACTUAL per-query _slice_widths sum (group assembly below may
+        # pad t_pad up to the sub-group max, adding at most 64 * t_pad
+        # more — negligible vs the 2M bound).
         key = _resolve_plan_key([r for r, _e in runs], tot, sslot)
+        if key[0] == "x":
+            if fallback is not None:
+                fallback(qi, req)
+            continue
         sub.setdefault(key, []).append((qi, req, spec))
 
     pending = []  # (chunk, device outputs)
