@@ -1309,8 +1309,9 @@ def main() -> None:
     log(
         "section plan (declared est / budget "
         f"{budget_left():.0f}s): build 30, exact 40, serving 15, seq 10, "
-        "native 20, suggest 30, highlight 90, scale_1M ~350, scale_6M ~400, "
-        "rebuild 40, fuzzy 240, generic 150, generator 240, proxy <=900"
+        "native 20, suggest 30, highlight 90, warmup <=600, fuzzy 240, "
+        "generic 150, generator 240, scale_1M ~350, scale_6M ~400, "
+        "proxy <=900"
     )
 
     set_phase("build_100k")
@@ -1452,13 +1453,46 @@ def main() -> None:
         _run_section("suggest", 30, section_suggest, pers, vocab, backend)
         _run_section("highlight", 90, section_highlight, backend)
 
+    # ---- deep 100k battery: fuzzy / generic / generator --------------------
+    # On the ORIGINAL index, while its device buffers and this process's
+    # compile caches are warm. Round 4 ran this after the scales on a
+    # REBUILT index — the duplicate 40MB H2D took 172s in a good tunnel
+    # window and 25+ minutes in a degraded one (r5 bench7), starving the
+    # battery entirely. Every section is alarm-bounded, and the resolve
+    # grid + banded sweeps were force-compiled by warmup above, so the
+    # worst case is minutes, not the unbounded storms of r3/r4.
+    if not lite:
+        # H2D the window variants + force-compile the banded sweeps and the
+        # many-term resolve grid NOW (disk-cache hits after the first run)
+        set_phase("battery_warmup")
+        try:
+            with phase_deadline(600, "battery_warmup"):
+                w = pers.warmup()
+            log(
+                f"battery warmup {w:.1f}s "
+                f"{getattr(pers, 'last_warmup_breakdown', {})}"
+            )
+        except PhaseTimeout:
+            log("battery warmup timed out (600s) — serving sections pay "
+                "remaining compiles inline")
+        _run_section(
+            "fuzzy", 240, section_fuzzy, pers, vocab, backend, pers.num_docs
+        )
+        _run_section(
+            "generic", 150, section_generic,
+            pers, exact_terms, tid_host, backend, pers.num_docs,
+        )
+        _run_section(
+            "generator", 240, section_generator,
+            pers, vocab, len(exact_terms), backend, pers.num_docs,
+        )
+
     # ---- free the 100k battery state, then the scale sections -------------
     # The headline vs_baseline lives in the 1M row (at 100k the whole index
     # is CPU-cache-resident and a single core is near-unbeatable) and the
     # round-3/4 captures starved before landing it. 1M jmdict-like ~= the
     # real jmdict corpus scale; 6M runs the reference's OWN large-corpus
-    # harness (test_large_search.rs). The deep 100k battery (fuzzy/generic/
-    # generator) moved AFTER the scales — it rebuilds the index below.
+    # harness (test_large_search.rs).
     scales = {}
     default_scales = "" if backend == "cpu" else "1000000,6000000"
     scale_list = [
@@ -1515,43 +1549,6 @@ def main() -> None:
         import gc
 
         gc.collect()
-
-    # ---- deep 100k battery: fuzzy / generic / generator --------------------
-    # Rebuild the 100k index (same seed -> bit-identical, term ids reusable);
-    # compile caches are warm from the first battery, so this is seconds.
-    pers = None
-    if not lite and budget_left() > 240:
-        set_phase("rebuild_100k")
-        corpus, _v = build_corpus(N_DOCS)
-        pers = Persistence.create_from_str(corpus, BENCH_CONFIG)
-        del corpus
-        log(f"100k index rebuilt for the deep battery ({pers.num_docs} docs)")
-        # re-warm: H2D the new buffers AND hit the (process/persistent)
-        # compile cache for every sweep width — without this the fuzzy
-        # section's first serve paid the banded compiles one by one
-        set_phase("rebuild_warmup")
-        try:
-            with phase_deadline(600, "rebuild_warmup"):
-                w = pers.warmup()
-            log(
-                f"rebuild warmup {w:.1f}s "
-                f"{getattr(pers, 'last_warmup_breakdown', {})}"
-            )
-        except PhaseTimeout:
-            log("rebuild warmup timed out (600s) — serving sections will "
-                "pay remaining compiles inline")
-    if pers is not None:
-        _run_section(
-            "fuzzy", 240, section_fuzzy, pers, vocab, backend, pers.num_docs
-        )
-        _run_section(
-            "generic", 150, section_generic,
-            pers, exact_terms, tid_host, backend, pers.num_docs,
-        )
-        _run_section(
-            "generator", 240, section_generator,
-            pers, vocab, len(exact_terms), backend, pers.num_docs,
-        )
 
     # ---- CPU proxy baseline (same kernels + methodology on host CPU) -----
     # LAST: it is a subprocess worth up to 900s that never sets the headline
