@@ -760,6 +760,11 @@ def _cap_bucket(n: int, minimum: int = 256) -> int:
 # 600 s first-serve stalls)
 _MANY_TERMS = 24
 _COMPACT_Q = 64  # fixed row shape for many-term compact dispatches
+# multi-slot (tree_candidates) capacity ceiling: past this the segmented
+# scans' compile blocks for tens of minutes (measured on-chip: the
+# t256 x c65536 multi-slot grid cell sat 17+ min in ONE C call) — bigger
+# multi-slot trees take the per-request dense executor instead
+_MULTI_SLOT_CAP = 16384
 
 
 def _cap_bucket_pow2(n: int, minimum: int = 2048) -> int:
@@ -798,15 +803,26 @@ def _resolve_plan_key(runs, tot: int, sslot: bool):
         # dense executor instead of ever compiling one inline
         return ("x",)
     if t_n > _MANY_TERMS:
+        cap = _cap_bucket_pow2(tot)
+        if not sslot and cap > _MULTI_SLOT_CAP:
+            # the MULTI-SLOT tree evaluator's segmented scans at 65536+
+            # blocked ONE grid cell's compile for 17+ minutes on-chip
+            # (r5 capture, 2026-08-20) — alarm-immune, same class as the
+            # t512 stalls. Single-slot (scan-free) cells at the same
+            # width compile in seconds and stay eligible.
+            return ("x",)
         # t tier floors at 128: the gather/fill cost scales with capacity,
         # not t_pad, so padding terms is near-free while halving the number
         # of kernel variants (tiers: 128/256)
-        return ("m", _cap_bucket_pow2(tot), bucket_size(t_n, 128), sslot)
+        return ("m", cap, bucket_size(t_n, 128), sslot)
     cap_big, cap_rest = _slice_bucket(runs)
     t_pad_q = bucket_size(t_n, 8)
     if sum(_slice_widths(cap_big, cap_rest, t_pad_q)) <= MAX_SORT_CAPACITY:
         return ("s", cap_big, cap_rest, sslot)
-    return ("c", min(_cap_bucket(max(tot, 1)), MAX_SORT_CAPACITY), sslot)
+    cap = min(_cap_bucket(max(tot, 1)), MAX_SORT_CAPACITY)
+    if not sslot and cap > _MULTI_SLOT_CAP:
+        return ("x",)  # same multi-slot compile cliff as the "m" route
+    return ("c", cap, sslot)
 
 
 def _why_found_meta(persistence, request):
@@ -1189,12 +1205,15 @@ def precompile_tree_grid(persistence, level: str = "fuzzy"):
         (8, 128, 4096, True),
     ]
     if level == "all":
-        # NO t512 cells: a t512 x c65536 multi-slot compile blocks for
-        # many minutes in C (signal alarms can't interrupt it) — the rare
-        # >256-term tree pays its own compile inline instead
+        # NO t512 cells, and NO multi-slot cells past _MULTI_SLOT_CAP: a
+        # t256 x c65536 multi-slot compile blocked 17+ minutes in ONE C
+        # call on-chip (signal alarms can't interrupt it) — those trees
+        # route to the per-request dense executor now (_resolve_plan_key)
         cells += [
+            (_COMPACT_Q, 128, 4096, False),
+            (_COMPACT_Q, 128, 8192, False),
+            (_COMPACT_Q, 128, 16384, False),
             (_COMPACT_Q, 256, 16384, False),
-            (_COMPACT_Q, 256, 65536, False),
         ]
     import time as _time
 
