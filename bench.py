@@ -561,7 +561,13 @@ def _fuzzy_tree_engine(pers, terms, backend, num_docs):
             rows = all_rows[base : base + chunk_n]
             if key[0] == "m":
                 t_pad = key[2]
-                q_pad = 8 if len(rows) <= 8 else batch_mod._COMPACT_Q
+                # mirror serving's q tiers: pow2 8..64 for single-slot,
+                # two shapes (8/64) for multi-slot (compile cost)
+                q_pad = (
+                    min(bucket_size(len(rows), 8), batch_mod._COMPACT_Q)
+                    if key[3]
+                    else (8 if len(rows) <= 8 else batch_mod._COMPACT_Q)
+                )
                 widths = ()
             else:
                 t_pad = bucket_size(max(len(g) for g in rows), 8)
@@ -2121,7 +2127,11 @@ def section_generator(pers, vocab, nq, backend, num_docs) -> None:
             idxs = all_idxs[base : base + chunk_n]
             if key[0] == "m":
                 t_pad = key[2]
-                q_pad = 8 if len(idxs) <= 8 else batch_mod._COMPACT_Q
+                q_pad = (
+                    min(bucket_size(len(idxs), 8), batch_mod._COMPACT_Q)
+                    if key[3]
+                    else (8 if len(idxs) <= 8 else batch_mod._COMPACT_Q)
+                )
                 widths, cap = (), key[1]
             else:
                 t_pad = bucket_size(max(len(specs[i][0]) for i in idxs), 8)

@@ -1199,10 +1199,11 @@ def precompile_tree_grid(persistence, level: str = "fuzzy"):
         return []
     num_docs = persistence.num_docs
     cells = [  # (q_pad, t_pad, capacity, single_slot)
-        *(( _COMPACT_Q, 128, cap, True) for cap in
-          (2048, 4096, 8192, 16384, 32768, 65536)),
-        (8, 128, 2048, True),
-        (8, 128, 4096, True),
+        *(
+            (q, 128, cap, True)
+            for cap in (2048, 4096, 8192, 16384, 32768, 65536)
+            for q in (8, 16, 32, _COMPACT_Q)
+        ),
     ]
     if level == "all":
         # NO t512 cells, and NO multi-slot cells past _MULTI_SLOT_CAP: a
@@ -1367,11 +1368,17 @@ def _run_generic_group(
             qc = len(chunk)
             q_pad = bucket_size(qc, 8)  # bound recompiles across batch sizes
             if key[0] == "m":
-                # exactly TWO row shapes per grid cell (q8 for the single-
-                # request front door, q64 for batches): padded rows carry
-                # term_id -1 -> zero postings, the sort cost is bounded by
-                # the chunk cap anyway
-                q_pad = 8 if qc <= 8 else _COMPACT_Q
+                if single_slot:
+                    # pow2 q tiers (8/16/32/64): padded rows still pay the
+                    # full [q_pad, capacity] sort, and the r5 on-chip plan
+                    # line showed 13 real queries sorting 64 rows at 16384
+                    # (4.9x waste). Single-slot cells compile in seconds,
+                    # so the extra tiers are cheap and warmup-precompiled.
+                    q_pad = min(bucket_size(qc, 8), _COMPACT_Q)
+                else:
+                    # multi-slot cells compile 30-100s each — exactly TWO
+                    # row shapes (q8 front door, q64 batches) stays right
+                    q_pad = 8 if qc <= 8 else _COMPACT_Q
             tid_arr = np.full((q_pad, t_pad), -1, dtype=np.int32)
             ts_arr = np.zeros((q_pad, t_pad), dtype=np.float32)
             sl_arr = np.zeros((q_pad, t_pad), dtype=np.int32)
