@@ -759,3 +759,53 @@ def test_tokenizer_pieces_matches_iter():
         tk = GroupTokenizer(seps)
         for text in cases:
             assert tk.pieces(text) == list(tk.iter(text)), (seps, text)
+
+
+def test_block_gather_matches_element_gather():
+    """The 16-row block posting gather (search_step._gather_postings packed
+    path) must produce the same valid (anchor, score, slot) multiset as the
+    per-element path — edge blocks mask misaligned head/tail elements to
+    the pad sentinels. Randomized over ragged run profiles incl. empty
+    runs, -1 pads and a dominant zipf head."""
+    import jax.numpy as jnp
+
+    from veloci_tpu.ops.search_step import _gather_postings
+
+    rng = np.random.default_rng(7)
+    for trial in range(8):
+        nt = int(rng.integers(8, 60))
+        counts = rng.integers(0, 50, size=nt)
+        counts[rng.integers(0, nt)] = rng.integers(100, 300)
+        off = np.zeros(nt + 2, np.int32)
+        np.cumsum(counts, out=off[1 : nt + 1])
+        off[nt + 1] = off[nt]
+        nnz = int(off[nt])
+        pad = ((nnz + 4096 + 127) // 128) * 128
+        packed = np.zeros((pad, 2), np.int32)
+        packed[:nnz, 0] = rng.integers(0, 1000, size=nnz)
+        packed[:nnz, 1] = rng.random(nnz, dtype=np.float32).view(np.int32)
+        tsel = rng.permutation(nt)[:8].astype(np.int32)
+        tsel[0] = -1
+        tsc = rng.random(8).astype(np.float32)
+        tslot = rng.integers(0, 4, size=8).astype(np.int32)
+        cap = 512
+        a1, s1, sl1 = _gather_postings(
+            jnp.asarray(off), None, None, jnp.asarray(tsel),
+            jnp.asarray(tsc), cap, 1000, term_slots=jnp.asarray(tslot),
+            packed=jnp.asarray(packed),
+        )
+        a2, s2, sl2 = _gather_postings(
+            jnp.asarray(off), jnp.asarray(packed[:, 0].copy()),
+            jnp.asarray(packed[:, 1].view(np.float32).copy()),
+            jnp.asarray(tsel), jnp.asarray(tsc), cap, 1000,
+            term_slots=jnp.asarray(tslot),
+        )
+
+        def multiset(a, s, sl):
+            a, s, sl = np.asarray(a), np.asarray(s), np.asarray(sl)
+            m = np.isfinite(s) & (a < 1000)
+            return sorted(
+                zip(a[m].tolist(), s[m].astype(np.float64).tolist(), sl[m].tolist())
+            )
+
+        assert multiset(a1, s1, sl1) == multiset(a2, s2, sl2), f"trial {trial}"

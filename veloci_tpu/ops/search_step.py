@@ -25,6 +25,11 @@ import jax.numpy as jnp
 
 from .topk import topk_dense_exact, topk_positions
 
+# block granularity of the packed-row posting gather (128 B per gather
+# step; see the block branch of _gather_postings). Code in that branch
+# hardcodes the matching shift (>> 4).
+_BLOCK = 16
+
 __all__ = [
     "exact_search_topk",
     "single_term_search_topk",
@@ -152,6 +157,66 @@ def _gather_postings(offsets, anchors, scores01, term_ids, term_scores,
         if term_slots is not None
         else jnp.arange(t_pad, dtype=jnp.int32)
     )
+    if (
+        win is None
+        and packed is not None
+        and packed.shape[0] % _BLOCK == 0
+        and capacity % _BLOCK == 0
+    ):
+        # BLOCK gather: posting runs are CONTIGUOUS in ``packed``, so read
+        # them at 16-row (128 B) granularity instead of 8 B elements — an
+        # element gather lowers to a ~6 ns/element serial loop on TPU while
+        # the same postings as 16-row block gathers measure 0.08 ms vs
+        # 2.58 ms for a [64, 4096] read (33x; also ~16x less XLA compile,
+        # which previously hit 391 s for a [16, 65536] element gather).
+        # Each run is covered by ceil(count/16)+1 possibly-misaligned
+        # blocks; edge elements outside [start, end) are masked to the
+        # usual sentinels (anchor=num_docs, score=-inf), which every
+        # downstream evaluator already excludes. Output width grows from
+        # ``capacity`` to ``capacity + 16 * t_pad`` (the per-run slack) —
+        # the sort runs at ~0.2 ns/element, so the padding is far cheaper
+        # than gathering.
+        B = _BLOCK
+        ends = starts + counts
+        b_starts = starts >> 4
+        b_counts = jnp.where(counts > 0, ((ends + (B - 1)) >> 4) - b_starts, 0)
+        out_b_ex = jnp.cumsum(b_counts, dtype=jnp.int32) - b_counts
+        total_b = out_b_ex[t_pad - 1] + b_counts[t_pad - 1]
+        # static block budget: blocks(run) = ceil((count + start%16)/16)
+        # <= ceil(count/16) + 1, and sum(ceil(c_t/16)) <= cap/16 + t_real,
+        # so cap/16 + 2*t_pad always covers (overflow would silently DROP
+        # postings via the fill's mode="drop")
+        nb = capacity // B + 2 * t_pad
+        bidx = jnp.arange(nb, dtype=jnp.int32)
+        src_b = bidx + fill_segments_i32(b_starts - out_b_ex, out_b_ex, nb)
+        rs_fill = fill_segments_i32(starts, out_b_ex, nb)
+        re_fill = fill_segments_i32(ends, out_b_ex, nb)
+        slot_b = fill_segments_i32(slots, out_b_ex, nb)
+        tsc_b = fill_segments_f32(term_scores, out_b_ex, nb)
+        in_b = bidx < total_b
+        src_b = jnp.clip(
+            jnp.where(in_b, src_b, 0), 0, packed.shape[0] // B - 1
+        )
+        rows = packed.reshape(-1, B, 2)[src_b]  # [nb, B, 2] — 128B loads
+        gidx = src_b[:, None] * B + jnp.arange(B, dtype=jnp.int32)[None, :]
+        valid = (
+            in_b[:, None] & (gidx >= rs_fill[:, None]) & (gidx < re_fill[:, None])
+        )
+        a = jnp.where(valid, rows[:, :, 0], num_docs).reshape(nb * B)
+        s01 = jax.lax.bitcast_convert_type(rows[:, :, 1], jnp.float32)
+        s = jnp.where(valid, s01 * tsc_b[:, None], -jnp.inf).reshape(nb * B)
+        slot_fill = jnp.where(
+            valid, slot_b[:, None], slots[t_pad - 1]
+        ).reshape(nb * B)
+        if term_ngs is not None:
+            ng_b = fill_segments_f32(
+                term_ngs.astype(jnp.float32), out_b_ex, nb
+            )
+            ng_fill = jnp.where(
+                valid, ng_b[:, None], term_ngs[t_pad - 1]
+            ).reshape(nb * B)
+            return a, s, slot_fill, ng_fill
+        return a, s, slot_fill
     if win is None:
         # segment mapping via scatter+cumsum fills — searchsorted and
         # small-table gathers lower to serial per-element loops on TPU
